@@ -1,0 +1,136 @@
+"""Single configuration module shared by every entry point.
+
+The reference duplicates a ~30-flag argparse block across three entry points
+(novelty_detection.py:131-174, test_file/FullTest.py:206-249,
+test_file/realtime_tester.py:230-258).  Here there is exactly one `Config`
+dataclass; every CLI builds it through `get_config()`.  Flag names are kept
+for CLI parity.  New, TPU-specific knobs (seed, mesh shape, dtype) are added
+at the bottom — the reference's fusion weights were *unseeded* random at data
+load time (utils/data_loaders.py:400-424), which made absolute scores
+irreproducible; we make the seed explicit instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Sequence
+
+
+@dataclass
+class Config:
+    # -- training ---------------------------------------------------------
+    n_epochs: int = 20
+    batch_size: int = 7000
+    slicing_size: int = 56000
+    lr: float = 1e-3
+    gpu_id: int = 0               # kept for CLI parity; ignored (device = TPU)
+    verbose: int = 2
+
+    # -- task -------------------------------------------------------------
+    data: str = "hsr_objectdrop"
+    unimodal_normal: bool = False
+    target_class: Any = 1
+
+    novelty_ratio: float = 0.0
+    btl_size: int = 100
+    n_layers: int = 5
+
+    start_layer_index: int = 0
+    end_layer_index: int = -1
+    from_: str = "youngjae"       # reference flag is `--from`
+
+    folder_name: str = "hsr_objectdrop/"
+    models: str = "ae"
+    save_mode: bool = False
+
+    # -- data -------------------------------------------------------------
+    data_folder_name: str = "data/hsr_dropobject/"
+    file_name: str = "data_sum"
+    sensor: str = "All"           # All hand_camera force_torque head_depth mic LiDAR
+    saved_name: str = "datasets/All.ckpt"
+    saved_data: str = "All"
+    saved_result: str = "result/All"
+    object_select_mode: bool = False
+    object_type: str = "book"
+    train_diffs: str = "datasets/All_train_diffs.npz"
+
+    # -- filled in post-parse (reference mutates argparse namespace) -------
+    input_size: Optional[int] = None
+
+    # -- TPU-native additions ----------------------------------------------
+    seed: int = 0                 # PRNG seed for init, shuffle, fusion weights
+    mesh_shape: Optional[int] = None  # devices on the 'data' mesh axis (None = all)
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"    # bfloat16 supported on the scoring path
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+# Sensor name -> fused feature width.  Mirrors utils/data_loaders.py:16-29.
+SENSOR_INPUT_SIZES = {
+    "All": 1728,
+    "hand_camera": 1024,
+    "force_torque": 64,
+    "head_depth": 512,
+    "LiDAR": 2048,
+    "mic": 128,
+}
+
+
+def get_input_size(config: Config) -> int:
+    """Fused feature width per sensor selection (utils/data_loaders.py:16-29)."""
+    return SENSOR_INPUT_SIZES[config.sensor]
+
+
+def _add_flags(p: argparse.ArgumentParser) -> None:
+    defaults = Config()
+    for f in dataclasses.fields(Config):
+        name = "--" + ("from" if f.name == "from_" else f.name)
+        default = getattr(defaults, f.name)
+        if f.type == "bool" or isinstance(default, bool):
+            p.add_argument(name, action="store_true", default=default)
+        elif f.name == "target_class":
+            p.add_argument(name, type=str, default=default)
+        elif f.name in ("input_size", "mesh_shape"):
+            p.add_argument(name, type=int, default=default)
+        else:
+            p.add_argument(name, type=type(default), default=default)
+
+
+def get_config(argv: Optional[Sequence[str]] = None, **overrides) -> Config:
+    """Parse CLI flags into a Config.
+
+    Replicates the post-parse fixups of novelty_detection.py:171-173: any
+    `file_name` other than 'data_sum' downgrades `slicing_size` to 7000.
+    (The reference used `is not`, a string-identity bug that fired on every
+    run; we implement the intended `!=` comparison.)
+    """
+    p = argparse.ArgumentParser(description="TPU-native multimodal anomaly detection")
+    _add_flags(p)
+    ns = p.parse_args(argv)
+    kw = vars(ns)
+    if "from" in kw:
+        kw["from_"] = kw.pop("from")
+    cfg = Config(**kw)
+    if cfg.file_name != "data_sum":
+        cfg = cfg.replace(slicing_size=7000)
+    if overrides:
+        cfg = cfg.replace(**overrides)
+    return cfg
+
+
+def load_data_registry(path: Optional[str] = None) -> dict:
+    """Dataset registry; mirrors datasets/data_config.json consumed at
+    utils/data_loaders.py:53-57."""
+    if path is None:
+        path = os.path.join(os.path.dirname(__file__), "data", "data_config.json")
+    with open(path, "r") as f:
+        return json.load(f)

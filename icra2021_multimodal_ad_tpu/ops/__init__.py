@@ -1,0 +1,31 @@
+"""Core numeric ops: whitening, metrics, RaPP scoring, MFCC, image, fusion."""
+
+from icra2021_multimodal_ad_tpu.ops.normalize import (  # noqa: F401
+    Standardizer,
+    Rotater,
+    Truncater,
+    standardizer_fit,
+    standardizer_run,
+    rotater_fit,
+    rotater_run,
+    truncater_run,
+)
+from icra2021_multimodal_ad_tpu.ops.metrics import (  # noqa: F401
+    roc_curve,
+    precision_recall_curve,
+    auc,
+    get_auc_roc,
+    get_auc_prc,
+    get_f1_score,
+    get_confusion_matrix,
+    get_norm,
+)
+from icra2021_multimodal_ad_tpu.ops.scoring import (  # noqa: F401
+    get_recon_loss,
+    get_d_loss,
+    get_d_norm_loss,
+    nap_fit,
+    nap_transform,
+    ScoreReport,
+)
+from icra2021_multimodal_ad_tpu.ops.rapp import get_diffs  # noqa: F401

@@ -1,0 +1,130 @@
+"""Whitening transforms for NAP scoring — Standardizer / Rotater / Truncater.
+
+Capability parity with utils/normalize.py:20-146 of the reference, rebuilt as
+pure jittable functions over stat pytrees (no torch, no host<->device copies,
+no 20k-row chunking — XLA tiles the projection matmul onto the MXU directly).
+
+Semantics matched to the reference:
+  * Standardizer.fit: mu = column mean; var = diagonal of the *unbiased*
+    covariance (np.cov default ddof=1, utils/normalize.py:34).
+  * Rotater.fit: mean-center then thin SVD; `v` is the right-singular-vector
+    matrix such that x_centered = U S V^T (torch `x.svd()` convention,
+    utils/normalize.py:66).  run() projects x_centered @ v.
+  * Truncater.run: rank-k PCA reconstruct, adds the mean back
+    (utils/normalize.py:105-146).
+
+SVD sign convention: singular vectors are sign-fixed so that the largest-
+|value| component of each right singular vector is positive.  NAP scores are
+invariant to these signs (they enter quadratically), but a deterministic
+convention makes the persisted whitening stats stable across backends.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class StandardizerStats(NamedTuple):
+    mu: jax.Array   # (dim,)
+    var: jax.Array  # (dim,) unbiased per-column variance
+
+
+class RotaterStats(NamedTuple):
+    mu: jax.Array  # (dim,)
+    v: jax.Array   # (dim, k) right singular vectors (columns)
+
+
+@jax.jit
+def standardizer_fit(x: jax.Array) -> StandardizerStats:
+    x = x.astype(jnp.float32)
+    mu = x.mean(axis=0)
+    n = x.shape[0]
+    var = jnp.sum((x - mu) ** 2, axis=0) / jnp.maximum(n - 1, 1)
+    return StandardizerStats(mu=mu, var=var)
+
+
+@jax.jit
+def standardizer_run(stats: StandardizerStats, x: jax.Array) -> jax.Array:
+    x = x.astype(jnp.float32)
+    return (x - stats.mu) / jnp.sqrt(stats.var)
+
+
+def _fix_svd_signs(vh: jax.Array) -> jax.Array:
+    """Deterministic sign: make the max-|.| entry of each right vector positive."""
+    idx = jnp.argmax(jnp.abs(vh), axis=1)
+    signs = jnp.sign(vh[jnp.arange(vh.shape[0]), idx])
+    signs = jnp.where(signs == 0, 1.0, signs)
+    return vh * signs[:, None]
+
+
+@jax.jit
+def rotater_fit(x: jax.Array) -> RotaterStats:
+    x = x.astype(jnp.float32)
+    mu = x.mean(axis=0)
+    xc = x - mu
+    # Thin SVD; vh rows are right singular vectors.  v = vh.T matches the
+    # torch `x.svd()` output the reference projects onto.
+    _, _, vh = jnp.linalg.svd(xc, full_matrices=False)
+    vh = _fix_svd_signs(vh)
+    return RotaterStats(mu=mu, v=vh.T)
+
+
+@jax.jit
+def rotater_run(stats: RotaterStats, x: jax.Array) -> jax.Array:
+    x = x.astype(jnp.float32)
+    return jnp.dot(x - stats.mu, stats.v, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+@partial(jax.jit, static_argnames=("trunc",))
+def truncater_run(stats: RotaterStats, x: jax.Array, trunc: int) -> jax.Array:
+    if trunc <= 0:
+        return x
+    x = x.astype(jnp.float32)
+    v = stats.v[:, :trunc]
+    proj = jnp.dot(x - stats.mu, v, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    return (
+        jnp.dot(proj, v.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        + stats.mu
+    )
+
+
+# ---------------------------------------------------------------------------
+# Thin OO wrappers preserving the reference's fit/run API surface
+# (utils/normalize.py class names), for users migrating call sites verbatim.
+# ---------------------------------------------------------------------------
+
+
+class Standardizer:
+    def __init__(self):
+        self.stats: StandardizerStats | None = None
+
+    def fit(self, x) -> "Standardizer":
+        self.stats = standardizer_fit(jnp.asarray(x))
+        return self
+
+    def run(self, x):
+        return standardizer_run(self.stats, jnp.asarray(x))
+
+
+class Rotater:
+    def __init__(self):
+        self.stats: RotaterStats | None = None
+
+    def fit(self, x, **_ignored) -> "Rotater":
+        self.stats = rotater_fit(jnp.asarray(x))
+        return self
+
+    def run(self, x, **_ignored):
+        return rotater_run(self.stats, jnp.asarray(x))
+
+
+class Truncater(Rotater):
+    def run(self, x, trunc: int = 0, **_ignored):
+        return truncater_run(self.stats, jnp.asarray(x), trunc)

@@ -1,0 +1,74 @@
+"""RaPP diff extraction — "reconstruction along the projection pathway".
+
+Capability parity with reconstruction_aggregation.py:6-37 of the reference:
+propagate both the input x and its reconstruction x_hat through every encoder
+layer, collecting the per-layer differences.  diffs[0] is the input-space
+reconstruction error; diffs[i] (i>=1) is the difference after encoder layer i.
+
+TPU-native design: the reference copies every per-layer diff to host inside
+the loop (reconstruction_aggregation.py:23,28 `.cpu()`) — its single biggest
+device-traffic hotspot.  Here one jitted function computes the forward AND
+all layer taps for both pathways in a single XLA program; nothing leaves the
+device.  Large inputs are chunked at a static batch size (padding the tail)
+so compilation is shape-stable.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from icra2021_multimodal_ad_tpu.models.autoencoder import AutoEncoder, ae_forward
+from icra2021_multimodal_ad_tpu.models.fc_module import fc_module_apply_taps
+
+
+@partial(jax.jit, static_argnames=("model",))
+def diffs_batch(model: AutoEncoder, params: dict, state: dict, x: jax.Array):
+    """Single fused forward + dual-pathway layer taps.  Eval mode (BN running
+    stats); returns a tuple of (batch, dim_i) diff arrays, length n_layers+1."""
+    x = x.reshape(x.shape[0], -1).astype(jnp.float32)
+    x_hat, _ = ae_forward(model, params, state, x, train=False)
+    taps_x, _ = fc_module_apply_taps(
+        model.encoder, params["encoder"], state["encoder"], x, train=False
+    )
+    taps_xhat, _ = fc_module_apply_taps(
+        model.encoder, params["encoder"], state["encoder"], x_hat, train=False
+    )
+    diffs = [x_hat - x]
+    diffs += [h2 - h1 for h1, h2 in zip(taps_x, taps_xhat)]
+    return tuple(diffs)
+
+
+def get_diffs(
+    x,
+    model: AutoEncoder,
+    params: dict,
+    state: dict,
+    batch_size: Optional[int] = None,
+) -> List[jax.Array]:
+    """Chunked RaPP diffs over an arbitrarily-sized input.
+
+    Mirrors the reference signature get_diffs(x, model, batch_size=698)
+    (reconstruction_aggregation.py:6) but keeps results on device.  Returns a
+    list of (n, dim_i) arrays, one per pathway layer (n_layers + 1 entries).
+    """
+    x = jnp.asarray(x)
+    x = x.reshape(x.shape[0], -1)
+    n = x.shape[0]
+    if batch_size is None or batch_size >= n:
+        return [jnp.asarray(d) for d in diffs_batch(model, params, state, x)]
+
+    chunks = []
+    for start in range(0, n, batch_size):
+        piece = x[start : start + batch_size]
+        pad = batch_size - piece.shape[0]
+        if pad:
+            piece = jnp.pad(piece, ((0, pad), (0, 0)))
+        out = diffs_batch(model, params, state, piece)
+        if pad:
+            out = tuple(o[:-pad] for o in out)
+        chunks.append(out)
+    return [jnp.concatenate(parts, axis=0) for parts in zip(*chunks)]

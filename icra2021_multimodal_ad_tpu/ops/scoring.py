@@ -1,0 +1,234 @@
+"""Anomaly scores: BASE, SAP, NAP — the three-score evaluation contract.
+
+Capability parity with utils/metric.py:132-238 of the reference:
+
+  * BASE  (`get_recon_loss`):  mean squared input-space reconstruction error.
+  * SAP   (`get_d_loss`):      mean of squares over ALL layer diffs, concat
+                               on the feature axis.
+  * NAP   (`get_d_norm_loss`): concat diffs -> mean-center + SVD rotation
+                               (Rotater) -> per-column z-score (Standardizer)
+                               -> mean |.|^p.
+
+Each returns the reference's 6-tuple: (score, auroc, aupr, f1, precision,
+recall).  Layer-range slicing start/end semantics including the clamping
+rules (utils/metric.py:152-162,190-199) are preserved.
+
+TPU-native design: the heavy pieces (concat, SVD fit, rotation matmul,
+z-score, row-mean) are all jitted jnp; scores come back to host only for the
+tiny curve metrics.  The whitening stats are an explicit, persistable pytree
+(NapStats) — the reference pickled raw train diffs instead
+(utils/metric.py:205); we persist the fitted stats, which is what the
+streaming path actually needs.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icra2021_multimodal_ad_tpu.ops.metrics import (
+    get_auc_prc,
+    get_auc_roc,
+    get_confusion_matrix,
+    get_f1_score,
+    get_norm,
+)
+from icra2021_multimodal_ad_tpu.ops.normalize import (
+    RotaterStats,
+    StandardizerStats,
+    rotater_fit,
+    rotater_run,
+    standardizer_fit,
+    standardizer_run,
+)
+
+
+class ScoreReport(NamedTuple):
+    score: np.ndarray
+    auroc: float
+    aupr: float
+    f1: float
+    precision: float
+    recall: float
+
+    def astuple(self):
+        return tuple(self)
+
+
+class NapStats(NamedTuple):
+    rotater: RotaterStats
+    standardizer: StandardizerStats
+
+
+def _slice_range(n_diffs: int, start_layer_index: int,
+                 end_layer_index: Optional[int]):
+    """Layer-range clamping (utils/metric.py:152-162)."""
+    if end_layer_index is None:
+        end_layer_index = n_diffs + 1
+    if start_layer_index > n_diffs - 1:
+        start_layer_index = n_diffs - 1
+    if end_layer_index - start_layer_index < 1:
+        end_layer_index = start_layer_index + 1
+    return start_layer_index, end_layer_index
+
+
+def concat_diffs(diffs: Sequence[jax.Array], start: int = 0,
+                 end: Optional[int] = None) -> jax.Array:
+    start, end = _slice_range(len(diffs), start, end)
+    return jnp.concatenate([jnp.asarray(d) for d in diffs[start:end]], axis=-1)
+
+
+@jax.jit
+def mean_square_rows(x: jax.Array) -> jax.Array:
+    x = x.astype(jnp.float32)
+    return jnp.mean(x * x, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# BASE
+# ---------------------------------------------------------------------------
+
+
+def get_recon_loss(valid_diff, test_diff, test_label,
+                   f1_quantiles=(0.90,)) -> ScoreReport:
+    """BASE score (utils/metric.py:132-143): (diff^2).mean(axis=1) on the
+    input-space diffs."""
+    test_score = np.asarray(mean_square_rows(jnp.asarray(test_diff)))
+    valid_score = np.asarray(mean_square_rows(jnp.asarray(valid_diff)))
+    return _report(valid_score, test_score, test_label, f1_quantiles)
+
+
+# ---------------------------------------------------------------------------
+# SAP
+# ---------------------------------------------------------------------------
+
+
+def get_d_loss(train_diffs, valid_diffs, test_diffs, test_label,
+               start_layer_index: int = 0,
+               end_layer_index: Optional[int] = None,
+               norm_type: int = 2,
+               f1_quantiles=(0.90,),
+               **_ignored) -> ScoreReport:
+    """SAP score (utils/metric.py:145-181): mean of squares over concat
+    diffs.  `train_diffs` is accepted for signature parity but unused, as in
+    the reference."""
+    del train_diffs
+    valid_cat = concat_diffs(valid_diffs, start_layer_index, end_layer_index)
+    test_cat = concat_diffs(test_diffs, start_layer_index, end_layer_index)
+    test_score = np.asarray(mean_square_rows(test_cat))
+    valid_score = np.asarray(mean_square_rows(valid_cat))
+    return _report(valid_score, test_score, test_label, f1_quantiles)
+
+
+# ---------------------------------------------------------------------------
+# NAP
+# ---------------------------------------------------------------------------
+
+
+def nap_fit(train_diffs_cat: jax.Array) -> NapStats:
+    """Fit the NAP whitening on concatenated train diffs
+    (utils/metric.py:210-214): SVD rotation, then per-column standardization
+    of the rotated training data."""
+    rot = rotater_fit(train_diffs_cat)
+    rotated = rotater_run(rot, train_diffs_cat)
+    std = standardizer_fit(rotated)
+    return NapStats(rotater=rot, standardizer=std)
+
+
+@jax.jit
+def nap_transform(stats: NapStats, x: jax.Array) -> jax.Array:
+    return standardizer_run(stats.standardizer, rotater_run(stats.rotater, x))
+
+
+@jax.jit
+def nap_score_device(stats: NapStats, x: jax.Array) -> jax.Array:
+    """Fused rotate + standardize + mean|.|^2 on device."""
+    t = nap_transform(stats, x)
+    return jnp.mean(t * t, axis=-1)
+
+
+def get_d_norm_loss(train_diffs, valid_diffs, test_diffs, test_label,
+                    config=None,
+                    start_layer_index: int = 0,
+                    end_layer_index: Optional[int] = None,
+                    norm_type: int = 2,
+                    f1_quantiles=(0.90,),
+                    save_stats_path: Optional[str] = None,
+                    verbose: bool = False,
+                    **_ignored) -> ScoreReport:
+    """NAP score (utils/metric.py:183-238)."""
+    train_cat = concat_diffs(train_diffs, start_layer_index, end_layer_index)
+    valid_cat = concat_diffs(valid_diffs, start_layer_index, end_layer_index)
+    test_cat = concat_diffs(test_diffs, start_layer_index, end_layer_index)
+
+    stats = nap_fit(train_cat)
+    if save_stats_path is None and config is not None:
+        save_stats_path = getattr(config, "train_diffs", None)
+    if save_stats_path:
+        save_nap_stats(save_stats_path, stats)
+
+    valid_rotateds = nap_transform(stats, valid_cat)
+    t0 = time.time()
+    test_rotateds = nap_transform(stats, test_cat)
+    if norm_type == 2:
+        test_score = np.asarray(mean_square_rows(test_rotateds))
+        valid_score = np.asarray(mean_square_rows(valid_rotateds))
+    else:
+        test_score = np.asarray(get_norm(test_rotateds, norm_type).mean(axis=-1))
+        valid_score = np.asarray(get_norm(valid_rotateds, norm_type).mean(axis=-1))
+    if verbose:
+        print("nap cal", time.time() - t0)
+    return _report(valid_score, test_score, test_label, f1_quantiles)
+
+
+def nap_score_from_diffs(stats: NapStats, diffs,
+                         start_layer_index: int = 0,
+                         end_layer_index: Optional[int] = None) -> jax.Array:
+    """Score-only NAP path against pre-fitted stats — the FullTest.py:15-52
+    capability (cached whitening, no metric computation)."""
+    cat = concat_diffs(diffs, start_layer_index, end_layer_index)
+    return nap_score_device(stats, cat)
+
+
+# ---------------------------------------------------------------------------
+# Stats persistence (replaces torch.save of raw train diffs, metric.py:205)
+# ---------------------------------------------------------------------------
+
+
+def save_nap_stats(path: str, stats: NapStats) -> None:
+    np.savez(
+        path,
+        rot_mu=np.asarray(stats.rotater.mu),
+        rot_v=np.asarray(stats.rotater.v),
+        std_mu=np.asarray(stats.standardizer.mu),
+        std_var=np.asarray(stats.standardizer.var),
+    )
+
+
+def load_nap_stats(path: str) -> NapStats:
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    z = np.load(path)
+    return NapStats(
+        rotater=RotaterStats(mu=jnp.asarray(z["rot_mu"]), v=jnp.asarray(z["rot_v"])),
+        standardizer=StandardizerStats(
+            mu=jnp.asarray(z["std_mu"]), var=jnp.asarray(z["std_var"])
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+def _report(valid_score, test_score, test_label, f1_quantiles) -> ScoreReport:
+    auroc = get_auc_roc(test_score, test_label)
+    aupr = get_auc_prc(test_score, test_label)
+    f1, threshold = get_f1_score(valid_score, test_score, test_label,
+                                 f1_quantiles=f1_quantiles)
+    precision, recall = get_confusion_matrix(test_score, test_label, threshold)
+    return ScoreReport(score=test_score, auroc=auroc, aupr=aupr, f1=f1,
+                       precision=precision, recall=recall)
