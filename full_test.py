@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Offline full-sequence evaluation — capability parity with
+test_file/FullTest.py:251-276: load a saved model + cached NAP whitening
+stats, score a caltime-style fixture CSV as one batch, report the NAP score
+trace (optionally compare against a golden `nap_score` column).
+
+    python full_test.py --fixture datasets/caltime_test.csv \
+        --saved_name datasets/All --train_diffs datasets/All_train_diffs
+"""
+
+import argparse
+import time
+
+import numpy as np
+import pandas as pd
+
+from icra2021_multimodal_ad_tpu.config import Config, get_input_size
+from icra2021_multimodal_ad_tpu.models.builder import build_autoencoder
+from icra2021_multimodal_ad_tpu.ops.rapp import get_diffs
+from icra2021_multimodal_ad_tpu.ops.scoring import (
+    load_nap_stats,
+    nap_score_from_diffs,
+)
+from icra2021_multimodal_ad_tpu.utils.checkpoint import load_checkpoint, to_device
+from icra2021_multimodal_ad_tpu.data.fixture import fixture_to_features
+
+
+def run_full_test(config: Config, fixture_path: str, plot: bool = False):
+    """Returns (scores, df).  Mirrors FullTest.py main: everything is test
+    split (ratios [0,0,1], FullTest.py:179), batch = whole fixture."""
+    model = build_autoencoder(config)
+    params, state, _ = load_checkpoint(config.saved_name)
+    params, state = to_device(params), to_device(state)
+    stats = load_nap_stats(config.train_diffs)
+
+    df = pd.read_csv(fixture_path)
+    x = fixture_to_features(df, config)
+
+    t0 = time.time()
+    diffs = get_diffs(x, model, params, state)
+    print("test_diff_time", time.time() - t0)
+
+    t0 = time.time()
+    end = config.n_layers + 1 - config.end_layer_index
+    scores = np.asarray(
+        nap_score_from_diffs(stats, diffs,
+                             start_layer_index=config.start_layer_index,
+                             end_layer_index=end)
+    )
+    print("nap_time", time.time() - t0)
+
+    if plot:
+        from matplotlib import pyplot as plt
+
+        plt.plot(scores, color="r")
+        plt.show()
+    return scores, df
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--fixture", type=str, default="datasets/caltime_test.csv")
+    p.add_argument("--saved_name", type=str, default="datasets/All_100")
+    p.add_argument("--train_diffs", type=str,
+                   default="datasets/All_train_diffs")
+    p.add_argument("--sensor", type=str, default="All")
+    p.add_argument("--n_layers", type=int, default=5)
+    p.add_argument("--btl_size", type=int, default=100)
+    p.add_argument("--plot", action="store_true")
+    args = p.parse_args()
+
+    cfg = Config(
+        sensor=args.sensor, n_layers=args.n_layers, btl_size=args.btl_size,
+        saved_name=args.saved_name, train_diffs=args.train_diffs,
+    )
+    cfg = cfg.replace(input_size=get_input_size(cfg))
+    scores, df = run_full_test(cfg, args.fixture, plot=args.plot)
+    print("max, min", scores.max(), scores.min())
+    if "nap_score" in df.columns:
+        golden = df["nap_score"].to_numpy()
+        corr = np.corrcoef(scores, golden)[0, 1]
+        print(f"golden nap_score correlation: {corr:.4f}")
+
+
+if __name__ == "__main__":
+    main()

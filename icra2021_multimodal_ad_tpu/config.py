@@ -87,6 +87,11 @@ SENSOR_INPUT_SIZES = {
 
 def get_input_size(config: Config) -> int:
     """Fused feature width per sensor selection (utils/data_loaders.py:16-29)."""
+    if config.sensor not in SENSOR_INPUT_SIZES:
+        raise ValueError(
+            f"unknown --sensor {config.sensor!r}; choose one of "
+            f"{sorted(SENSOR_INPUT_SIZES)}"
+        )
     return SENSOR_INPUT_SIZES[config.sensor]
 
 

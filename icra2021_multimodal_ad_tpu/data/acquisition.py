@@ -1,0 +1,182 @@
+"""Robot data acquisition — capability parity with
+data_collect_experiment/main_for_data_collect.py and hsr_data_setting/
+{microphone_send,hand_camera_send}.py.
+
+The reference couples sensor logic directly to rospy callbacks, making it
+untestable without an HSR robot (SURVEY.md §4).  Here the per-sensor logic is
+pure and transport-agnostic: controllers consume messages from any
+`publish(topic, payload)`-shaped transport (the provided `LocalTransport`
+in-process bus for tests/simulation, or a thin ROS bridge when rospy exists).
+Episode recording writes the exact capture-tree layout the ETL consumes:
+
+    <out>/<episode>/data/{depth,hand,LiDAR,hand_weight,Microphone}.csv
+    <out>/<episode>/data/img/{hand,d}/<id>.png
+    <out>/<episode>/data/sound/output.wav
+    <out>/<episode>/data/drop_time.csv
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+import wave
+from typing import Dict, List, Optional
+
+import numpy as np
+
+GRAVITY = 9.81
+CONNECTION_TIMEOUT_S = 10.0  # realtime_tester.py:31
+
+
+def compute_weight_grams(first_force_xyz, current_force_xyz) -> float:
+    """Force delta -> grams: ||dF|| * 1000 / g, rounded to 0.1 g
+    (main_for_data_collect.py force callback; realtime_tester.py:69-80)."""
+    if len(first_force_xyz) != len(current_force_xyz):
+        raise ValueError("Argument lists differ in length")
+    sq = sum((b - a) ** 2 for a, b in zip(first_force_xyz, current_force_xyz))
+    return round(math.sqrt(sq) * 1000.0 / GRAVITY, 1)
+
+
+class LocalTransport:
+    """In-process pub/sub standing in for ROS topics."""
+
+    def __init__(self):
+        self._subs: Dict[str, list] = {}
+
+    def subscribe(self, topic: str, callback) -> None:
+        self._subs.setdefault(topic, []).append(callback)
+
+    def publish(self, topic: str, payload) -> None:
+        for cb in self._subs.get(topic, []):
+            cb(payload)
+
+
+class EpisodeRecorder:
+    """Accumulates one episode of sensor rows + frames, then writes the
+    capture tree (main_for_data_collect.py:243-336 layout)."""
+
+    def __init__(self, out_dir: str, episode: str, start_time: Optional[float] = None):
+        self.root = os.path.join(out_dir, episode, "data")
+        self.start = start_time if start_time is not None else time.time()
+        self.rows: Dict[str, List[dict]] = {
+            "depth": [], "hand": [], "LiDAR": [], "hand_weight": [],
+            "Microphone": [],
+        }
+        self.frames: Dict[str, List[np.ndarray]] = {"hand": [], "d": []}
+        self.audio_chunks: List[bytes] = []
+        self.drop_start: Optional[float] = None
+        self.drop_end: Optional[float] = None
+        self._ids = {"depth": 0, "hand": 0}
+        self._first_force: Optional[tuple] = None
+
+    # -- sensor feeds -------------------------------------------------------
+
+    def on_force(self, fx: float, fy: float, fz: float, t: Optional[float] = None):
+        if self._first_force is None:
+            self._first_force = (fx, fy, fz)
+        w = compute_weight_grams(self._first_force, (fx, fy, fz))
+        self.rows["hand_weight"].append(
+            {"datetime": self._t(t), "timegap": self._t(t), "weight": w}
+        )
+
+    def on_image(self, kind: str, frame: np.ndarray, t: Optional[float] = None):
+        stream = "hand" if kind == "hand" else "depth"
+        sub = "hand" if kind == "hand" else "d"
+        self._ids[stream] += 1
+        self.rows[stream].append(
+            {"time": self._t(t), "id": self._ids[stream], "timegap": self._t(t)}
+        )
+        self.frames[sub].append(np.asarray(frame))
+
+    def on_lidar(self, ranges, t: Optional[float] = None):
+        data = "[" + ",".join(f"{float(v):.4f}" for v in ranges) + "]"
+        self.rows["LiDAR"].append(
+            {"data": data, "time": self._t(t), "timegap": self._t(t)}
+        )
+
+    def on_mic_chunk(self, chunk: bytes, t: Optional[float] = None):
+        self.audio_chunks.append(chunk)
+        self.rows["Microphone"].append(
+            {"data": "[]", "time": self._t(t), "timegap": self._t(t)}
+        )
+
+    def mark_drop(self, start_t: float, end_t: float):
+        self.drop_start = self._t(start_t)
+        self.drop_end = self._t(end_t)
+
+    def _t(self, t: Optional[float]) -> float:
+        return round((t if t is not None else time.time()) - self.start, 6)
+
+    # -- persistence --------------------------------------------------------
+
+    def save(self, sample_rate: int = 44100, channels: int = 2) -> str:
+        import pandas as pd
+        from PIL import Image
+
+        os.makedirs(os.path.join(self.root, "sound"), exist_ok=True)
+        for stream, rows in self.rows.items():
+            pd.DataFrame(rows).to_csv(os.path.join(self.root, f"{stream}.csv"))
+        for sub, frames in self.frames.items():
+            d = os.path.join(self.root, "img", sub)
+            os.makedirs(d, exist_ok=True)
+            for i, frame in enumerate(frames, start=1):
+                Image.fromarray(frame.astype(np.uint8)).save(
+                    os.path.join(d, f"{i}.png")
+                )
+        if self.drop_start is not None:
+            pd.DataFrame(
+                [{"drop_end": self.drop_end, "drop_start": self.drop_start}]
+            ).to_csv(os.path.join(self.root, "drop_time.csv"))
+        if self.audio_chunks:
+            with wave.open(
+                os.path.join(self.root, "sound", "output.wav"), "wb"
+            ) as f:
+                f.setnchannels(channels)
+                f.setsampwidth(2)
+                f.setframerate(sample_rate)
+                f.writeframes(b"".join(self.audio_chunks))
+        return self.root
+
+
+class DataCollector:
+    """Wires a transport's sensor topics into an EpisodeRecorder
+    (main_for_data_collect.py:260-336 subscriber set)."""
+
+    TOPICS = {
+        "force": "/hsrb/wrist_wrench/raw",
+        "hand": "/camera/color/image_raw",
+        "depth": "/hsrb/head_rgbd_sensor/depth_registered/image_rect_raw",
+        "lidar": "/hsrb/base_scan",
+        "mic": "/snu/microphone_send",
+    }
+
+    def __init__(self, transport, out_dir: str, episode: str,
+                 start_time: Optional[float] = None):
+        self.recorder = EpisodeRecorder(out_dir, episode, start_time)
+        transport.subscribe(
+            self.TOPICS["force"],
+            lambda p: self.recorder.on_force(*p[:3], t=p[3] if len(p) > 3 else None),
+        )
+        transport.subscribe(
+            self.TOPICS["hand"], lambda p: self.recorder.on_image("hand", *p)
+        )
+        transport.subscribe(
+            self.TOPICS["depth"], lambda p: self.recorder.on_image("depth", *p)
+        )
+        transport.subscribe(
+            self.TOPICS["lidar"], lambda p: self.recorder.on_lidar(*p)
+        )
+        transport.subscribe(
+            self.TOPICS["mic"], lambda p: self.recorder.on_mic_chunk(*p)
+        )
+
+
+def make_ros_transport():
+    """Thin rospy bridge (only importable on a robot host with ROS)."""
+    import rospy  # noqa: F401  pragma: no cover
+
+    raise NotImplementedError(
+        "attach rospy.Subscriber callbacks to LocalTransport.publish; "
+        "requires a live ROS master"
+    )

@@ -1,0 +1,321 @@
+"""Tabular multimodal dataset manager.
+
+Capability parity with utils/data_loaders.py:233-598 of the reference:
+reads `data_sum{0..7}.csv` shards, optional object-type filtering via
+`objectsplit.csv`, seeded shuffle, slice to `slicing_size`, per-sensor column
+extraction, per-row image loading, min-max normalization, and the fused
+feature build — then label-based 0.6/0.2/0.2 index splits, novelty-ratio
+rebalancing, and three loaders (shuffling train loader, sequential
+valid/test).
+
+TPU-native redesign highlights:
+  * the per-row PIL loop + per-sample conv loop of the reference
+    (data_loaders.py:337-367, 180-229) becomes: vectorized image decode into
+    one (N,...) array, then ONE batched jitted fusion program (ops/fusion.py).
+  * features are built once and live as device arrays; "loaders" are
+    lightweight index batchers, not torch DataLoaders.
+  * all randomness (shuffle, balance subsampling, fusion weights) is seeded
+    from config.seed — the reference was unseeded (data_loaders.py:287,400).
+  * image layout: the reference reinterprets HWC-flattened bytes as CHW via
+    torch .view (data_loaders.py:370-374), scrambling channels; since the
+    fusion projection is random either way, we use the clean HWC->CHW
+    transpose and document the deviation here.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from icra2021_multimodal_ad_tpu.config import Config, load_data_registry
+from icra2021_multimodal_ad_tpu.ops.fusion import FusionParams, fuse, fusion_init
+from icra2021_multimodal_ad_tpu.ops.image import (
+    norm_minmax_per_column,
+    resize_nearest,
+)
+
+MFCC_COLS = [f"mfcc{i:02d}" for i in range(13)]
+LIDAR_COLS = [f"LiDAR{i:03d}" for i in range(963)]
+DROP_COLS = ["data_dir", "now_timegap", "label", "id"]
+
+
+def _read_shards(config: Config) -> pd.DataFrame:
+    """Read data_sum shards (data_loaders.py:255-290).  All shards matching
+    `<file_name>{N}.csv` are concatenated (the reference hardcodes 0..7)."""
+    frames = []
+    if config.file_name != "data_sum":
+        path = os.path.join(config.data_folder_name, config.file_name + "0.csv")
+        frames.append(pd.read_csv(path))
+    else:
+        i = 0
+        while True:
+            path = os.path.join(config.data_folder_name, f"{config.file_name}{i}.csv")
+            if not os.path.exists(path) or i > 7:
+                break
+            frames.append(pd.read_csv(path))
+            i += 1
+    if not frames:
+        raise FileNotFoundError(
+            f"no {config.file_name}*.csv shards under {config.data_folder_name}"
+        )
+    df = pd.concat(frames, ignore_index=True)
+
+    if config.object_select_mode:
+        obj = pd.read_csv(os.path.join(config.data_folder_name, "objectsplit.csv"))
+        keep = obj[config.object_type].tolist()
+        df = df[df["data_dir"].isin(keep)]
+
+    rng = np.random.default_rng(config.seed)
+    perm = rng.permutation(len(df))
+    df = df.iloc[perm].reset_index(drop=True)
+    return df.loc[: config.slicing_size - 1]
+
+
+def _load_images(root: str, data_dirs: Sequence[str], ids: Sequence[int],
+                 subdir: str) -> np.ndarray:
+    """Vectorized decode of the per-row PNGs
+    (data_loaders.py:337-367 layout: <root>/data/<dir>/data/img/<subdir>/<id>.png),
+    resized to (24, 32) like the reference's PIL resize((32, 24))."""
+    from PIL import Image
+
+    out = []
+    for d, i in zip(data_dirs, ids):
+        path = os.path.join(root, "data", str(d), "data", "img", subdir,
+                            f"{int(i)}.png")
+        im = Image.open(path).resize((32, 24))
+        out.append(np.asarray(im))
+    return np.stack(out)
+
+
+class TabularDataset:
+    """Loads shards + builds fused features (data_loaders.py:233-463).
+
+    Attributes: data (N, feat) float32 device array, targets (N,) float32.
+    """
+
+    def __init__(self, config: Config,
+                 fusion_params: Optional[FusionParams] = None):
+        sensor = config.sensor
+        df = _read_shards(config)
+
+        self.df = df
+        label = df["label"].to_numpy().astype(np.float32)
+        data_dirs = df["data_dir"].to_numpy()
+        hand_ids = df["cur_hand_id"].to_numpy()
+        depth_ids = df["cur_depth_id"].to_numpy()
+        weight = df["cur_hand_weight"].to_numpy().astype(np.float32)
+
+        if fusion_params is None:
+            fusion_params = fusion_init(jax.random.PRNGKey(config.seed))
+        self.fusion_params = fusion_params
+
+        kw = {}
+        if sensor in ("All", "hand_camera"):
+            raw = _load_images(config.data_folder_name, data_dirs, hand_ids, "hand")
+            r = norm_minmax_per_column(
+                jnp.asarray(raw.reshape(len(raw), -1), dtype=jnp.float32)
+            )
+            r = r.reshape(-1, 24, 32, 3).transpose(0, 3, 1, 2)  # HWC -> CHW
+            kw["r"] = resize_nearest(r, 32, 32)
+        if sensor in ("All", "head_depth"):
+            raw = _load_images(config.data_folder_name, data_dirs, depth_ids, "d")
+            d = norm_minmax_per_column(
+                jnp.asarray(raw.reshape(len(raw), -1), dtype=jnp.float32)
+            )
+            d = d.reshape(-1, 1, 24, 32)
+            kw["d"] = resize_nearest(d, 32, 32)
+        if sensor in ("All", "force_torque"):
+            t = norm_minmax_per_column(jnp.asarray(weight[:, None]))
+            kw["t"] = t
+        if sensor in ("All", "mic"):
+            m = norm_minmax_per_column(
+                jnp.asarray(df[MFCC_COLS].to_numpy(), dtype=jnp.float32)
+            )
+            kw["m"] = m[:, None, :]  # (N, 1, 13)
+        if sensor == "LiDAR":
+            l = norm_minmax_per_column(
+                jnp.asarray(df[LIDAR_COLS].to_numpy(), dtype=jnp.float32)
+            )
+            kw["l"] = l[:, None, :]
+
+        self.data = fuse(fusion_params, sensor=sensor, **kw)
+        self.targets = jnp.asarray(label)
+
+    def __len__(self):
+        return len(self.targets)
+
+    def __getitem__(self, idx):
+        return self.data[idx], self.targets[idx]
+
+
+class ArrayLoader:
+    """Index-batched view over (data, targets) — replaces torch DataLoader +
+    Subset/Sequential samplers (data_loaders.py:141-149, 578-598)."""
+
+    def __init__(self, data, targets, indices: Sequence[int], batch_size: int,
+                 shuffle: bool = False, seed: int = 0):
+        self.data = data
+        self.targets = targets
+        self.indices = np.asarray(indices, dtype=np.int64)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return (len(self.indices) + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        idx = self.indices
+        if self.shuffle:
+            idx = self._rng.permutation(idx)
+        for s in range(0, len(idx), self.batch_size):
+            sel = idx[s : s + self.batch_size]
+            yield self.data[sel], self.targets[sel]
+
+    def gather(self):
+        """(x, y) of all rows, in sampler order — the reference's
+        get_transformed_data (data_loaders.py:528-552)."""
+        return self.data[self.indices], self.targets[self.indices]
+
+
+class TabularDatasetManager:
+    """Owner of the full (x, y) arrays + index bookkeeping
+    (data_loaders.py:465-598)."""
+
+    def __init__(self, config: Config,
+                 fusion_params: Optional[FusionParams] = None,
+                 dataset: Optional[TabularDataset] = None):
+        self.config = config
+        self.train_dataset = dataset or TabularDataset(config, fusion_params)
+        self.total_x = self.train_dataset.data
+        self.total_y = self.train_dataset.targets
+        self.total_size = len(self.total_x)
+
+    def get_indexes(self, ratios: Optional[List[float]] = None, labels=None):
+        """Label-filtered index splits (data_loaders.py:507-526)."""
+        y = np.asarray(self.total_y)
+        if labels is not None:
+            if not hasattr(labels, "__iter__"):
+                labels = [labels]
+            indexes = list(np.where(np.isin(y, list(labels)))[0])
+        else:
+            indexes = list(range(self.total_size))
+
+        if ratios:
+            assert abs(sum(ratios) - 1) < 1e-9
+            if len(ratios) == 1:
+                return indexes
+            cuts = (np.cumsum(ratios)[:-1] * len(indexes)).astype(int)
+            return [list(part) for part in np.split(np.asarray(indexes), cuts)]
+        return [indexes]
+
+    def get_transformed_data(self, loader: ArrayLoader):
+        return loader.gather()
+
+    def get_loaders(self, batch_size: int, ratios=None, indexes_list=None):
+        if ratios and indexes_list:
+            raise ValueError("Only either `ratios` or `indexes_list` is allowed")
+        if ratios:
+            indexes_list = self.get_indexes(ratios=ratios)
+        loaders = []
+        for i, idx in enumerate(indexes_list):
+            loaders.append(
+                ArrayLoader(
+                    self.total_x, self.total_y, idx, batch_size,
+                    shuffle=(i == 0), seed=self.config.seed + i,
+                )
+            )
+        return loaders
+
+
+def get_balance(seen_index_list, unseen_index_list, novelty_ratio: float = 0.5,
+                seed: int = 0):
+    """Novelty-ratio rebalancing of the test split
+    (data_loaders.py:31-48), with seeded subsampling."""
+    if novelty_ratio <= 0.0:
+        return seen_index_list, unseen_index_list
+    rng = np.random.default_rng(seed)
+    n_seen, n_unseen = len(seen_index_list), len(unseen_index_list)
+    current = n_unseen / (n_seen + n_unseen)
+    if current < novelty_ratio:
+        target_seen = int(n_unseen / novelty_ratio - n_unseen)
+        return (
+            list(rng.choice(seen_index_list, target_seen, replace=False)),
+            unseen_index_list,
+        )
+    if current > novelty_ratio:
+        target_unseen = int((n_seen * novelty_ratio) / (1 - novelty_ratio))
+        return (
+            seen_index_list,
+            list(rng.choice(unseen_index_list, target_unseen, replace=False)),
+        )
+    return seen_index_list, unseen_index_list
+
+
+def get_loaders(config: Config, use_full_class: bool = False,
+                fusion_params: Optional[FusionParams] = None,
+                registry_path: Optional[str] = None):
+    """Top-level loader construction (data_loaders.py:50-138): registry
+    lookup, seen/unseen label split vs target_class, 0.6/0.2/0.2 splits,
+    novelty balancing; returns (manager, train, valid, test)."""
+    registry = load_data_registry(registry_path)
+    if config.data not in registry:
+        raise ValueError("no dataset config for " + config.data)
+    data_config = registry[config.data]
+
+    class_list = data_config["labels"]
+    seen_labels, unseen_labels = [], []
+    target = config.target_class
+    if target not in class_list:
+        target = class_list[1] if config.data == "hsr_objectdrop" else class_list[0]
+        config = config.replace(target_class=target)
+
+    for c in class_list:
+        if use_full_class:
+            seen_labels.append(c)
+        elif (c != target) != config.unimodal_normal:
+            seen_labels.append(c)
+        else:
+            unseen_labels.append(c)
+
+    if data_config["from"] != "youngjae":
+        raise NotImplementedError(
+            f"dataset source {data_config['from']!r}: only the youngjae "
+            "(hsr_objectdrop CSV) pipeline has a live code path, as in the "
+            "reference (data_loaders.py:84-89)"
+        )
+    manager = TabularDatasetManager(config, fusion_params)
+
+    seen = manager.get_indexes(labels=seen_labels, ratios=[0.6, 0.2, 0.2])
+    if use_full_class:
+        indexes_list = seen
+    else:
+        unseen = manager.get_indexes(labels=unseen_labels)
+        if config.verbose >= 2:
+            _print_balance("Before", seen, unseen)
+        seen[2], unseen[0] = get_balance(
+            seen[2], unseen[0], config.novelty_ratio, seed=config.seed
+        )
+        if config.verbose >= 1:
+            _print_balance("After", seen, unseen)
+        indexes_list = [seen[0], seen[1], list(seen[2]) + list(unseen[0])]
+
+    train, valid, test = manager.get_loaders(
+        batch_size=config.batch_size, indexes_list=indexes_list
+    )
+    return manager, train, valid, test
+
+
+def _print_balance(tag, seen, unseen):
+    denom = len(unseen[0]) + len(seen[2])
+    ratio = len(unseen[0]) / denom if denom else 0.0
+    print(
+        f"{tag} balancing:\t|train|={len(seen[0])} |valid|={len(seen[1])} "
+        f"|test_normal|={len(seen[2])} |test_novelty|={len(unseen[0])} "
+        f"|novelty_ratio|={ratio:.4f}"
+    )

@@ -1,0 +1,182 @@
+"""Offline ETL: raw per-episode sensor captures -> aligned data_sum shards.
+
+Capability parity with concatdata_maker.py:51-217 of the reference (the
+newer of its two ETL variants): per episode, align depth / hand / LiDAR /
+hand-weight streams onto a 10 Hz grid from `start_time = max(first
+timegaps)` until `drop_start + 0.5`, label rows inside [drop_start,
+drop_start + 0.5], extract 13-dim MFCC from the episode wav on the same
+grid, emit the wide CSV, shard every `episodes_per_shard` (120), and
+journal completed episodes to `last_folder.csv` for crash-resume.
+
+Native redesign: the reference's per-stream linear scans with cursors
+(concatdata_maker.py:64-105) become vectorized `searchsorted` lookups over
+the whole grid at once; the MFCC pipeline is the device GEMM path in
+ops/mfcc.py (the reference's librosa.load resample-to-22050 is reproduced
+with polyphase decimation).
+"""
+
+from __future__ import annotations
+
+import os
+import wave
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+
+from icra2021_multimodal_ad_tpu.data.synthetic import MFCC_COLS, _lidar_cols
+from icra2021_multimodal_ad_tpu.ops.mfcc import mfcc_from_wave
+
+DATA_FREQUENCY = 0.1  # 10 Hz grid (concatdata_maker.py:128)
+DROP_DURATION = 0.5   # labeled window length (concatdata_maker.py:129)
+
+
+def load_wav_mono_22050(path: str) -> np.ndarray:
+    """Read a wav and downmix/resample to mono 22050 Hz, matching the
+    contract of librosa.load's defaults used at concatdata_maker.py:18."""
+    from scipy.signal import resample_poly
+
+    with wave.open(path, "rb") as f:
+        sr = f.getframerate()
+        n_ch = f.getnchannels()
+        raw = f.readframes(f.getnframes())
+    y = np.frombuffer(raw, dtype=np.int16).astype(np.float32) / 32768.0
+    if n_ch > 1:
+        y = y.reshape(-1, n_ch).mean(axis=1)
+    if sr != 22050:
+        g = np.gcd(sr, 22050)
+        y = resample_poly(y, 22050 // g, sr // g).astype(np.float32)
+    return y
+
+
+def calc_time_bound(depth_t, lidar_t, weight_t) -> float:
+    """start_time = max of stream starts, rounded to the grid
+    (concatdata_maker.py:51-62)."""
+    return round(max(depth_t[0], lidar_t[0], weight_t[0]), 1)
+
+
+def align_stream(grid: np.ndarray, timegaps: np.ndarray,
+                 frequency: float = DATA_FREQUENCY) -> np.ndarray:
+    """For each grid time t, index of the first stream sample with
+    t <= timegap <= t + frequency; -1 when none exists.  Vectorized
+    equivalent of the reference's cursor scans (concatdata_maker.py:64-105)."""
+    timegaps = np.asarray(timegaps, dtype=np.float64)
+    idx = np.searchsorted(timegaps, grid, side="left")
+    idx_c = np.clip(idx, 0, len(timegaps) - 1)
+    ok = (idx < len(timegaps)) & (timegaps[idx_c] <= grid + frequency)
+    return np.where(ok, idx_c, -1)
+
+
+def process_episode(ep_dir: str, data_dir_item: str,
+                    n_lidar: int = 963) -> pd.DataFrame:
+    """Align one episode (concatdata_maker.py:112-174)."""
+    df_depth = pd.read_csv(os.path.join(ep_dir, "depth.csv"))[1:]
+    df_lidar = pd.read_csv(os.path.join(ep_dir, "LiDAR.csv"))[1:]
+    df_hand = pd.read_csv(os.path.join(ep_dir, "hand.csv"))[1:]
+    df_weight = pd.read_csv(os.path.join(ep_dir, "hand_weight.csv"))[1:]
+    df_drop = pd.read_csv(os.path.join(ep_dir, "drop_time.csv"))
+    drop_end, drop_start = df_drop.values[0][-2], df_drop.values[0][-1]
+
+    start = calc_time_bound(
+        df_depth["timegap"].values, df_lidar["timegap"].values,
+        df_weight["timegap"].values,
+    )
+    # grid: start, start+0.1, ... <= drop_start + 0.5 (float-robust count)
+    n_steps = int(np.floor((drop_start + DROP_DURATION - start) / DATA_FREQUENCY
+                           + 1e-9)) + 1
+    grid = np.round(start + DATA_FREQUENCY * np.arange(n_steps), 6)
+
+    di = align_stream(grid, df_depth["timegap"].values)
+    hi = align_stream(grid, df_hand["timegap"].values)
+    li = align_stream(grid, df_lidar["timegap"].values)
+    wi = align_stream(grid, df_weight["timegap"].values)
+    for name, arr in (("depth", di), ("hand", hi), ("LiDAR", li), ("weight", wi)):
+        if np.any(arr < 0):
+            raise ValueError(
+                f"{data_dir_item}: no {name} sample inside "
+                f"[t, t+{DATA_FREQUENCY}] for some grid step"
+            )
+
+    lidar_rows = np.stack(
+        [
+            np.asarray(
+                [float(v) for v in s[1:-1].split(",")], dtype=np.float32
+            )[:n_lidar]
+            for s in df_lidar["data"].values[li]
+        ]
+    )
+    label = ((grid >= drop_start) & (grid <= drop_start + DROP_DURATION)).astype(int)
+
+    # MFCC over the same 0.1 s grid (concatdata_maker.py:171-174): one frame
+    # per grid step, taken from the episode wav.
+    y = load_wav_mono_22050(os.path.join(ep_dir, "sound", "output.wav"))
+    mfcc = mfcc_from_wave(y, sr=22050)
+    mfcc = mfcc[: len(grid)]
+    if len(mfcc) < len(grid):  # wav shorter than grid: pad with last frame
+        pad = np.repeat(mfcc[-1:], len(grid) - len(mfcc), axis=0)
+        mfcc = np.concatenate([mfcc, pad])
+
+    out = {c: mfcc[:, k] for k, c in enumerate(MFCC_COLS)}
+    out.update(
+        {
+            "now_timegap": grid,
+            "cur_depth_id": df_depth["id"].values[di],
+            "cur_hand_id": df_hand["id"].values[hi],
+            "cur_hand_weight": df_weight["weight"].values[wi],
+            "data_dir": data_dir_item,
+        }
+    )
+    df = pd.DataFrame(out)
+    for k, c in enumerate(_lidar_cols(n_lidar)):
+        df[c] = lidar_rows[:, k]
+    df["label"] = label
+    return df
+
+
+def hsr_preprocess(data_dir: str, out_dir: str,
+                   episodes: Optional[List[str]] = None,
+                   episodes_per_shard: int = 120,
+                   n_lidar: int = 963,
+                   resume: bool = True) -> List[str]:
+    """Full ETL with sharding + crash-resume journal
+    (concatdata_maker.py:108-217).  Returns the shard paths written."""
+    os.makedirs(out_dir, exist_ok=True)
+    journal_path = os.path.join(out_dir, "last_folder.csv")
+    if episodes is None:
+        episodes = sorted(os.listdir(data_dir))
+
+    done: List[str] = []
+    df_count = 0
+    origin: Optional[pd.DataFrame] = None
+    if resume and os.path.exists(journal_path):
+        done = pd.read_csv(journal_path)["name"].astype(str).tolist()
+        episodes = [e for e in episodes if e not in set(done)]
+        df_count = len(done) // episodes_per_shard
+        shard_path = os.path.join(out_dir, f"data_sum{df_count}.csv")
+        if os.path.exists(shard_path):
+            origin = pd.read_csv(shard_path)
+
+    written = []
+    item_count = len(done) % episodes_per_shard
+    for name in episodes:
+        ep = process_episode(os.path.join(data_dir, name, "data"), name,
+                             n_lidar=n_lidar)
+        origin = ep if origin is None else pd.concat(
+            [origin, ep], ignore_index=True
+        )
+        item_count += 1
+
+        shard_path = os.path.join(out_dir, f"data_sum{df_count}.csv")
+        origin.to_csv(shard_path, index_label="id")
+        if shard_path not in written:
+            written.append(shard_path)
+
+        if item_count >= episodes_per_shard:
+            item_count = 0
+            df_count += 1
+            origin = None
+
+        done.append(name)
+        pd.DataFrame({"name": done}).to_csv(journal_path, index=False)
+
+    return written

@@ -1,0 +1,216 @@
+"""Realtime streaming inference: ring buffers, sensor adapters, fused
+feature build, and a latency-instrumented scoring loop.
+
+Capability parity with test_file/realtime_tester.py + the realtime half of
+utils/data_loaders.py (601-737):
+
+  * ring buffers with maxlen == batch_size (deques at realtime_tester.py:
+    40,100-101,176) -> `RingBuffer` (thread-safe snapshot).
+  * `get_realtime_dataloader(config, force_q, hand_q, depth_q, mic_q)`
+    (data_loaders.py:734-737): mic byte chunks -> MFCC (trimmed to the last
+    batch_size frames), fixed-range min-max normalization (images [0,255] ->
+    [-1,1], force [0,400] -> [-1,1], mic global), batched fusion.
+  * a `SensorSource` adapter interface where real ROS subscribers plug in,
+    plus `SimulatedSensors` — the fake robot the reference lacked (its
+    realtime path is untestable without HSR hardware, SURVEY.md §4).
+  * `StreamingDetector`: scores each window batch with a pre-jitted fused
+    forward (BASE) or fused NAP path against persisted whitening stats —
+    the *intended* behavior of the reference's broken
+    `detecter.test(..., nap=False)` call (realtime_tester.py:299-304 imports
+    a module that does not exist; SURVEY.md §2 notes).
+
+TPU-native: the scoring path is one jitted program per tick (fusion convs +
+AE forward + score); the host only moves raw sensor bytes.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections import deque
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icra2021_multimodal_ad_tpu.config import Config
+from icra2021_multimodal_ad_tpu.models.autoencoder import AutoEncoder, ae_forward
+from icra2021_multimodal_ad_tpu.ops.fusion import FusionParams, fuse
+from icra2021_multimodal_ad_tpu.ops.image import norm_minmax_global
+from icra2021_multimodal_ad_tpu.ops.mfcc import mfcc_from_int16_chunks
+from icra2021_multimodal_ad_tpu.ops.scoring import NapStats, nap_score_device
+from icra2021_multimodal_ad_tpu.ops.rapp import diffs_batch
+
+
+class RingBuffer:
+    """Fixed-capacity FIFO with atomic snapshot (the deque handoff of
+    realtime_tester.py:83,124-130,189, with explicit locking)."""
+
+    def __init__(self, maxlen: int):
+        self._q = deque(maxlen=maxlen)
+        self._lock = threading.Lock()
+
+    def append(self, item) -> None:
+        with self._lock:
+            self._q.append(item)
+
+    def snapshot(self) -> list:
+        with self._lock:
+            return list(self._q)
+
+    def __len__(self):
+        with self._lock:
+            return len(self._q)
+
+    @property
+    def full(self) -> bool:
+        with self._lock:
+            return len(self._q) == self._q.maxlen
+
+
+class SensorSource:
+    """Adapter interface: anything that can fill the four ring buffers.
+    A ROS implementation subscribes to the HSR topics
+    (realtime_tester.py:48-49,104-111,169-175); the simulator below
+    synthesizes the same payloads."""
+
+    def __init__(self, batch_size: int):
+        self.force_q = RingBuffer(batch_size)
+        self.hand_q = RingBuffer(batch_size)
+        self.depth_q = RingBuffer(batch_size)
+        self.mic_q = RingBuffer(batch_size * 3)  # realtime_tester.py:176
+
+    def ready(self) -> bool:
+        return (
+            self.force_q.full and self.hand_q.full
+            and self.depth_q.full and len(self.mic_q) >= 1
+        )
+
+
+class SimulatedSensors(SensorSource):
+    """Deterministic fake robot: each `tick()` pushes one 0.1 s step of all
+    four modalities; `anomaly=True` injects the drop signature."""
+
+    CHUNKS_PER_TICK = 5  # ~0.116 s of stereo 44.1 kHz audio in 1024-frame chunks
+
+    def __init__(self, batch_size: int, seed: int = 0):
+        super().__init__(batch_size)
+        self._rng = np.random.default_rng(seed)
+
+    def tick(self, anomaly: bool = False) -> None:
+        rng = self._rng
+        weight = 40.0 if anomaly else 210.0
+        self.force_q.append(round(weight + rng.normal(0, 2), 1))
+        bright = 180 if anomaly else 120
+        self.hand_q.append(
+            np.clip(rng.normal(bright, 25, (32, 32, 3)), 0, 255).astype(np.uint8)
+        )
+        self.depth_q.append(
+            np.clip(rng.normal(bright * 0.6, 20, (32, 32)), 0, 255).astype(
+                np.float32
+            )
+        )
+        scale = 8000 if anomaly else 300
+        for _ in range(self.CHUNKS_PER_TICK):
+            chunk = rng.normal(0, scale, 1024 * 2).astype(np.int16)
+            self.mic_q.append(chunk.tobytes())
+
+    def fill(self, n_ticks: Optional[int] = None, anomaly_after: int = 10**9):
+        n = n_ticks if n_ticks is not None else self.force_q._q.maxlen
+        for i in range(n):
+            self.tick(anomaly=i >= anomaly_after)
+
+
+def hsr_window_batch(config: Config, fusion_params: FusionParams,
+                     force_q, hand_q, depth_q, mic_frames) -> jax.Array:
+    """Normalized + fused window batch (HsrDataset, data_loaders.py:714-731).
+    Fixed input ranges: images [0,255], force [0,400], mic global min-max."""
+    r = jnp.asarray(np.stack(hand_q), dtype=jnp.float32)
+    r = r.transpose(0, 3, 1, 2)  # HWC -> CHW
+    d = jnp.asarray(np.stack(depth_q), dtype=jnp.float32)[:, None]
+    t = jnp.asarray(np.asarray(force_q, dtype=np.float32))[:, None]
+    m = jnp.asarray(mic_frames, dtype=jnp.float32)[:, None, :]
+
+    r = norm_minmax_global(r, in_lo=0.0, in_hi=255.0)
+    d = norm_minmax_global(d, in_lo=0.0, in_hi=255.0)
+    t = norm_minmax_global(t, in_lo=0.0, in_hi=400.0)
+    m = norm_minmax_global(m)
+    return fuse(fusion_params, sensor="All", r=r, d=d, t=t, m=m)
+
+
+def get_realtime_dataloader(config: Config, fusion_params: FusionParams,
+                            force_q, hand_q, depth_q, mic_q) -> jax.Array:
+    """(data_loaders.py:734-737) queues -> fused (batch_size, 1728) windows."""
+    mic_frames = mfcc_from_int16_chunks(
+        mic_q, config, length=config.batch_size / 10.0
+    )
+    return hsr_window_batch(config, fusion_params, force_q, hand_q, depth_q,
+                            mic_frames)
+
+
+class StreamingDetector:
+    """Tick loop: snapshot ring buffers -> fuse -> score (BASE or NAP) with
+    per-tick latency stats (realtime_tester.py:291-309)."""
+
+    def __init__(self, config: Config, model: AutoEncoder, params, state,
+                 fusion_params: FusionParams,
+                 nap_stats: Optional[NapStats] = None):
+        self.config = config
+        self.model = model
+        self.params = params
+        self.state = state
+        self.fusion_params = fusion_params
+        self.nap_stats = nap_stats
+        self.latencies_s: list = []
+
+        model_ = model
+
+        @jax.jit
+        def _base_score(params, state, x):
+            x_hat, _ = ae_forward(model_, params, state, x, train=False)
+            d = x_hat - x
+            return jnp.mean(d * d, axis=-1)
+
+        self._base_score = _base_score
+
+    def score_batch(self, x: jax.Array, nap: bool = False) -> np.ndarray:
+        if nap:
+            if self.nap_stats is None:
+                raise ValueError("NAP streaming needs persisted NapStats")
+            diffs = diffs_batch(self.model, self.params, self.state, x)
+            cat = jnp.concatenate(diffs, axis=-1)
+            return np.asarray(nap_score_device(self.nap_stats, cat))
+        return np.asarray(self._base_score(self.params, self.state, x))
+
+    def run(self, source: SensorSource, n_ticks: int = 300,
+            nap: bool = False,
+            on_tick: Optional[Callable] = None,
+            tick_hook: Optional[Callable] = None) -> np.ndarray:
+        """Returns the (n_ticks, batch_size) score trace."""
+        traces = []
+        for i in range(n_ticks):
+            if tick_hook is not None:
+                tick_hook(i)  # simulator advance / rate limiting
+            start = time.perf_counter()
+            x = get_realtime_dataloader(
+                self.config, self.fusion_params,
+                source.force_q.snapshot(), source.hand_q.snapshot(),
+                source.depth_q.snapshot(), source.mic_q.snapshot(),
+            )
+            scores = self.score_batch(x, nap=nap)
+            scores = np.asarray(scores)
+            self.latencies_s.append(time.perf_counter() - start)
+            traces.append(scores)
+            if on_tick is not None:
+                on_tick(i, scores)
+        return np.stack(traces)
+
+    def latency_stats(self) -> dict:
+        lat = np.asarray(self.latencies_s[1:] or self.latencies_s)
+        return {
+            "p50_ms": float(np.percentile(lat, 50) * 1e3),
+            "p95_ms": float(np.percentile(lat, 95) * 1e3),
+            "mean_ms": float(lat.mean() * 1e3),
+            "ticks": int(len(self.latencies_s)),
+        }

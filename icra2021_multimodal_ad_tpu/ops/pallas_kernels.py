@@ -1,0 +1,134 @@
+"""Pallas TPU kernels for the hot scoring path.
+
+`nap_score_pallas`: fused NAP scoring
+    score_b = mean_j( ((x_b - rot_mu) @ V)_j - std_mu_j )^2 / var_j )
+
+The XLA path (ops/scoring.py nap_score_device) materializes the rotated
+(B, J) matrix in HBM between the rotation matmul and the standardize+reduce.
+This kernel keeps each (TB, TJ) product tile in VMEM, applies the
+standardizer epilogue in-register, and accumulates the per-row sum across
+J tiles in the revisited output block — the only HBM traffic is x, V, and
+the (B,) scores.
+
+Algebraic fold: (x - rot_mu) @ V - std_mu  ==  x @ V - offset, with
+offset = rot_mu @ V + std_mu precomputed once at fit time, so the kernel is
+a single matmul with a scale-shift-square-reduce epilogue.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from icra2021_multimodal_ad_tpu.ops.scoring import NapStats
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _nap_kernel(x_ref, v_ref, offset_ref, inv_std_ref, out_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    # HIGHEST: fp32 operands would otherwise take a single-pass bf16 MXU
+    # route; the (rot - offset) subtraction is cancellation-sensitive.
+    rot = jnp.dot(x_ref[:], v_ref[:], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    t = (rot - offset_ref[:]) * inv_std_ref[:]
+    out_ref[:] += jnp.sum(t * t, axis=1, keepdims=True)
+
+
+def _interpret() -> bool:
+    # run in the Pallas interpreter off-TPU (CPU test mesh)
+    return jax.default_backend() != "tpu"
+
+
+@partial(jax.jit, static_argnames=("tb", "tj"))
+def _nap_score_padded(x_p, v_p, offset_p, inv_std_p, tb: int, tj: int):
+    bp, kp = x_p.shape
+    jp = v_p.shape[1]
+    grid = (bp // tb, jp // tj)
+    out = pl.pallas_call(
+        _nap_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, kp), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, tj), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tj), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tj), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, 1), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, 1), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bp * kp * jp,
+            bytes_accessed=(bp * kp + kp * jp) * x_p.dtype.itemsize + bp * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(x_p, v_p, offset_p, inv_std_p)
+    return out[:, 0]
+
+
+def nap_precompute(stats: NapStats):
+    """Fold the two means into one offset; precompute 1/std with the padded-
+    column convention (inv_std = 0 kills padded lanes)."""
+    offset = (
+        jnp.dot(stats.rotater.mu, stats.rotater.v,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        + stats.standardizer.mu
+    )
+    inv_std = 1.0 / jnp.sqrt(stats.standardizer.var)
+    return offset, inv_std
+
+
+def nap_score_pallas(stats: NapStats, x: jax.Array,
+                     tb: int = 256, tj: int = 256,
+                     dtype=jnp.float32,
+                     precomputed=None) -> jax.Array:
+    """Fused NAP score of (B, K) concat diffs -> (B,) scores.
+
+    `dtype=jnp.bfloat16` streams x and V at half bandwidth (MXU accumulates
+    fp32); scores stay fp32.  Pass `precomputed = nap_precompute(stats)` to
+    amortize the fold across calls.
+    """
+    offset, inv_std = precomputed if precomputed is not None else nap_precompute(stats)
+    v = stats.rotater.v
+    b, k = x.shape
+    j = v.shape[1]
+
+    kp = _round_up(k, 256)
+    jp = _round_up(j, tj)
+    bp = _round_up(b, tb)
+
+    x_p = jnp.zeros((bp, kp), dtype).at[:b, :k].set(x.astype(dtype))
+    v_p = jnp.zeros((kp, jp), dtype).at[:k, :j].set(v.astype(dtype))
+    offset_p = jnp.zeros((1, jp), jnp.float32).at[0, :j].set(offset)
+    inv_std_p = jnp.zeros((1, jp), jnp.float32).at[0, :j].set(inv_std)
+
+    scores = _nap_score_padded(x_p, v_p, offset_p, inv_std_p, tb, tj)
+    return scores[:b] / j
+
+
+def nap_score_pallas_check(stats: NapStats, x: jax.Array,
+                           rtol: float = 1e-3) -> bool:
+    """Self-check against the XLA reference path (used by tests/bench)."""
+    from icra2021_multimodal_ad_tpu.ops.scoring import nap_score_device
+
+    ours = np.asarray(nap_score_pallas(stats, x))
+    ref = np.asarray(nap_score_device(stats, x))
+    return bool(np.allclose(ours, ref, rtol=rtol, atol=1e-5))

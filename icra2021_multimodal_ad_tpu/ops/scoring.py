@@ -200,6 +200,10 @@ def nap_score_from_diffs(stats: NapStats, diffs,
 
 
 def save_nap_stats(path: str, stats: NapStats) -> None:
+    import os
+
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
     np.savez(
         path,
         rot_mu=np.asarray(stats.rotater.mu),

@@ -138,7 +138,14 @@ class NoveltyDetecter:
             valid_history.append(valid_loss)
 
             if valid_loss < best["loss"]:
-                best = {"loss": valid_loss, "params": params, "state": state}
+                # deep copy (the reference's deepcopy at novelty_detection.py
+                # :117): train_step donates its input buffers, so a bare
+                # reference here would be deleted by a later step
+                best = {
+                    "loss": valid_loss,
+                    "params": jax.tree.map(jnp.copy, params),
+                    "state": jax.tree.map(jnp.copy, state),
+                }
 
             if cfg.verbose >= 1:
                 print(

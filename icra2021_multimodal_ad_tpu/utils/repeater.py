@@ -1,0 +1,61 @@
+"""Grid-search sweep runner — capability parity with utils/repeater.py:25-92.
+
+The reference expands the cartesian product of list-valued config fields and
+maps them over a multiprocessing.Pool with one process per GPU id.  Here the
+same harness targets independent single-program runs (the sweep axis is
+embarrassingly parallel — SURVEY.md §5 maps it to multi-slice/DCN scale-out):
+each worker process runs one config; `max_workers` bounds concurrency.  A
+`sequential=True` mode runs in-process (useful on a single TPU chip, where
+concurrent processes would contend for the device).
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+from concurrent.futures import ProcessPoolExecutor
+from typing import Any, Callable, Dict, List, Sequence
+
+
+def expand_grid(grid: Dict[str, Sequence[Any]],
+                shuffle: bool = True, seed: int = 0) -> List[Dict[str, Any]]:
+    """Cartesian-product expansion of {field: [values...]}
+    (repeater.py:37-58), seeded shuffle."""
+    keys = list(grid.keys())
+    values = [v if isinstance(v, (list, tuple)) else [v] for v in grid.values()]
+    configs = [dict(zip(keys, combo)) for combo in itertools.product(*values)]
+    if shuffle:
+        random.Random(seed).shuffle(configs)
+    for i, c in enumerate(configs):
+        c["progress"] = i + 1
+    return configs
+
+
+def convert(x, to=int, delimiter=","):
+    """'1,2,3' -> [1, 2, 3] CLI list parsing (repeater.py:64-71)."""
+    if isinstance(x, str):
+        if delimiter in x:
+            return list(map(to, x.split(delimiter)))
+        return [to(x)]
+    return [x]
+
+
+class Repeater:
+    """Run `f(overrides_dict)` over every grid point (repeater.py:25-62)."""
+
+    def __init__(self, grid: Dict[str, Sequence[Any]], f: Callable,
+                 max_workers: int = 1, seed: int = 0):
+        self.grid = grid
+        self.f = f
+        self.max_workers = max_workers
+        self.seed = seed
+
+    def run(self, sequential: bool | None = None) -> list:
+        configs = expand_grid(self.grid, seed=self.seed)
+        print("We have %d processes." % len(configs))
+        if sequential is None:
+            sequential = self.max_workers <= 1
+        if sequential:
+            return [self.f(c) for c in configs]
+        with ProcessPoolExecutor(max_workers=self.max_workers) as pool:
+            return list(pool.map(self.f, configs))

@@ -1,0 +1,159 @@
+"""End-to-end: synthetic data_sum shards -> loaders -> train -> BASE/SAP/NAP.
+
+This is the minimum end-to-end slice of SURVEY.md §7 plus the full 'All'
+multimodal path, exercised entirely through the public entry-point API.
+The injected anomaly signature must be detected (AUROC well above chance).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from icra2021_multimodal_ad_tpu.config import Config, get_input_size
+from icra2021_multimodal_ad_tpu.data.dataset import get_loaders
+from icra2021_multimodal_ad_tpu.data.synthetic import generate_data_sum_shards
+from icra2021_multimodal_ad_tpu.models.builder import get_model
+from icra2021_multimodal_ad_tpu.train import NoveltyDetecter
+from icra2021_multimodal_ad_tpu.utils.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+)
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("hsr_synth"))
+    generate_data_sum_shards(
+        root, n_episodes=10, steps_per_episode=40, n_shards=2,
+        n_lidar=963, seed=0,
+    )
+    return root
+
+
+def _config(data_root, sensor, **kw):
+    kw.setdefault("n_epochs", 25)  # enough for the AE to learn the manifold
+    kw.setdefault("lr", 3e-3)
+    cfg = Config(
+        sensor=sensor,
+        data_folder_name=data_root,
+        slicing_size=400,
+        batch_size=64,
+        n_layers=3,
+        btl_size=10,
+        verbose=0,
+        seed=0,
+        **kw,
+    )
+    return cfg.replace(input_size=get_input_size(cfg))
+
+
+def test_force_torque_minimal_slice(data_root, tmp_path):
+    """SURVEY.md §7 minimum slice: force_torque (64-dim), CSV -> train ->
+    diffs -> BASE/SAP/NAP."""
+    cfg = _config(data_root, "force_torque")
+    model, params, state = get_model(cfg)
+    manager, train_l, valid_l, test_l = get_loaders(cfg)
+    train_x, _ = manager.get_transformed_data(train_l)
+    valid_x, _ = manager.get_transformed_data(valid_l)
+    test_x, test_y = manager.get_transformed_data(test_l)
+    assert train_x.shape[1] == 64
+
+    det = NoveltyDetecter(cfg)
+    result = det.train(model, params, state, train_x, valid_x)
+    assert len(result.train_history) == cfg.n_epochs
+    # training reduces loss
+    assert result.train_history[-1] < result.train_history[0]
+
+    base, sap, nap = det.test(
+        model, result.params, result.state, train_x, valid_x, test_x, test_y,
+        save_stats_path=str(tmp_path / "td.npz"),
+    )
+    # the weight-drop signature is near-deterministic -> near-perfect scores
+    assert base.auroc > 0.9
+    assert sap.auroc > 0.9
+    assert nap.auroc > 0.9
+
+
+def test_all_sensor_multimodal_path(data_root, tmp_path):
+    cfg = _config(data_root, "All", n_epochs=10)
+    model, params, state = get_model(cfg)
+    manager, train_l, valid_l, test_l = get_loaders(cfg)
+    train_x, _ = manager.get_transformed_data(train_l)
+    valid_x, _ = manager.get_transformed_data(valid_l)
+    test_x, test_y = manager.get_transformed_data(test_l)
+    assert train_x.shape[1] == 1728
+
+    det = NoveltyDetecter(cfg)
+    result = det.train(model, params, state, train_x, valid_x)
+    base, sap, nap = det.test(
+        model, result.params, result.state, train_x, valid_x, test_x, test_y,
+        save_stats_path=str(tmp_path / "td.npz"),
+    )
+    assert nap.auroc > 0.85
+    assert np.isfinite([base.aupr, sap.aupr, nap.aupr]).all()
+
+
+def test_data_parallel_training_on_mesh(data_root):
+    """Same pipeline with the batch sharded over an 8-device CPU mesh."""
+    from icra2021_multimodal_ad_tpu.parallel.mesh import get_mesh
+
+    cfg = _config(data_root, "force_torque", n_epochs=4)
+    model, params, state = get_model(cfg)
+    manager, train_l, valid_l, test_l = get_loaders(cfg)
+    train_x, _ = manager.get_transformed_data(train_l)
+    valid_x, _ = manager.get_transformed_data(valid_l)
+
+    mesh = get_mesh(8)
+    det = NoveltyDetecter(cfg, mesh=mesh)
+    result = det.train(model, params, state, train_x, valid_x)
+    assert result.train_history[-1] < result.train_history[0]
+
+    # single-device run from the same init must match closely (same math,
+    # different reduction topology)
+    det1 = NoveltyDetecter(cfg, mesh=None)
+    model1, params1, state1 = get_model(cfg)
+    result1 = det1.train(model1, params1, state1, train_x, valid_x)
+    np.testing.assert_allclose(
+        result.valid_history, result1.valid_history, rtol=2e-2
+    )
+
+
+def test_checkpoint_roundtrip(data_root, tmp_path):
+    cfg = _config(data_root, "force_torque")
+    model, params, state = get_model(cfg)
+    path = save_checkpoint(str(tmp_path / "m"), params, state, config=cfg)
+    p2, s2, meta = load_checkpoint(path)
+    assert meta["config"]["sensor"] == "force_torque"
+
+    import jax
+
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the tree STRUCTURE must round-trip too: the last encoder layer has an
+    # empty state dict (no BN) which must not be dropped
+    empty = lambda x: isinstance(x, dict) and not x  # noqa: E731
+    assert jax.tree.structure(state, is_leaf=empty) == \
+        jax.tree.structure(s2, is_leaf=empty)
+    assert len(s2["encoder"]) == len(state["encoder"])
+
+
+def test_cli_main(data_root, tmp_path, monkeypatch):
+    """Drive the novelty_detection.py entry point end-to-end."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import novelty_detection as nd
+
+    monkeypatch.chdir(tmp_path)
+    cfg = _config(data_root, "force_torque",
+                  saved_name=str(tmp_path / "model"),
+                  train_diffs=str(tmp_path / "diffs"),
+                  saved_result="run0",
+                  mesh_shape=1)
+    (b, _), (s, _), (n, _) = nd.main(cfg)
+    assert b > 0.8 and s > 0.8 and n > 0.8
+    assert os.path.exists(tmp_path / "model.npz")
+    assert os.path.exists(tmp_path / "hsr_objectdrop" / "result_csv" / "run0.csv")

@@ -1,0 +1,206 @@
+"""Fusion frontend + image + MFCC ops.
+
+Fusion oracle: stock torch convs assembled per the reference's architecture
+(utils/data_loaders.py:152-229) with weights copied from our params — checks
+that one batched XLA conv program reproduces the per-sample torch loop.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from icra2021_multimodal_ad_tpu.ops import image as I
+from icra2021_multimodal_ad_tpu.ops import mfcc as A
+from icra2021_multimodal_ad_tpu.ops.fusion import fuse, fusion_init
+
+
+@pytest.fixture(scope="module")
+def params():
+    return fusion_init(jax.random.PRNGKey(0))
+
+
+def _torch_conv2d(p, stride, padding):
+    w = torch.from_numpy(np.asarray(p["w"]))
+    conv = nn.Conv2d(w.shape[1], w.shape[0], w.shape[2], stride=stride,
+                     padding=padding)
+    conv.weight.data = w
+    conv.bias.data = torch.from_numpy(np.asarray(p["b"]))
+    return conv
+
+
+def _torch_conv1d(p, stride, padding):
+    w = torch.from_numpy(np.asarray(p["w"]))
+    conv = nn.Conv1d(w.shape[1], w.shape[0], w.shape[2], stride=stride,
+                     padding=padding)
+    conv.weight.data = w
+    conv.bias.data = torch.from_numpy(np.asarray(p["b"]))
+    return conv
+
+
+def _torch_fused(params, r, d, t, m):
+    """Reference HSR_Net forward (per-sample loop, data_loaders.py:180-229)
+    rebuilt from stock torch ops."""
+    c1r = _torch_conv2d(params.rgb1, 2, 0)
+    c2r = _torch_conv2d(params.rgb2, 1, 1)
+    c3r = _torch_conv2d(params.rgb3, 2, 0)
+    c1d = _torch_conv2d(params.dep1, 2, 0)
+    c2d = _torch_conv2d(params.dep2, 1, 1)
+    c3d = _torch_conv2d(params.dep3, 2, 0)
+    c1l = _torch_conv1d(params.lid1, 9, 9)
+    c2l = _torch_conv1d(params.lid2, 2, 0)
+
+    outs = []
+    with torch.no_grad():
+        for i in range(r.shape[0]):
+            rr = F.relu(c3r(F.relu(c2r(F.relu(c1r(r[i : i + 1]))))))
+            dd = F.relu(c3d(F.relu(c2d(F.relu(c1d(d[i : i + 1]))))))
+            tt = t[i].repeat(1, 1, 8, 8)
+            mm = F.relu(c2l(F.relu(c1l(m[i : i + 1]))))
+            mm = mm.view(-1, 2, 8, 1).repeat(1, 1, 1, 8)
+            outs.append(torch.cat((rr, dd, tt, mm), dim=1))
+    return torch.cat(outs, 0).view(r.shape[0], -1).numpy()
+
+
+def test_fused_all_matches_torch_loop(params):
+    rng = np.random.default_rng(0)
+    B = 4
+    r = rng.normal(size=(B, 3, 32, 32)).astype(np.float32)
+    d = rng.normal(size=(B, 1, 32, 32)).astype(np.float32)
+    t = rng.normal(size=(B, 1)).astype(np.float32)
+    m = rng.normal(size=(B, 1, 13)).astype(np.float32)
+
+    ours = np.asarray(
+        fuse(params, sensor="All", r=jnp.asarray(r), d=jnp.asarray(d),
+             t=jnp.asarray(t), m=jnp.asarray(m))
+    )
+    ref = _torch_fused(
+        params, torch.from_numpy(r), torch.from_numpy(d),
+        torch.from_numpy(t), torch.from_numpy(m),
+    )
+    assert ours.shape == (B, 1728)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_unimodal_feature_widths(params):
+    """Sensor -> feature width table (utils/data_loaders.py:16-29)."""
+    rng = np.random.default_rng(1)
+    B = 3
+    cases = {
+        "hand_camera": (1024, dict(r=rng.normal(size=(B, 3, 32, 32)))),
+        "head_depth": (512, dict(d=rng.normal(size=(B, 1, 32, 32)))),
+        "force_torque": (64, dict(t=rng.normal(size=(B, 1)))),
+        "mic": (128, dict(m=rng.normal(size=(B, 1, 13)))),
+        "LiDAR": (2048, dict(l=rng.normal(size=(B, 1, 963)))),
+    }
+    for sensor, (width, kw) in cases.items():
+        kw = {k: jnp.asarray(v.astype(np.float32)) for k, v in kw.items()}
+        out = fuse(params, sensor=sensor, **kw)
+        assert out.shape == (B, width), sensor
+
+
+def test_fusion_is_seeded_and_reproducible():
+    p1 = fusion_init(jax.random.PRNGKey(7))
+    p2 = fusion_init(jax.random.PRNGKey(7))
+    x = jnp.ones((2, 1))
+    np.testing.assert_array_equal(
+        np.asarray(fuse(p1, sensor="force_torque", t=x)),
+        np.asarray(fuse(p2, sensor="force_torque", t=x)),
+    )
+
+
+# -- image ops ---------------------------------------------------------------
+
+
+def test_resize_nearest_matches_torch_interpolate():
+    x = np.random.default_rng(2).normal(size=(2, 3, 24, 32)).astype(np.float32)
+    ours = np.asarray(I.resize_nearest(jnp.asarray(x), 32, 32))
+    ref = F.interpolate(torch.from_numpy(x), size=(32, 32), mode="nearest").numpy()
+    np.testing.assert_allclose(ours, ref)
+
+
+def test_norm_minmax_per_column_matches_reference_numpy():
+    v = np.random.default_rng(3).normal(size=(20, 5)).astype(np.float32)
+    v[:, 2] = 1.0  # constant column -> 0/0 -> nan -> 0
+    ours = np.asarray(I.norm_minmax_per_column(jnp.asarray(v)))
+    lo, hi = v.min(0), v.max(0)
+    with np.errstate(invalid="ignore"):
+        ref = np.nan_to_num((v - lo) / (hi - lo))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+    assert np.all(ours[:, 2] == 0)
+
+
+def test_norm_minmax_global_fixed_range():
+    v = np.array([[0.0, 127.5, 255.0]], dtype=np.float32)
+    out = np.asarray(I.norm_minmax_global(jnp.asarray(v), in_lo=0.0, in_hi=255.0))
+    np.testing.assert_allclose(out, [[-1.0, 0.0, 1.0]], atol=1e-6)
+
+
+# -- MFCC ---------------------------------------------------------------------
+
+
+def test_dct_matrix_matches_scipy():
+    from scipy.fft import dct as scipy_dct
+
+    x = np.random.default_rng(4).normal(size=(128, 7)).astype(np.float64)
+    d = A.dct_matrix(13, 128).astype(np.float64)
+    ours = d @ x
+    ref = scipy_dct(x, type=2, axis=0, norm="ortho")[:13]
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-8)
+
+
+def test_mel_filterbank_properties():
+    fb = A.mel_filterbank(44100, 4410, 128)
+    assert fb.shape == (128, 2206)
+    # every filter is nonnegative with exactly one contiguous support region
+    assert np.all(fb >= 0)
+    assert np.all(fb.sum(axis=1) > 0)
+    # Slaney normalization: peak ~ 2/bandwidth -> integral over Hz ~ 1
+    df = 44100 / 2 / 2205
+    areas = fb.sum(axis=1) * df
+    assert np.all((areas > 0.5) & (areas < 1.5))
+
+
+def test_melspectrogram_framing_and_parseval():
+    # a pure tone must concentrate energy at the right mel bin
+    sr, nfft = 44100, 4410
+    tvec = np.arange(sr) / sr  # 1 second -> 11 frames
+    y = np.sin(2 * np.pi * 2000.0 * tvec).astype(np.float32)
+    S = np.asarray(A.melspectrogram(jnp.asarray(y), n_fft=nfft, hop=nfft))
+    assert S.shape == (128, 11)
+    fb = A.mel_filterbank(sr, nfft, 128)
+    # find the mel filter whose peak frequency is nearest 2 kHz
+    freqs = np.linspace(0, sr / 2, 2206)
+    peak_bins = freqs[np.argmax(fb, axis=1)]
+    expect = np.argmin(np.abs(peak_bins - 2000.0))
+    got = np.argmax(S.mean(axis=1))
+    assert abs(int(got) - int(expect)) <= 1
+
+
+def test_power_to_db_ref_max_and_topdb():
+    S = jnp.asarray(np.array([[1e-12, 1.0, 100.0]], dtype=np.float32))
+    db = np.asarray(A.power_to_db(S))
+    assert db.max() == pytest.approx(0.0, abs=1e-3)    # ref = max
+    assert db.min() == pytest.approx(-80.0, abs=1e-3)  # top_db floor
+    assert db[0, 1] == pytest.approx(-20.0, abs=1e-3)  # 10*log10(1/100)
+
+
+def test_mfcc_from_wave_contract():
+    y = np.random.default_rng(5).normal(size=44100).astype(np.float32)
+    m = A.mfcc_from_wave(y)
+    assert m.shape == (11, 13)  # time-major (concatdata_maker.py:36-37)
+    assert np.all(np.isfinite(m))
+
+
+def test_mfcc_realtime_chunks_trim():
+    class Cfg:
+        batch_size = 10
+
+    rng = np.random.default_rng(6)
+    chunks = [rng.integers(-3000, 3000, 1024, dtype=np.int16).tobytes()
+              for _ in range(90)]  # ~2.09 s of audio
+    m = A.mfcc_from_int16_chunks(chunks, Cfg, length=1.0)
+    assert m.shape == (10, 13)

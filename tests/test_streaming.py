@@ -1,0 +1,108 @@
+"""Streaming inference: ring buffers, realtime loader contract, simulator +
+detector loop, anomaly visibility in the BASE score trace."""
+
+import jax
+import numpy as np
+import pytest
+
+from icra2021_multimodal_ad_tpu.config import Config, get_input_size
+from icra2021_multimodal_ad_tpu.data.streaming import (
+    RingBuffer,
+    SimulatedSensors,
+    StreamingDetector,
+    get_realtime_dataloader,
+)
+from icra2021_multimodal_ad_tpu.models.builder import get_model
+from icra2021_multimodal_ad_tpu.ops.fusion import fusion_init
+
+
+def _cfg(**kw):
+    cfg = Config(sensor="All", batch_size=10, n_layers=3, btl_size=16,
+                 verbose=0, **kw)
+    return cfg.replace(input_size=get_input_size(cfg))
+
+
+def test_ring_buffer_maxlen_and_snapshot():
+    rb = RingBuffer(3)
+    for i in range(5):
+        rb.append(i)
+    assert rb.snapshot() == [2, 3, 4]
+    assert rb.full
+    snap = rb.snapshot()
+    rb.append(9)
+    assert snap == [2, 3, 4]  # snapshot is a copy
+
+
+def test_simulator_fills_buffers():
+    src = SimulatedSensors(batch_size=10, seed=0)
+    src.fill()
+    assert src.ready()
+    assert len(src.force_q.snapshot()) == 10
+    assert len(src.mic_q.snapshot()) == 30
+
+
+def test_realtime_dataloader_shape():
+    cfg = _cfg()
+    src = SimulatedSensors(batch_size=10, seed=1)
+    # mic ring holds 3x batch chunks; fill enough for >= 1.0 s of audio
+    for _ in range(12):
+        src.tick()
+    x = get_realtime_dataloader(
+        cfg, fusion_init(jax.random.PRNGKey(0)),
+        src.force_q.snapshot(), src.hand_q.snapshot(),
+        src.depth_q.snapshot(), src.mic_q.snapshot(),
+    )
+    assert x.shape == (10, 1728)
+    assert np.isfinite(np.asarray(x)).all()
+
+
+def test_streaming_detector_sees_anomaly():
+    cfg = _cfg()
+    model, params, state = get_model(cfg)
+    fusion_params = fusion_init(jax.random.PRNGKey(cfg.seed))
+    det = StreamingDetector(cfg, model, params, state, fusion_params)
+
+    src = SimulatedSensors(batch_size=10, seed=2)
+    src.fill()
+
+    anomaly_after = 12
+    trace = det.run(
+        src, n_ticks=24,
+        tick_hook=lambda i: src.tick(anomaly=i >= anomaly_after),
+    )
+    assert trace.shape == (24, 10)
+    # untrained AE: the anomaly still shifts the input distribution ->
+    # reconstruction error changes; check the trace reacts
+    pre = trace[:anomaly_after].mean()
+    post = trace[-5:].mean()
+    assert post != pytest.approx(pre, rel=1e-3)
+
+    stats = det.latency_stats()
+    assert stats["ticks"] == 24
+    assert stats["p50_ms"] > 0
+
+
+def test_streaming_nap_path():
+    from icra2021_multimodal_ad_tpu.ops.rapp import get_diffs
+    from icra2021_multimodal_ad_tpu.ops.scoring import concat_diffs, nap_fit
+
+    cfg = _cfg()
+    model, params, state = get_model(cfg)
+    fusion_params = fusion_init(jax.random.PRNGKey(cfg.seed))
+
+    # fit NAP stats on a batch of "normal" windows from the simulator
+    src = SimulatedSensors(batch_size=10, seed=3)
+    for _ in range(12):
+        src.tick()
+    x = get_realtime_dataloader(
+        cfg, fusion_params,
+        src.force_q.snapshot(), src.hand_q.snapshot(),
+        src.depth_q.snapshot(), src.mic_q.snapshot(),
+    )
+    stats = nap_fit(concat_diffs(get_diffs(x, model, params, state)))
+
+    det = StreamingDetector(cfg, model, params, state, fusion_params,
+                            nap_stats=stats)
+    scores = det.score_batch(x, nap=True)
+    assert scores.shape == (10,)
+    assert np.isfinite(scores).all()
