@@ -4,20 +4,24 @@
 Headline metric (BASELINE.md north star): fused 4-modality inference
 windows/sec/chip — raw sensor windows (RGB 3x32x32, depth 1x32x32, force
 scalar, mic 13-MFCC) through the fusion convs + the canonical 1728-5-layer
-autoencoder + BASE score, everything in one jitted program.  Target >=
+autoencoder + BASE score, in bf16 (fp32 MXU accumulation).  Target >=
 100,000 windows/s/chip; `vs_baseline` = achieved / target.
+
+Timing methodology: the tunneled device reports dispatch, not execution, so
+naive block_until_ready loops can over-report by orders of magnitude.  Every
+number here comes from an ON-DEVICE `lax.fori_loop` whose iterations carry a
+data dependency, with the final scalar fetched to host — execution cannot be
+elided or pipelined away.  Compile time is excluded by differencing a 1-iter
+run.
 
 Prints ONE JSON line:
   {"metric": "fused_inference_windows_per_sec", "value": N,
    "unit": "windows/s/chip", "vs_baseline": N, ...extras}
-
-The compute path is benchmarked in bf16 (MXU-native) after validating score
-agreement with the fp32 path; extras record fp32 throughput, RaPP+NAP
-scoring throughput, and train-step throughput.
 """
 
 import json
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -28,19 +32,11 @@ from icra2021_multimodal_ad_tpu.models.autoencoder import ae_forward
 from icra2021_multimodal_ad_tpu.models.builder import get_model
 from icra2021_multimodal_ad_tpu.ops.fusion import fuse, fusion_init
 from icra2021_multimodal_ad_tpu.ops.rapp import diffs_batch
-from icra2021_multimodal_ad_tpu.ops.scoring import nap_fit, nap_score_device
+from icra2021_multimodal_ad_tpu.ops.scoring import nap_fit
+from icra2021_multimodal_ad_tpu.ops.pallas_kernels import nap_precompute
 
 BASELINE_WINDOWS_PER_SEC = 100_000.0
-
-
-def _timeit(fn, *args, warmup=2, iters=10):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+N_ITERS = 20
 
 
 def _cast(tree, dtype):
@@ -48,6 +44,26 @@ def _cast(tree, dtype):
         lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a,
         tree,
     )
+
+
+def timed_loop(make_body, n_iters=N_ITERS):
+    """Wall time per iteration of an on-device fori_loop with carried
+    dependency; compile + fixed overhead excluded via 1-iter baseline."""
+
+    @partial(jax.jit, static_argnames=("n",))
+    def run(n):
+        body = make_body()
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    float(run(1))  # compile n=1
+    t0 = time.perf_counter()
+    float(run(1))
+    t1 = time.perf_counter() - t0
+    float(run(n_iters + 1))  # compile n=n_iters+1
+    t0 = time.perf_counter()
+    float(run(n_iters + 1))
+    tn = time.perf_counter() - t0
+    return max((tn - t1) / n_iters, 1e-9)
 
 
 def main():
@@ -58,86 +74,122 @@ def main():
 
     B = 16384
     rng = np.random.default_rng(0)
-    r = jnp.asarray(rng.uniform(0, 1, (B, 3, 32, 32)), jnp.float32)
-    d = jnp.asarray(rng.uniform(0, 1, (B, 1, 32, 32)), jnp.float32)
-    t = jnp.asarray(rng.uniform(0, 1, (B, 1)), jnp.float32)
-    m = jnp.asarray(rng.uniform(-1, 1, (B, 1, 13)), jnp.float32)
+    raw = {
+        "r": jnp.asarray(rng.uniform(0, 1, (B, 3, 32, 32)), jnp.float32),
+        "d": jnp.asarray(rng.uniform(0, 1, (B, 1, 32, 32)), jnp.float32),
+        "t": jnp.asarray(rng.uniform(0, 1, (B, 1)), jnp.float32),
+        "m": jnp.asarray(rng.uniform(-1, 1, (B, 1, 13)), jnp.float32),
+    }
 
-    def fused_score(fp, params, state, r, d, t, m):
-        x = fuse(fp, sensor="All", r=r, d=d, t=t, m=m)
-        x_hat, _ = ae_forward(model, params, state, x, train=False)
+    def fused_score(fp, p, s, mods):
+        x = fuse(fp, sensor="All", **mods)
+        x_hat, _ = ae_forward(model, p, s, x, train=False)
         delta = (x_hat - x).astype(jnp.float32)
         return jnp.mean(delta * delta, axis=-1)
 
-    fused32 = jax.jit(fused_score)
-    s32 = fused32(fusion_params, params, state, r, d, t, m)
-
-    # bf16 fast path: cast weights + activations; MXU accumulates fp32
+    # -- numeric agreement bf16 vs fp32 ------------------------------------
+    s32 = jax.jit(fused_score)(fusion_params, params, state, raw)
     fp16 = _cast(fusion_params, jnp.bfloat16)
     p16 = _cast(params, jnp.bfloat16)
-    s16args = (fp16, p16, state, *(a.astype(jnp.bfloat16) for a in (r, d, t, m)))
-    s16 = fused32(*s16args)
-    rel = float(
-        jnp.mean(jnp.abs(s16 - s32) / (jnp.abs(s32) + 1e-6))
-    )
-    use_bf16 = rel < 5e-2
+    raw16 = {k: v.astype(jnp.bfloat16) for k, v in raw.items()}
+    s16 = jax.jit(fused_score)(fp16, p16, state, raw16)
+    rel = float(jnp.mean(jnp.abs(s16 - s32) / (jnp.abs(s32) + 1e-6)))
 
-    t32 = _timeit(fused32, fusion_params, params, state, r, d, t, m)
-    tput32 = B / t32
-    if use_bf16:
-        t16 = _timeit(fused32, *s16args)
-        tput16 = B / t16
-    else:
-        tput16 = tput32
+    # -- throughput: fused pipeline ----------------------------------------
+    def make_fused(fp, p, s, mods, dtype):
+        def body(i, acc):
+            eps = (i.astype(jnp.float32) * 1e-9 + acc * 0).astype(dtype)
+            mods_i = dict(mods, t=mods["t"] + eps)
+            return acc + jnp.sum(fused_score(fp, p, s, mods_i))
+        return body
 
-    headline = max(tput16, tput32)
+    t16 = timed_loop(lambda: make_fused(fp16, p16, state, raw16, jnp.bfloat16))
+    tput16 = B / t16
+    # fp32 loop is optional: its conv compile is heavy enough to trip the
+    # remote-compile tunnel; the bf16 path is the serving configuration
+    try:
+        t32 = timed_loop(
+            lambda: make_fused(fusion_params, params, state, raw, jnp.float32),
+            n_iters=5,
+        )
+        tput32 = B / t32
+    except Exception:
+        tput32 = None
+    headline = tput16 if rel < 5e-2 else (tput32 or tput16)
 
-    # RaPP diffs + NAP scoring throughput (the offline eval hot path)
-    x = fuse(fusion_params, sensor="All", r=r, d=d, t=t, m=m)
-    small = x[:4096]
+    # -- throughput: RaPP diffs + NAP scoring (offline eval hot path) ------
+    x_all = jax.jit(lambda: fuse(fusion_params, sensor="All", **raw))()
+    Bn = 4096
+    small = x_all[:Bn]
     diffs = diffs_batch(model, params, state, small)
     stats = nap_fit(jnp.concatenate(diffs, axis=-1))
+    offset, inv_std = nap_precompute(stats)
+    v = stats.rotater.v
 
-    def rapp_nap(params, state, xb):
-        dfs = diffs_batch(model, params, state, xb)
-        return nap_score_device(stats, jnp.concatenate(dfs, axis=-1))
+    def make_rapp():
+        def body(i, acc):
+            xb = small + (i.astype(jnp.float32) * 1e-9 + acc * 0)
+            dfs = diffs_batch(model, params, state, xb)
+            cat = jnp.concatenate(dfs, axis=-1)
+            rot = jnp.dot(cat, v, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+            tstd = (rot - offset) * inv_std
+            return acc + jnp.sum(jnp.mean(tstd * tstd, axis=-1))
+        return body
 
-    rapp_fn = jax.jit(rapp_nap)
-    t_nap = _timeit(rapp_fn, params, state, small, iters=5)
-    nap_tput = small.shape[0] / t_nap
+    try:
+        t_nap = timed_loop(make_rapp, n_iters=5)
+        nap_tput = Bn / t_nap
+    except Exception:
+        nap_tput = None
 
-    # train-step throughput
+    # -- throughput: training step ------------------------------------------
     import optax
 
-    from icra2021_multimodal_ad_tpu.train import train_step
+    from icra2021_multimodal_ad_tpu.models.autoencoder import ae_loss
 
     optimizer = optax.adam(1e-3)
-    opt_state = optimizer.init(params)
-    xb = x[:7000]
+    Bt = 7000
+    xt = x_all[:Bt]
 
-    def step(params, state, opt_state):
-        return train_step(model, params, state, opt_state, xb, optimizer)
+    @partial(jax.jit, static_argnames=("n",))
+    def train_loop(p, s, o, n):
+        def body(i, carry):
+            p, s, o, acc = carry
+            def loss_of(pp):
+                loss, new_s = ae_loss(model, pp, s, xt, train=True)
+                return loss, new_s
+            (loss, new_s), grads = jax.value_and_grad(loss_of, has_aux=True)(p)
+            upd, o2 = optimizer.update(grads, o, p)
+            return (optax.apply_updates(p, upd), new_s, o2, acc + loss)
+        out = jax.lax.fori_loop(0, n, body, (p, s, o, jnp.float32(0)))
+        return out[3]
 
-    p2, st2, o2, _ = step(params, state, opt_state)  # compile
-    t0 = time.perf_counter()
-    iters = 5
-    for _ in range(iters):
-        p2, st2, o2, loss = step(p2, st2, o2)
-    jax.block_until_ready(loss)
-    train_tput = 7000 * iters / (time.perf_counter() - t0)
+    try:
+        opt_state = optimizer.init(params)
+        float(train_loop(params, state, opt_state, 1))
+        t0 = time.perf_counter(); float(train_loop(params, state, opt_state, 1))
+        t1 = time.perf_counter() - t0
+        float(train_loop(params, state, opt_state, 6))
+        t0 = time.perf_counter(); float(train_loop(params, state, opt_state, 6))
+        t6 = time.perf_counter() - t0
+        train_tput = Bt / max((t6 - t1) / 5, 1e-9)
+    except Exception:
+        train_tput = None
 
     print(json.dumps({
         "metric": "fused_inference_windows_per_sec",
         "value": round(headline, 1),
         "unit": "windows/s/chip",
         "vs_baseline": round(headline / BASELINE_WINDOWS_PER_SEC, 3),
-        "fp32_windows_per_sec": round(tput32, 1),
+        "fp32_windows_per_sec": round(tput32, 1) if tput32 else None,
         "bf16_windows_per_sec": round(tput16, 1),
         "bf16_score_rel_err": round(rel, 5),
-        "rapp_nap_windows_per_sec": round(nap_tput, 1),
-        "train_windows_per_sec": round(train_tput, 1),
+        "rapp_nap_windows_per_sec": round(nap_tput, 1) if nap_tput else None,
+        "train_windows_per_sec": round(train_tput, 1) if train_tput else None,
         "batch": B,
         "device": str(jax.devices()[0]),
+        "timing": "on-device fori_loop, compile-excluded, result-fetched",
     }))
 
 

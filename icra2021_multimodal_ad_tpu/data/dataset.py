@@ -44,36 +44,73 @@ LIDAR_COLS = [f"LiDAR{i:03d}" for i in range(963)]
 DROP_COLS = ["data_dir", "now_timegap", "label", "id"]
 
 
-def _read_shards(config: Config) -> pd.DataFrame:
-    """Read data_sum shards (data_loaders.py:255-290).  All shards matching
-    `<file_name>{N}.csv` are concatenated (the reference hardcodes 0..7)."""
-    frames = []
+LIGHT_COLS = MFCC_COLS + [
+    "cur_depth_id", "cur_hand_id", "cur_hand_weight", "data_dir", "label",
+]
+
+
+def _shard_paths(config: Config):
+    paths = []
     if config.file_name != "data_sum":
-        path = os.path.join(config.data_folder_name, config.file_name + "0.csv")
-        frames.append(pd.read_csv(path))
+        paths.append(
+            os.path.join(config.data_folder_name, config.file_name + "0.csv")
+        )
     else:
         i = 0
         while True:
-            path = os.path.join(config.data_folder_name, f"{config.file_name}{i}.csv")
+            path = os.path.join(
+                config.data_folder_name, f"{config.file_name}{i}.csv"
+            )
             if not os.path.exists(path) or i > 7:
                 break
-            frames.append(pd.read_csv(path))
+            paths.append(path)
             i += 1
-    if not frames:
+    if not paths or not os.path.exists(paths[0]):
         raise FileNotFoundError(
             f"no {config.file_name}*.csv shards under {config.data_folder_name}"
         )
+    return paths
+
+
+def _read_shards(config: Config):
+    """Read data_sum shards (data_loaders.py:255-290), column-pruned.
+
+    Only the columns the selected sensor needs are parsed: the light columns
+    (MFCC, frame ids, weight, data_dir, label) via pandas, and — for the
+    LiDAR sensor — the 963 heavy numeric columns via the native
+    multithreaded reader (data/fast_csv.py).  The reference parsed all ~984
+    columns of every shard unconditionally.
+
+    Returns (df, lidar) where lidar is a float32 (N, 963) matrix or None,
+    both shuffled/sliced consistently.
+    """
+    paths = _shard_paths(config)
+    frames = [pd.read_csv(p, usecols=lambda c: c in LIGHT_COLS) for p in paths]
     df = pd.concat(frames, ignore_index=True)
 
+    lidar = None
+    if config.sensor == "LiDAR":
+        from icra2021_multimodal_ad_tpu.data import fast_csv
+
+        lidar = np.concatenate(
+            [fast_csv.read_columns(p, LIDAR_COLS) for p in paths], axis=0
+        )
+
+    keep_mask = None
     if config.object_select_mode:
         obj = pd.read_csv(os.path.join(config.data_folder_name, "objectsplit.csv"))
-        keep = obj[config.object_type].tolist()
-        df = df[df["data_dir"].isin(keep)]
+        keep = set(obj[config.object_type].tolist())
+        keep_mask = df["data_dir"].isin(keep).to_numpy()
+        df = df[keep_mask]
+        if lidar is not None:
+            lidar = lidar[keep_mask]
 
     rng = np.random.default_rng(config.seed)
     perm = rng.permutation(len(df))
-    df = df.iloc[perm].reset_index(drop=True)
-    return df.loc[: config.slicing_size - 1]
+    df = df.iloc[perm].reset_index(drop=True).loc[: config.slicing_size - 1]
+    if lidar is not None:
+        lidar = lidar[perm][: config.slicing_size]
+    return df, lidar
 
 
 def _load_images(root: str, data_dirs: Sequence[str], ids: Sequence[int],
@@ -101,7 +138,7 @@ class TabularDataset:
     def __init__(self, config: Config,
                  fusion_params: Optional[FusionParams] = None):
         sensor = config.sensor
-        df = _read_shards(config)
+        df, lidar = _read_shards(config)
 
         self.df = df
         label = df["label"].to_numpy().astype(np.float32)
@@ -138,9 +175,7 @@ class TabularDataset:
             )
             kw["m"] = m[:, None, :]  # (N, 1, 13)
         if sensor == "LiDAR":
-            l = norm_minmax_per_column(
-                jnp.asarray(df[LIDAR_COLS].to_numpy(), dtype=jnp.float32)
-            )
+            l = norm_minmax_per_column(jnp.asarray(lidar, dtype=jnp.float32))
             kw["l"] = l[:, None, :]
 
         self.data = fuse(fusion_params, sensor=sensor, **kw)

@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Grid-search sweep entry point — the user surface of the reference's
+Repeater harness (utils/repeater.py:25-92), wired to the native trainer and
+the Reporter CSV exporter.
+
+    python sweep.py --data_folder_name data/hsr_dropobject/ \
+        --grid '{"btl_size": [10, 100], "n_layers": [3, 5]}' \
+        --out sweep_results.csv
+
+Each grid point is an independent run (embarrassingly parallel — the DCN /
+multi-process scale-out axis, SURVEY.md §5).  On a single chip keep
+--max_workers 1 (runs sequentially; concurrent processes would contend for
+the device).
+"""
+
+import argparse
+import json
+
+from icra2021_multimodal_ad_tpu.config import Config, get_input_size
+from icra2021_multimodal_ad_tpu.utils.repeater import Repeater
+from icra2021_multimodal_ad_tpu.utils.reporter import Reporter
+
+
+def run_one(overrides: dict) -> dict:
+    """One training+eval run; returns the result row."""
+    overrides = dict(overrides)
+    overrides.pop("progress", None)
+    base = Config(verbose=0)
+    cfg = base.replace(**overrides)
+    cfg = cfg.replace(input_size=get_input_size(cfg))
+
+    from icra2021_multimodal_ad_tpu.data.dataset import get_loaders
+    from icra2021_multimodal_ad_tpu.models.builder import get_model
+    from icra2021_multimodal_ad_tpu.train import NoveltyDetecter
+
+    model, params, state = get_model(cfg)
+    manager, train_l, valid_l, test_l = get_loaders(cfg)
+    train_x, _ = manager.get_transformed_data(train_l)
+    valid_x, _ = manager.get_transformed_data(valid_l)
+    test_x, test_y = manager.get_transformed_data(test_l)
+
+    det = NoveltyDetecter(cfg)
+    res = det.train(model, params, state, train_x, valid_x)
+    base_r, sap_r, nap_r = det.test(
+        model, res.params, res.state, train_x, valid_x, test_x, test_y
+    )
+    return {
+        "base_auroc": base_r.auroc, "sap_auroc": sap_r.auroc,
+        "nap_auroc": nap_r.auroc,
+        "base_aupr": base_r.aupr, "sap_aupr": sap_r.aupr,
+        "nap_aupr": nap_r.aupr,
+        "valid_loss": min(res.valid_history),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--grid", type=str, required=True,
+                   help='JSON dict of {config_field: [values...]}')
+    p.add_argument("--out", type=str, default="sweep_results.csv")
+    p.add_argument("--max_workers", type=int, default=1)
+    p.add_argument("--data_folder_name", type=str,
+                   default="data/hsr_dropobject/")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    grid = json.loads(args.grid)
+    grid.setdefault("data_folder_name", [args.data_folder_name])
+    grid.setdefault("seed", [args.seed])
+
+    reporter = Reporter()
+
+    def f(overrides):
+        result = run_one(overrides)
+        cfg_row = {k: v for k, v in overrides.items() if k != "progress"}
+        reporter.add(cfg_row, result)
+        print(f"[{overrides.get('progress', '?')}] {cfg_row} -> "
+              f"nap_auroc={result['nap_auroc']:.4f}")
+        return result
+
+    Repeater(grid, f, max_workers=args.max_workers, seed=args.seed).run(
+        sequential=args.max_workers <= 1
+    )
+    reporter.export(args.out)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Training-engine parity: our jitted Adam/MSE-sum/BN-train step must track a
+torch reference (stock nn.Linear/LeakyReLU/BatchNorm1d + optim.Adam) built
+with identical weights and driven with identical batches, per the reference's
+training semantics (novelty_detection.py:88-127, auto_encoder.py:57-77)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+import torch
+import torch.nn as nn
+
+from icra2021_multimodal_ad_tpu.config import Config
+from icra2021_multimodal_ad_tpu.models import ae_init, build_autoencoder
+from icra2021_multimodal_ad_tpu.train import NoveltyDetecter, eval_step, train_step
+
+
+def _build_pair(input_size=20, btl=4, n_layers=2, seed=0):
+    """Our AE + a torch twin with copied weights."""
+    cfg = Config(input_size=input_size, btl_size=btl, n_layers=n_layers,
+                 seed=seed)
+    model = build_autoencoder(cfg)
+    params, state = ae_init(jax.random.PRNGKey(seed), model)
+
+    def make_side(spec, side):
+        mods = []
+        for li, layer in enumerate(spec.layers):
+            lin = nn.Linear(layer.in_size, layer.out_size)
+            p = params[side][li]
+            lin.weight.data = torch.from_numpy(np.asarray(p["w"]).T.copy())
+            lin.bias.data = torch.from_numpy(np.asarray(p["b"]).copy())
+            mods.append(lin)
+            if layer.act == "leakyrelu":
+                mods.append(nn.LeakyReLU(0.2))
+            if layer.bn:
+                mods.append(nn.BatchNorm1d(layer.out_size))
+        return mods
+
+    tmodel = nn.Sequential(
+        *make_side(model.encoder, "encoder"), *make_side(model.decoder, "decoder")
+    )
+    return model, params, state, tmodel
+
+
+def test_train_step_tracks_torch_adam():
+    model, params, state, tmodel = _build_pair()
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    topt = torch.optim.Adam(tmodel.parameters(), lr=1e-3)
+    loss_fn = nn.MSELoss(reduction="sum")
+
+    rng = np.random.default_rng(0)
+    ours_losses, torch_losses = [], []
+    for step in range(5):
+        xb = rng.normal(size=(32, 20)).astype(np.float32)
+        params, state, opt_state, loss = train_step(
+            model, params, state, opt_state, jnp.asarray(xb), optimizer
+        )
+        ours_losses.append(float(loss))
+
+        tmodel.train()
+        topt.zero_grad()
+        xt = torch.from_numpy(xb)
+        tl = loss_fn(tmodel(xt), xt)
+        tl.backward()
+        topt.step()
+        torch_losses.append(float(tl))
+
+    np.testing.assert_allclose(ours_losses, torch_losses, rtol=2e-3)
+
+    # eval loss (BN running stats) after training also agrees
+    xb = rng.normal(size=(16, 20)).astype(np.float32)
+    ours_eval = float(eval_step(model, params, state, jnp.asarray(xb)))
+    tmodel.eval()
+    with torch.no_grad():
+        torch_eval = float(loss_fn(tmodel(torch.from_numpy(xb)),
+                                   torch.from_numpy(xb)))
+    assert ours_eval == pytest.approx(torch_eval, rel=5e-3)
+
+
+def test_best_params_selection_restores_lowest_valid():
+    """Best-model restore semantics (novelty_detection.py:108-125): the
+    returned params must reproduce the minimum of the valid history."""
+    cfg = Config(input_size=12, btl_size=3, n_layers=2, batch_size=16,
+                 n_epochs=6, lr=1e-2, verbose=0, seed=1)
+    model = build_autoencoder(cfg)
+    params, state = ae_init(jax.random.PRNGKey(1), model)
+    rng = np.random.default_rng(1)
+    train_x = rng.normal(size=(64, 12)).astype(np.float32)
+    valid_x = rng.normal(size=(32, 12)).astype(np.float32)
+
+    det = NoveltyDetecter(cfg)
+    res = det.train(model, params, state, train_x, valid_x)
+    best_epoch_loss = min(res.valid_history)
+    restored = float(
+        eval_step(model, res.params, res.state, jnp.asarray(valid_x))
+    ) / len(valid_x)
+    assert restored == pytest.approx(best_epoch_loss, rel=1e-5)
