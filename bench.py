@@ -118,7 +118,7 @@ def main():
     headline = tput16 if rel < 5e-2 else (tput32 or tput16)
 
     # -- throughput: RaPP diffs + NAP scoring (offline eval hot path) ------
-    x_all = jax.jit(lambda: fuse(fusion_params, sensor="All", **raw))()
+    x_all = fuse(fusion_params, sensor="All", **raw)
     Bn = 4096
     small = x_all[:Bn]
     diffs = diffs_batch(model, params, state, small)
