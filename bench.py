@@ -105,16 +105,25 @@ def main():
 
     t16 = timed_loop(lambda: make_fused(fp16, p16, state, raw16, jnp.bfloat16))
     tput16 = B / t16
-    # fp32 loop is optional: its conv compile is heavy enough to trip the
-    # remote-compile tunnel; the bf16 path is the serving configuration
-    try:
-        t32 = timed_loop(
-            lambda: make_fused(fusion_params, params, state, raw, jnp.float32),
-            n_iters=5,
-        )
-        tput32 = B / t32
-    except Exception:
-        tput32 = None
+    # fp32 path: the full-batch conv compile can trip the remote-compile
+    # tunnel, so fall back through smaller batches rather than skipping —
+    # BASELINE.md's AUROC-parity claim rides on the fp32 path, so the number
+    # must be recorded.  Any failure is recorded with its reason, never
+    # swallowed silently.
+    tput32, fp32_error = None, None
+    for b32 in (B, B // 4, B // 16):
+        raw32 = {k: v[:b32] for k, v in raw.items()}
+        try:
+            t32 = timed_loop(
+                lambda: make_fused(fusion_params, params, state, raw32,
+                                   jnp.float32),
+                n_iters=5,
+            )
+            tput32 = b32 / t32
+            fp32_error = None
+            break
+        except Exception as e:  # noqa: BLE001 — reason is recorded
+            fp32_error = f"batch {b32}: {type(e).__name__}: {e}"[:300]
     headline = tput16 if rel < 5e-2 else (tput32 or tput16)
 
     # -- throughput: RaPP diffs + NAP scoring (offline eval hot path) ------
@@ -137,13 +146,14 @@ def main():
             return acc + jnp.sum(jnp.mean(tstd * tstd, axis=-1))
         return body
 
+    nap_tput, nap_error = None, None
     try:
         t_nap = timed_loop(make_rapp, n_iters=5)
         nap_tput = Bn / t_nap
-    except Exception:
-        nap_tput = None
+    except Exception as e:  # noqa: BLE001 — reason is recorded
+        nap_error = f"{type(e).__name__}: {e}"[:300]
 
-    # -- throughput: training step ------------------------------------------
+    # -- throughput: training step (synthetic fori_loop upper bound) --------
     import optax
 
     from icra2021_multimodal_ad_tpu.models.autoencoder import ae_loss
@@ -165,6 +175,7 @@ def main():
         out = jax.lax.fori_loop(0, n, body, (p, s, o, jnp.float32(0)))
         return out[3]
 
+    train_tput, train_error = None, None
     try:
         opt_state = optimizer.init(params)
         float(train_loop(params, state, opt_state, 1))
@@ -174,10 +185,45 @@ def main():
         t0 = time.perf_counter(); float(train_loop(params, state, opt_state, 6))
         t6 = time.perf_counter() - t0
         train_tput = Bt / max((t6 - t1) / 5, 1e-9)
-    except Exception:
-        train_tput = None
+    except Exception as e:  # noqa: BLE001 — reason is recorded
+        train_error = f"{type(e).__name__}: {e}"[:300]
 
-    print(json.dumps({
+    # -- throughput: the REAL trainer (NoveltyDetecter.train, fused mode) ---
+    # Times the shipped product path, not an idealized loop: the whole run
+    # (shuffle + scan over batches + eval + device-side best-model select)
+    # is one device program per call; compile excluded by differencing a
+    # 1-epoch run against a 6-epoch run.
+    from icra2021_multimodal_ad_tpu.train import NoveltyDetecter
+
+    trainer_tput, trainer_error = None, None
+    try:
+        n_rows = Bt * 2
+        xtr = x_all[:n_rows]
+        xva = x_all[:Bt]
+
+        def run_train(n_epochs):
+            det = NoveltyDetecter(cfg.replace(
+                n_epochs=n_epochs, batch_size=Bt, verbose=0))
+            # the trainer donates its param/state buffers — hand it copies
+            r = det.train(
+                model,
+                jax.tree.map(jnp.copy, params),
+                jax.tree.map(jnp.copy, state),
+                xtr, xva, fused=True,
+            )
+            return r.valid_history[-1]
+
+        run_train(1)  # compile 1-epoch program
+        t0 = time.perf_counter(); run_train(1)
+        t1 = time.perf_counter() - t0
+        run_train(6)  # compile 6-epoch program
+        t0 = time.perf_counter(); run_train(6)
+        t6 = time.perf_counter() - t0
+        trainer_tput = (5 * n_rows) / max(t6 - t1, 1e-9)
+    except Exception as e:  # noqa: BLE001 — reason is recorded
+        trainer_error = f"{type(e).__name__}: {e}"[:300]
+
+    out = {
         "metric": "fused_inference_windows_per_sec",
         "value": round(headline, 1),
         "unit": "windows/s/chip",
@@ -187,10 +233,21 @@ def main():
         "bf16_score_rel_err": round(rel, 5),
         "rapp_nap_windows_per_sec": round(nap_tput, 1) if nap_tput else None,
         "train_windows_per_sec": round(train_tput, 1) if train_tput else None,
+        "trainer_path_windows_per_sec":
+            round(trainer_tput, 1) if trainer_tput else None,
         "batch": B,
         "device": str(jax.devices()[0]),
         "timing": "on-device fori_loop, compile-excluded, result-fetched",
-    }))
+    }
+    errors = {
+        k: v for k, v in {
+            "fp32_error": fp32_error, "nap_error": nap_error,
+            "train_error": train_error, "trainer_error": trainer_error,
+        }.items() if v
+    }
+    if errors:
+        out["section_errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -58,6 +58,14 @@ class Config:
     object_type: str = "book"
     train_diffs: str = "datasets/All_train_diffs.npz"
 
+    # -- variational information bottleneck (decorators/
+    #    variational_info_bottleneck.py via modules/fc_module.py:59-61) -----
+    distribution: Optional[str] = None  # None (identity) | "normal"
+    k: int = 1                          # reparameterization sample count
+    stochastic_inference: bool = False  # sample z at eval time (the
+    # reference decorator defaults this to True but its entry points never
+    # invoke normal mode; deterministic eval keeps RaPP/NAP scores stable)
+
     # -- filled in post-parse (reference mutates argparse namespace) -------
     input_size: Optional[int] = None
 
@@ -106,6 +114,9 @@ def _add_flags(p: argparse.ArgumentParser) -> None:
             p.add_argument(name, type=str, default=default)
         elif f.name in ("input_size", "mesh_shape"):
             p.add_argument(name, type=int, default=default)
+        elif f.name == "distribution":
+            p.add_argument(name, type=str, default=default,
+                           choices=[None, "normal"])
         else:
             p.add_argument(name, type=type(default), default=default)
 

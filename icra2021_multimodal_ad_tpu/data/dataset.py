@@ -113,20 +113,39 @@ def _read_shards(config: Config):
     return df, lidar
 
 
-def _load_images(root: str, data_dirs: Sequence[str], ids: Sequence[int],
-                 subdir: str) -> np.ndarray:
-    """Vectorized decode of the per-row PNGs
-    (data_loaders.py:337-367 layout: <root>/data/<dir>/data/img/<subdir>/<id>.png),
-    resized to (24, 32) like the reference's PIL resize((32, 24))."""
+def _decode_one(path: str) -> np.ndarray:
     from PIL import Image
 
-    out = []
-    for d, i in zip(data_dirs, ids):
-        path = os.path.join(root, "data", str(d), "data", "img", subdir,
-                            f"{int(i)}.png")
-        im = Image.open(path).resize((32, 24))
-        out.append(np.asarray(im))
-    return np.stack(out)
+    return np.asarray(Image.open(path).resize((32, 24)))
+
+
+def _load_images(root: str, data_dirs: Sequence[str], ids: Sequence[int],
+                 subdir: str, max_workers: Optional[int] = None) -> np.ndarray:
+    """Parallel decode of the per-row PNGs
+    (data_loaders.py:337-367 layout: <root>/data/<dir>/data/img/<subdir>/<id>.png),
+    resized to (24, 32) like the reference's PIL resize((32, 24)).
+
+    The reference decodes 56,000 PNGs serially at dataset build — its #1 hot
+    loop (SURVEY.md §3.1).  PNG inflate + resize release the GIL in C, so a
+    thread pool scales on the host cores; identical paths (consecutive 10 Hz
+    windows repeating a slower camera frame) are decoded once and fanned
+    out."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    paths = [
+        os.path.join(root, "data", str(d), "data", "img", subdir,
+                     f"{int(i)}.png")
+        for d, i in zip(data_dirs, ids)
+    ]
+    unique = list(dict.fromkeys(paths))
+    if max_workers is None:
+        max_workers = min(32, (os.cpu_count() or 8))
+    if len(unique) <= 1 or max_workers <= 1:
+        decoded = {p: _decode_one(p) for p in unique}
+    else:
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            decoded = dict(zip(unique, pool.map(_decode_one, unique)))
+    return np.stack([decoded[p] for p in paths])
 
 
 class TabularDataset:

@@ -34,9 +34,17 @@ def build_autoencoder(config: Config) -> AutoEncoder:
         c, h, w = input_size
         input_size = c * h * w
 
+    # VIB normal mode: the encoder's last layer is double-width so the
+    # decorator's split(output.size(-1) // 2) yields btl_size-dim mu and
+    # logvar (variational_info_bottleneck.py:33-35); the decoder consumes
+    # the btl_size-dim z samples.  Identity mode (distribution None, the
+    # reference's only exercised path) is unchanged.
+    distribution = getattr(config, "distribution", None)
+    enc_out = config.btl_size * (2 if distribution == "normal" else 1)
+
     encoder = fc_module_spec(
         input_size=input_size,
-        output_size=config.btl_size,
+        output_size=enc_out,
         hidden_sizes=get_hidden_layer_sizes(
             input_size, config.btl_size, n_hidden_layers=config.n_layers - 1
         ),
@@ -54,8 +62,13 @@ def build_autoencoder(config: Config) -> AutoEncoder:
         act="leakyrelu",
         last_act=None,
     )
-    return AutoEncoder(encoder=encoder, decoder=decoder,
-                       recon_loss="mse", loss_reduction="sum")
+    return AutoEncoder(
+        encoder=encoder, decoder=decoder,
+        recon_loss="mse", loss_reduction="sum",
+        distribution=distribution,
+        k=getattr(config, "k", 1),
+        stochastic_inference=getattr(config, "stochastic_inference", False),
+    )
 
 
 def get_model(config: Config, key: jax.Array | None = None):

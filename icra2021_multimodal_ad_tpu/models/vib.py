@@ -46,10 +46,16 @@ def vib_forward(
     stochastic_inference: bool = True,
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    dropout_rng: Optional[jax.Array] = None,
 ):
     """FC module forward with optional VIB head
-    (variational_info_bottleneck.py:29-40)."""
-    output, new_state = fc_module_apply(spec, params, state, x, train=train)
+    (variational_info_bottleneck.py:29-40).
+
+    The torch decorator samples whenever grad is enabled OR
+    stochastic_inference is set (variational_info_bottleneck.py:21); here the
+    equivalent condition is `train or stochastic_inference`."""
+    output, new_state = fc_module_apply(spec, params, state, x, train=train,
+                                        dropout_rng=dropout_rng)
     if distribution is None:
         return output, new_state
     if distribution != "normal":

@@ -28,7 +28,14 @@ from icra2021_multimodal_ad_tpu.models.fc_module import fc_module_apply_taps
 @partial(jax.jit, static_argnames=("model",))
 def diffs_batch(model: AutoEncoder, params: dict, state: dict, x: jax.Array):
     """Single fused forward + dual-pathway layer taps.  Eval mode (BN running
-    stats); returns a tuple of (batch, dim_i) diff arrays, length n_layers+1."""
+    stats); returns a tuple of (batch, dim_i) diff arrays, length n_layers+1.
+
+    VIB models score deterministically (z = mu) — the reference's get_diffs
+    drives encoder layers directly, bypassing the decorator entirely
+    (reconstruction_aggregation.py:22-28), so the taps here are likewise the
+    raw per-layer outputs (including the double-width VIB head)."""
+    if model.distribution is not None:
+        model = model._replace(stochastic_inference=False)
     x = x.reshape(x.shape[0], -1).astype(jnp.float32)
     x_hat, _ = ae_forward(model, params, state, x, train=False)
     taps_x, _ = fc_module_apply_taps(
@@ -48,16 +55,47 @@ def get_diffs(
     params: dict,
     state: dict,
     batch_size: Optional[int] = None,
+    mesh=None,
 ) -> List[jax.Array]:
     """Chunked RaPP diffs over an arbitrarily-sized input.
 
     Mirrors the reference signature get_diffs(x, model, batch_size=698)
     (reconstruction_aggregation.py:6) but keeps results on device.  Returns a
     list of (n, dim_i) arrays, one per pathway layer (n_layers + 1 entries).
+
+    With `mesh`, the batch is sharded over the mesh's window axis and the
+    diffs come out batch-sharded — the distributed eval path the reference
+    never had (SURVEY.md §5).  Padding rows (for divisibility) are appended
+    on the *sharded* side and sliced off the outputs; eval-mode BN has no
+    cross-row coupling, so padding cannot perturb real rows.
     """
     x = jnp.asarray(x)
     x = x.reshape(x.shape[0], -1)
     n = x.shape[0]
+
+    if mesh is not None:
+        from icra2021_multimodal_ad_tpu.parallel.mesh import (
+            pad_to_multiple,
+            shard_batch,
+        )
+
+        n_dev = mesh.devices.size
+        if batch_size is None or batch_size >= n:
+            xp, pad = pad_to_multiple(x, n_dev)
+            out = diffs_batch(model, params, state, shard_batch(mesh, xp))
+            return [o[:n] for o in out] if pad else list(out)
+        # chunked: round the chunk up to a divisible size, pad the tail
+        chunk = batch_size + ((-batch_size) % n_dev)
+        parts = []
+        for start in range(0, n, chunk):
+            piece = x[start : start + chunk]
+            piece, pad = pad_to_multiple(piece, chunk)
+            out = diffs_batch(model, params, state, shard_batch(mesh, piece))
+            if pad:
+                out = tuple(o[: chunk - pad] for o in out)
+            parts.append(out)
+        return [jnp.concatenate(ps, axis=0) for ps in zip(*parts)]
+
     if batch_size is None or batch_size >= n:
         return [jnp.asarray(d) for d in diffs_batch(model, params, state, x)]
 

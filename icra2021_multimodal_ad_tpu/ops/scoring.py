@@ -139,6 +139,20 @@ def nap_fit(train_diffs_cat: jax.Array) -> NapStats:
     return NapStats(rotater=rot, standardizer=std)
 
 
+def nap_fit_sharded(train_diffs, mesh,
+                    start_layer_index: int = 0,
+                    end_layer_index: Optional[int] = None) -> NapStats:
+    """Distributed NAP fit: per-shard diff matrices are all-gathered over ICI
+    before the SVD (SURVEY.md §5 mapping of utils/metric.py:183-238 +
+    normalize.py:52-70 to the mesh).  The gathered matrix is bit-identical to
+    the single-device concat, so the fitted stats — and every downstream
+    score — match the single-device path exactly."""
+    from icra2021_multimodal_ad_tpu.parallel.mesh import all_gather
+
+    cat = concat_diffs(train_diffs, start_layer_index, end_layer_index)
+    return nap_fit(all_gather(mesh, cat))
+
+
 @jax.jit
 def nap_transform(stats: NapStats, x: jax.Array) -> jax.Array:
     return standardizer_run(stats.standardizer, rotater_run(stats.rotater, x))
@@ -159,13 +173,33 @@ def get_d_norm_loss(train_diffs, valid_diffs, test_diffs, test_label,
                     f1_quantiles=(0.90,),
                     save_stats_path: Optional[str] = None,
                     verbose: bool = False,
+                    mesh=None,
                     **_ignored) -> ScoreReport:
-    """NAP score (utils/metric.py:183-238)."""
-    train_cat = concat_diffs(train_diffs, start_layer_index, end_layer_index)
+    """NAP score (utils/metric.py:183-238).  With `mesh`, diffs may be
+    batch-sharded: the fit all-gathers the train diffs before the SVD
+    (SURVEY.md §5), and the valid/test matrices are gathered before the
+    whitening transform.  Gathering the transform inputs is deliberate:
+    whitening divides by near-zero variances in the diff matrix's null
+    directions, so LSB-level tiling differences between sharded and
+    unsharded matmuls would be amplified catastrophically there — gathered,
+    the NAP report is bit-identical to the single-device path.  The heavy
+    compute (three AE forward passes per window in get_diffs) stays
+    sharded; callers who want a fully-sharded transform at scale can use
+    nap_transform on the sharded cat directly."""
     valid_cat = concat_diffs(valid_diffs, start_layer_index, end_layer_index)
     test_cat = concat_diffs(test_diffs, start_layer_index, end_layer_index)
 
-    stats = nap_fit(train_cat)
+    if mesh is not None:
+        from icra2021_multimodal_ad_tpu.parallel.mesh import all_gather
+
+        stats = nap_fit_sharded(train_diffs, mesh,
+                                start_layer_index, end_layer_index)
+        valid_cat = all_gather(mesh, valid_cat)
+        test_cat = all_gather(mesh, test_cat)
+    else:
+        train_cat = concat_diffs(train_diffs, start_layer_index,
+                                 end_layer_index)
+        stats = nap_fit(train_cat)
     if save_stats_path is None and config is not None:
         save_stats_path = getattr(config, "train_diffs", None)
     if save_stats_path:

@@ -45,3 +45,22 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def all_gather(mesh: Mesh, x: jax.Array) -> jax.Array:
+    """Gather a batch-sharded array to a full replica on every device (the
+    all-gather-before-NAP-SVD step, SURVEY.md §5 distributed mapping).
+    device_put reshards in place — XLA emits the all-gather over ICI."""
+    return jax.device_put(x, replicated_sharding(mesh))
+
+
+def pad_to_multiple(x, multiple: int):
+    """Pad the leading axis up to a multiple of `multiple` (sharding a batch
+    over n devices requires divisibility).  Returns (padded, n_pad)."""
+    import jax.numpy as jnp
+
+    n = x.shape[0]
+    pad = (-n) % multiple
+    if pad:
+        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    return x, pad

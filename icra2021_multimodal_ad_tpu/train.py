@@ -81,8 +81,162 @@ def eval_step(model: AutoEncoder, params, state, x):
     return loss
 
 
-def _batch_slices(n: int, batch_size: int):
-    return [(s, min(s + batch_size, n)) for s in range(0, n, batch_size)]
+def _sgd_body(model, optimizer, data_sharding):
+    """Scan body: one Adam step on one (batch, rng) pair; loss is the batch
+    MSE sum.  The rng feeds the VIB reparameterization sampler when the
+    model carries a distribution; identity-mode models ignore it."""
+
+    def body(carry, xk):
+        xb, kb = xk
+        params, state, opt_state = carry
+        if (
+            data_sharding is not None
+            and xb.shape[0] % data_sharding.mesh.devices.size == 0
+        ):
+            xb = jax.lax.with_sharding_constraint(xb, data_sharding)
+
+        def loss_of(p):
+            return ae_loss(model, p, state, xb, train=True, rng=kb)
+
+        (loss, new_state), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            params
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, new_state, opt_state), loss
+
+    return body
+
+
+@partial(
+    jax.jit,
+    static_argnames=("model", "optimizer", "batch", "data_sharding"),
+    donate_argnums=(1, 2, 3),
+)
+def train_epoch(model: AutoEncoder, params, state, opt_state, train_x, perm,
+                optimizer, batch: int, data_sharding=None, rng=None):
+    """One full epoch as ONE device program: shuffle (gather by `perm`),
+    lax.scan over the full batches, then the tail batch — all on device.
+    Returns (params, state, opt_state, loss_sum).  Only the scalar loss sum
+    crosses to host, once per epoch — the reference synced per batch through
+    ignite (novelty_detection.py:92-107) and round 1 still fetched
+    `float(loss)` per step.  Inside one traced program the tail batch's
+    shape is static, so the two-shape invariant costs nothing here."""
+    n = train_x.shape[0]
+    n_full = n // batch
+    shuffled = jnp.take(train_x, perm, axis=0)
+    body = _sgd_body(model, optimizer, data_sharding)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    keys = jax.random.split(rng, n_full + 1)
+
+    carry = (params, state, opt_state)
+    total = jnp.float32(0.0)
+    if n_full:
+        full = shuffled[: n_full * batch].reshape(n_full, batch, -1)
+        carry, losses = jax.lax.scan(body, carry, (full, keys[:n_full]))
+        total = total + jnp.sum(losses)
+    if n - n_full * batch:
+        carry, tail_loss = body(carry, (shuffled[n_full * batch:], keys[-1]))
+        total = total + tail_loss
+    params, state, opt_state = carry
+    return params, state, opt_state, total
+
+
+@partial(jax.jit, static_argnames=("model", "batch"))
+def eval_epoch(model: AutoEncoder, params, state, x, batch: int):
+    """Eval-mode loss sum over all rows, scanned on device in one program.
+    VIB models validate deterministically (z = mu) so best-model selection
+    is stable."""
+    model = model._replace(stochastic_inference=False)
+    n = x.shape[0]
+    n_full = n // batch
+
+    def body(tot, xb):
+        loss, _ = ae_loss(model, params, state, xb, train=False)
+        return tot + loss, None
+
+    total = jnp.float32(0.0)
+    if n_full:
+        full = x[: n_full * batch].reshape(n_full, batch, -1)
+        total, _ = jax.lax.scan(body, total, full)
+    if n - n_full * batch:
+        loss, _ = ae_loss(model, params, state, x[n_full * batch:], train=False)
+        total = total + loss
+    return total
+
+
+@partial(
+    jax.jit,
+    static_argnames=("model", "optimizer", "batch", "n_epochs",
+                     "data_sharding"),
+    # no donation: params/state also seed the best-model copies, so the
+    # buffers alias an output and XLA could not reuse them anyway
+)
+def train_all_epochs(model: AutoEncoder, params, state, opt_state,
+                     train_x, valid_x, rng, optimizer, batch: int,
+                     n_epochs: int, data_sharding=None):
+    """The ENTIRE training run as one device program: lax.scan over epochs,
+    per-epoch reshuffle from a folded-in PRNG key, and best-model selection
+    (lowest validation loss, novelty_detection.py:108-125) done on device
+    with a pytree select — zero host round-trips until the final fetch.
+
+    Returns (best_params, best_state, train_losses[n_epochs],
+    valid_losses[n_epochs]) where losses are per-row means."""
+    n = train_x.shape[0]
+    n_valid = valid_x.shape[0]
+    n_full = n // batch
+    tail = n - n_full * batch
+    body = _sgd_body(model, optimizer, data_sharding)
+
+    def epoch(carry, e):
+        params, state, opt_state, best_loss, best_params, best_state = carry
+        perm = jax.random.permutation(jax.random.fold_in(rng, e), n)
+        shuffled = jnp.take(train_x, perm, axis=0)
+        # independent key stream for the VIB sampler (ignored by identity-
+        # mode models); mirrors the per-epoch loop's fold_in(rng, n_epochs+e)
+        keys = jax.random.split(
+            jax.random.fold_in(rng, n_epochs + e), n_full + 1
+        )
+
+        inner = (params, state, opt_state)
+        total = jnp.float32(0.0)
+        if n_full:
+            full = shuffled[: n_full * batch].reshape(n_full, batch, -1)
+            inner, losses = jax.lax.scan(body, inner, (full, keys[:n_full]))
+            total = total + jnp.sum(losses)
+        if tail:
+            inner, tail_loss = body(
+                inner, (shuffled[n_full * batch:], keys[-1])
+            )
+            total = total + tail_loss
+        params, state, opt_state = inner
+
+        valid_total = eval_epoch(model, params, state, valid_x, batch)
+        valid_loss = valid_total / max(n_valid, 1)
+
+        better = valid_loss < best_loss
+        best_loss = jnp.where(better, valid_loss, best_loss)
+        best_params = jax.tree.map(
+            lambda new, old: jnp.where(better, new, old), params, best_params
+        )
+        best_state = jax.tree.map(
+            lambda new, old: jnp.where(better, new, old), state, best_state
+        )
+        carry = (params, state, opt_state, best_loss, best_params, best_state)
+        return carry, (total / n, valid_loss)
+
+    init = (
+        params, state, opt_state,
+        jnp.float32(jnp.inf),
+        jax.tree.map(jnp.copy, params),
+        jax.tree.map(jnp.copy, state),
+    )
+    carry, (train_losses, valid_losses) = jax.lax.scan(
+        epoch, init, jnp.arange(n_epochs)
+    )
+    _, _, _, _, best_params, best_state = carry
+    return best_params, best_state, train_losses, valid_losses
 
 
 class NoveltyDetecter:
@@ -95,13 +249,27 @@ class NoveltyDetecter:
     # -- training -----------------------------------------------------------
 
     def train(self, model: AutoEncoder, params, state, train_x, valid_x,
-              rng: Optional[jax.Array] = None) -> TrainResult:
+              rng: Optional[jax.Array] = None,
+              fused: Optional[bool] = None) -> TrainResult:
+        """Device-resident training loop.
+
+        NOTE: the underlying epoch programs donate their (params, state,
+        opt_state) buffers — the arrays passed in are consumed.  Use the
+        returned TrainResult; pass jnp.copy'd trees if you need to call
+        train twice from the same initialization.
+
+        Two modes, numerically identical (same op sequence):
+          * per-epoch (default with verbose >= 1): one `train_epoch` program
+            + one `eval_epoch` program per epoch; two scalar fetches per
+            epoch (live progress printing stays possible).
+          * fused (default with verbose == 0, or fused=True): the whole run
+            is ONE `train_all_epochs` program — scan over epochs, device-side
+            best-model selection, a single host fetch at the end.  This is
+            the mode the tunneled-device bench exercises (dispatch RTT would
+            otherwise dominate, CLAUDE.md timing rules).
+        """
         cfg = self.config
         optimizer = optax.adam(cfg.lr)
-        if self.mesh is not None:
-            params = replicate(self.mesh, params)
-            state = replicate(self.mesh, state)
-        opt_state = optimizer.init(params)
         if rng is None:
             rng = jax.random.PRNGKey(cfg.seed + 1)
 
@@ -110,37 +278,54 @@ class NoveltyDetecter:
         n = train_x.shape[0]
         batch = min(cfg.batch_size, n)
 
+        data_sharding = None
+        if self.mesh is not None:
+            params = replicate(self.mesh, params)
+            state = replicate(self.mesh, state)
+            n_dev = self.mesh.devices.size
+            # pre-stage the datasets sharded when divisible (replicated
+            # otherwise — a non-divisible batch cannot be row-sharded)
+            train_x = self._put(train_x)
+            valid_x = self._put(valid_x)
+            if batch % n_dev == 0:
+                data_sharding = batch_sharding(self.mesh)
+        opt_state = optimizer.init(params)
+
+        if fused is None:
+            fused = cfg.verbose < 1
+        if fused:
+            best_params, best_state, tr, va = train_all_epochs(
+                model, params, state, opt_state, train_x, valid_x, rng,
+                optimizer, batch, cfg.n_epochs, data_sharding,
+            )
+            return TrainResult(
+                params=best_params,
+                state=best_state,
+                train_history=[float(v) for v in np.asarray(tr)],
+                valid_history=[float(v) for v in np.asarray(va)],
+            )
+
         train_history, valid_history = [], []
         best = {"loss": np.inf, "params": params, "state": state}
 
         for epoch in range(cfg.n_epochs):
-            rng, k = jax.random.split(rng)
-            perm = jax.random.permutation(k, n)
-            shuffled = train_x[perm]
-
-            total, rows = 0.0, 0
-            for s, e in _batch_slices(n, batch):
-                xb = self._put(shuffled[s:e])
-                params, state, opt_state, loss = train_step(
-                    model, params, state, opt_state, xb, optimizer
-                )
-                total += float(loss)
-                rows += e - s
-            train_loss = total / max(rows, 1)
+            perm = jax.random.permutation(jax.random.fold_in(rng, epoch), n)
+            params, state, opt_state, total = train_epoch(
+                model, params, state, opt_state, train_x, perm,
+                optimizer, batch, data_sharding,
+                rng=jax.random.fold_in(rng, cfg.n_epochs + epoch),
+            )
+            train_loss = float(total) / max(n, 1)
             train_history.append(train_loss)
 
-            vtotal, vrows = 0.0, 0
-            for s, e in _batch_slices(valid_x.shape[0], batch):
-                xb = self._put(valid_x[s:e])
-                vtotal += float(eval_step(model, params, state, xb))
-                vrows += e - s
-            valid_loss = vtotal / max(vrows, 1)
+            vtotal = eval_epoch(model, params, state, valid_x, batch)
+            valid_loss = float(vtotal) / max(valid_x.shape[0], 1)
             valid_history.append(valid_loss)
 
             if valid_loss < best["loss"]:
                 # deep copy (the reference's deepcopy at novelty_detection.py
-                # :117): train_step donates its input buffers, so a bare
-                # reference here would be deleted by a later step
+                # :117): train_epoch donates its input buffers, so a bare
+                # reference here would be deleted by a later epoch
                 best = {
                     "loss": valid_loss,
                     "params": jax.tree.map(jnp.copy, params),
@@ -162,7 +347,13 @@ class NoveltyDetecter:
 
     def _put(self, x):
         if self.mesh is not None:
-            return shard_batch(self.mesh, x)
+            n_dev = self.mesh.devices.size
+            if x.shape[0] % n_dev == 0:
+                return shard_batch(self.mesh, x)
+            return jax.device_put(
+                x, jax.sharding.NamedSharding(self.mesh,
+                                              jax.sharding.PartitionSpec())
+            )
         return x
 
     # -- evaluation ---------------------------------------------------------
@@ -174,8 +365,14 @@ class NoveltyDetecter:
 
         Returns (base_report, sap_report, nap_report), each a ScoreReport
         (score, auroc, aupr, f1, precision, recall).
+
+        When the detecter was built with a mesh, the whole eval path runs
+        data-parallel: RaPP diffs are extracted on mesh-sharded batches and
+        the NAP fit all-gathers the train diffs before the SVD — numerically
+        identical to the single-device path (SURVEY.md §5).
         """
         cfg = self.config
+        mesh = self.mesh
         test_y = np.asarray(test_y)
         target = _coerce_like(cfg.target_class, test_y)
         if cfg.unimodal_normal:
@@ -183,10 +380,17 @@ class NoveltyDetecter:
         else:
             label = np.isin(test_y, [target])
 
+        if mesh is not None:
+            params = replicate(mesh, params)
+            state = replicate(mesh, state)
+
         bs = cfg.batch_size
-        train_diffs = get_diffs(train_x, model, params, state, batch_size=bs)
-        valid_diffs = get_diffs(valid_x, model, params, state, batch_size=bs)
-        test_diffs = get_diffs(test_x, model, params, state, batch_size=bs)
+        train_diffs = get_diffs(train_x, model, params, state,
+                                batch_size=bs, mesh=mesh)
+        valid_diffs = get_diffs(valid_x, model, params, state,
+                                batch_size=bs, mesh=mesh)
+        test_diffs = get_diffs(test_x, model, params, state,
+                               batch_size=bs, mesh=mesh)
 
         end = cfg.n_layers + 1 - cfg.end_layer_index
         base = get_recon_loss(valid_diffs[0], test_diffs[0], label)
@@ -199,6 +403,7 @@ class NoveltyDetecter:
             config=cfg,
             start_layer_index=cfg.start_layer_index, end_layer_index=end,
             save_stats_path=save_stats_path,
+            mesh=mesh,
         )
         return base, sap, nap
 

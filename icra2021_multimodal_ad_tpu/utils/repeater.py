@@ -12,6 +12,7 @@ concurrent processes would contend for the device).
 from __future__ import annotations
 
 import itertools
+import multiprocessing
 import random
 from concurrent.futures import ProcessPoolExecutor
 from typing import Any, Callable, Dict, List, Sequence
@@ -40,8 +41,21 @@ def convert(x, to=int, delimiter=","):
     return [x]
 
 
+def _invoke(f_and_config):
+    """Module-level worker shim so ProcessPoolExecutor can pickle the call
+    (closures cannot cross the process boundary — the round-1 sweep bug)."""
+    f, config = f_and_config
+    return config, f(config)
+
+
 class Repeater:
-    """Run `f(overrides_dict)` over every grid point (repeater.py:25-62)."""
+    """Run `f(overrides_dict)` over every grid point (repeater.py:25-62).
+
+    `f` must be a module-level (picklable) callable for the parallel mode;
+    results are collected and returned to the PARENT process as
+    (config, result) pairs — any aggregation (e.g. Reporter rows) must
+    happen there, since worker-side mutation is invisible to the parent.
+    """
 
     def __init__(self, grid: Dict[str, Sequence[Any]], f: Callable,
                  max_workers: int = 1, seed: int = 0):
@@ -51,11 +65,16 @@ class Repeater:
         self.seed = seed
 
     def run(self, sequential: bool | None = None) -> list:
+        """Returns [(config_dict, f(config_dict)), ...] in execution order."""
         configs = expand_grid(self.grid, seed=self.seed)
-        print("We have %d processes." % len(configs))
+        print("Sweeping %d grid points." % len(configs))
         if sequential is None:
             sequential = self.max_workers <= 1
         if sequential:
-            return [self.f(c) for c in configs]
-        with ProcessPoolExecutor(max_workers=self.max_workers) as pool:
-            return list(pool.map(self.f, configs))
+            return [_invoke((self.f, c)) for c in configs]
+        # spawn (not fork): workers re-import cleanly, which matters when
+        # the parent already initialized a JAX backend
+        ctx = multiprocessing.get_context("spawn")
+        with ProcessPoolExecutor(max_workers=self.max_workers,
+                                 mp_context=ctx) as pool:
+            return list(pool.map(_invoke, [(self.f, c) for c in configs]))

@@ -68,19 +68,18 @@ def main():
     grid.setdefault("data_folder_name", [args.data_folder_name])
     grid.setdefault("seed", [args.seed])
 
-    reporter = Reporter()
+    # run_one is module-level (picklable); all Reporter aggregation happens
+    # in the parent over the returned (config, result) pairs, so the
+    # parallel mode produces the same CSV as sequential
+    pairs = Repeater(grid, run_one, max_workers=args.max_workers,
+                     seed=args.seed).run(sequential=args.max_workers <= 1)
 
-    def f(overrides):
-        result = run_one(overrides)
+    reporter = Reporter()
+    for overrides, result in pairs:
         cfg_row = {k: v for k, v in overrides.items() if k != "progress"}
         reporter.add(cfg_row, result)
         print(f"[{overrides.get('progress', '?')}] {cfg_row} -> "
               f"nap_auroc={result['nap_auroc']:.4f}")
-        return result
-
-    Repeater(grid, f, max_workers=args.max_workers, seed=args.seed).run(
-        sequential=args.max_workers <= 1
-    )
     reporter.export(args.out)
     print("wrote", args.out)
 
