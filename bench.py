@@ -223,6 +223,32 @@ def main():
     except Exception as e:  # noqa: BLE001 — reason is recorded
         trainer_error = f"{type(e).__name__}: {e}"[:300]
 
+    # -- dataset build: CSV shards + PNG decode + fusion -> device array ----
+    # The reference's #1 hot loop was its serial per-row PIL decode at
+    # dataset build (SURVEY.md §3.1); ours dedups repeated frames and
+    # thread-pools distinct ones (serial on this 1-core TPU frontend).
+    build_rows_per_sec, build_error = None, None
+    try:
+        import tempfile
+
+        from icra2021_multimodal_ad_tpu.data.dataset import TabularDataset
+        from icra2021_multimodal_ad_tpu.data.synthetic import (
+            generate_data_sum_shards,
+        )
+
+        root = tempfile.mkdtemp(prefix="benchds_")
+        n_rows = 2000
+        generate_data_sum_shards(root, n_episodes=n_rows // 40,
+                                 steps_per_episode=40, n_shards=2,
+                                 n_lidar=963, seed=0)
+        bcfg = cfg.replace(data_folder_name=root, slicing_size=n_rows)
+        t0 = time.perf_counter()
+        ds = TabularDataset(bcfg)
+        jax.block_until_ready(ds.data)
+        build_rows_per_sec = len(ds) / (time.perf_counter() - t0)
+    except Exception as e:  # noqa: BLE001 — reason is recorded
+        build_error = f"{type(e).__name__}: {e}"[:300]
+
     out = {
         "metric": "fused_inference_windows_per_sec",
         "value": round(headline, 1),
@@ -235,6 +261,8 @@ def main():
         "train_windows_per_sec": round(train_tput, 1) if train_tput else None,
         "trainer_path_windows_per_sec":
             round(trainer_tput, 1) if trainer_tput else None,
+        "dataset_build_rows_per_sec":
+            round(build_rows_per_sec, 1) if build_rows_per_sec else None,
         "batch": B,
         "device": str(jax.devices()[0]),
         "timing": "on-device fori_loop, compile-excluded, result-fetched",
@@ -243,6 +271,7 @@ def main():
         k: v for k, v in {
             "fp32_error": fp32_error, "nap_error": nap_error,
             "train_error": train_error, "trainer_error": trainer_error,
+            "build_error": build_error,
         }.items() if v
     }
     if errors:

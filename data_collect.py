@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Robot data-collection entry point — capability parity with
+data_collect_experiment/main_for_data_collect.py:260-336.
+
+Drives N pick-place episodes (simulated by default; `--transport ros` wires
+the same collector to live rospy topics on a robot host) through the
+DataCollector -> EpisodeRecorder capture tree, then optionally runs the
+time-sync ETL so one command goes from robot to data_sum shards:
+
+    python data_collect.py --out_dir /tmp/collect --episodes 5 --build
+"""
+
+import argparse
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out_dir", type=str, required=True)
+    p.add_argument("--episodes", type=int, default=3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--n_lidar", type=int, default=963)
+    p.add_argument("--no_drop", action="store_true",
+                   help="collect normal (no-drop) episodes")
+    p.add_argument("--object_grams", type=float, default=210.0)
+    p.add_argument("--build", action="store_true",
+                   help="run the ETL afterwards (capture tree -> data_sum)")
+    p.add_argument("--episodes_per_shard", type=int, default=120)
+    p.add_argument("--transport", choices=["sim", "ros"], default="sim")
+    args = p.parse_args()
+
+    from icra2021_multimodal_ad_tpu.data.orchestration import (
+        PickPlaceScript,
+        collect_and_build,
+        run_collection,
+    )
+
+    if args.transport == "ros":
+        # live robot: subscribe the collector to the HSR topics and record
+        # wall-clock episodes (requires rospy on the robot host)
+        from icra2021_multimodal_ad_tpu.data.acquisition import (
+            DataCollector,
+            make_ros_transport,
+        )
+
+        transport, spin = make_ros_transport()
+        for ep in range(args.episodes):
+            name = f"ep{ep:04d}"
+            import os
+
+            DataCollector(transport, os.path.join(args.out_dir, "data"), name)
+            print(f"recording {name} — Ctrl-C to stop this episode")
+            spin()
+        return
+
+    script = PickPlaceScript(drop=not args.no_drop,
+                             object_grams=args.object_grams)
+    if args.build:
+        shards = collect_and_build(
+            args.out_dir, args.episodes, script=script, seed=args.seed,
+            n_lidar=args.n_lidar, episodes_per_shard=args.episodes_per_shard,
+            verbose=True,
+        )
+        print("data_sum shards:", shards)
+    else:
+        names = run_collection(args.out_dir, args.episodes, script=script,
+                               seed=args.seed, n_lidar=args.n_lidar,
+                               verbose=True)
+        print("episodes:", names)
+
+
+if __name__ == "__main__":
+    main()

@@ -25,9 +25,16 @@ from icra2021_multimodal_ad_tpu.utils.checkpoint import load_checkpoint, to_devi
 from icra2021_multimodal_ad_tpu.data.fixture import fixture_to_features
 
 
-def run_full_test(config: Config, fixture_path: str, plot: bool = False):
+def run_full_test(config: Config, fixture_path: str, plot: bool = False,
+                  show_mode: bool = False,
+                  slip_plot_path: str | None = None,
+                  score_plot_path: str | None = None):
     """Returns (scores, df).  Mirrors FullTest.py main: everything is test
-    split (ratios [0,0,1], FullTest.py:179), batch = whole fixture."""
+    split (ratios [0,0,1], FullTest.py:179), batch = whole fixture.
+
+    show_mode / slip_plot_path render the per-window reconstruction-loss
+    trace over the label trace (FullTest.py:54-98 show_detect_slip,
+    headless-capable)."""
     model = build_autoencoder(config)
     params, state, _ = load_checkpoint(config.saved_name)
     params, state = to_device(params), to_device(state)
@@ -49,11 +56,31 @@ def run_full_test(config: Config, fixture_path: str, plot: bool = False):
     )
     print("nap_time", time.time() - t0)
 
-    if plot:
+    if show_mode or slip_plot_path:
+        from icra2021_multimodal_ad_tpu.utils.plotting import (
+            per_window_recon_loss,
+            show_detect_slip,
+        )
+
+        labels = (df["label"].to_numpy() if "label" in df.columns
+                  else np.zeros(len(df), dtype=int))
+        loss = per_window_recon_loss(model, params, state, x)
+        out = show_detect_slip(loss, labels, save_path=slip_plot_path,
+                               show=show_mode, verbose=show_mode)
+        if out:
+            print("slip plot saved:", out)
+
+    if plot or score_plot_path:
         from matplotlib import pyplot as plt
 
+        fig = plt.figure()
         plt.plot(scores, color="r")
-        plt.show()
+        plt.title("NAP score")
+        if score_plot_path:
+            fig.savefig(score_plot_path, dpi=110, bbox_inches="tight")
+            print("score plot saved:", score_plot_path)
+        if plot:
+            plt.show()
     return scores, df
 
 
@@ -67,6 +94,11 @@ def main():
     p.add_argument("--n_layers", type=int, default=5)
     p.add_argument("--btl_size", type=int, default=100)
     p.add_argument("--plot", action="store_true")
+    p.add_argument("--show_mode", action="store_true",
+                   help="per-window loss/label visualizer "
+                        "(FullTest.py show_detect_slip)")
+    p.add_argument("--slip_plot_path", type=str, default=None)
+    p.add_argument("--score_plot_path", type=str, default=None)
     args = p.parse_args()
 
     cfg = Config(
@@ -74,7 +106,10 @@ def main():
         saved_name=args.saved_name, train_diffs=args.train_diffs,
     )
     cfg = cfg.replace(input_size=get_input_size(cfg))
-    scores, df = run_full_test(cfg, args.fixture, plot=args.plot)
+    scores, df = run_full_test(cfg, args.fixture, plot=args.plot,
+                               show_mode=args.show_mode,
+                               slip_plot_path=args.slip_plot_path,
+                               score_plot_path=args.score_plot_path)
     print("max, min", scores.max(), scores.min())
     if "nap_score" in df.columns:
         golden = df["nap_score"].to_numpy()

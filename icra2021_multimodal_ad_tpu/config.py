@@ -69,6 +69,10 @@ class Config:
     # -- filled in post-parse (reference mutates argparse namespace) -------
     input_size: Optional[int] = None
 
+    # -- plots (utils/metric.py:49-60,102-113 `show` flags, headless) ------
+    roc_plot_path: Optional[str] = None  # save the NAP ROC curve here
+    pr_plot_path: Optional[str] = None   # save the NAP PR curve here
+
     # -- TPU-native additions ----------------------------------------------
     seed: int = 0                 # PRNG seed for init, shuffle, fusion weights
     mesh_shape: Optional[int] = None  # devices on the 'data' mesh axis (None = all)
@@ -117,6 +121,8 @@ def _add_flags(p: argparse.ArgumentParser) -> None:
         elif f.name == "distribution":
             p.add_argument(name, type=str, default=default,
                            choices=[None, "normal"])
+        elif default is None:
+            p.add_argument(name, type=str, default=None)
         else:
             p.add_argument(name, type=type(default), default=default)
 

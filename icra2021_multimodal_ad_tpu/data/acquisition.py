@@ -172,11 +172,73 @@ class DataCollector:
         )
 
 
-def make_ros_transport():
-    """Thin rospy bridge (only importable on a robot host with ROS)."""
-    import rospy  # noqa: F401  pragma: no cover
+def make_ros_transport():  # pragma: no cover — requires a live ROS master
+    """rospy bridge: subscribes the HSR sensor topics and republishes each
+    message onto a LocalTransport in this package's payload shapes, so the
+    same DataCollector/EpisodeRecorder runs unmodified on a robot host
+    (main_for_data_collect.py:260-336 subscriber set;
+    microphone_send.py / hand_camera_send.py publishers).
 
-    raise NotImplementedError(
-        "attach rospy.Subscriber callbacks to LocalTransport.publish; "
-        "requires a live ROS master"
-    )
+    Returns (transport, spin) where spin() blocks until shutdown.
+    """
+    import rospy
+    from geometry_msgs.msg import WrenchStamped
+    from sensor_msgs.msg import Image, LaserScan
+    from std_msgs.msg import String
+
+    transport = LocalTransport()
+    topics = DataCollector.TOPICS
+
+    def _img_array(msg: "Image") -> np.ndarray:
+        # minimal cv_bridge-free decode for the encodings the HSR publishes
+        buf = np.frombuffer(msg.data, dtype=np.uint8)
+        if msg.encoding in ("rgb8", "bgr8"):
+            arr = buf.reshape(msg.height, msg.width, 3)
+            if msg.encoding == "bgr8":
+                arr = arr[..., ::-1]
+            return arr
+        if msg.encoding in ("16UC1", "mono16"):
+            return np.frombuffer(msg.data, dtype=np.uint16).reshape(
+                msg.height, msg.width
+            )
+        if msg.encoding == "mono8":
+            return buf.reshape(msg.height, msg.width)
+        raise ValueError(f"unsupported image encoding {msg.encoding!r}")
+
+    def on_force(msg: "WrenchStamped"):
+        f = msg.wrench.force
+        transport.publish(
+            topics["force"],
+            (f.x, f.y, f.z, msg.header.stamp.to_sec()),
+        )
+
+    def on_hand(msg: "Image"):
+        transport.publish(
+            topics["hand"], (_img_array(msg), msg.header.stamp.to_sec())
+        )
+
+    def on_depth(msg: "Image"):
+        transport.publish(
+            topics["depth"], (_img_array(msg), msg.header.stamp.to_sec())
+        )
+
+    def on_lidar(msg: "LaserScan"):
+        transport.publish(
+            topics["lidar"],
+            (np.asarray(msg.ranges, dtype=np.float32),
+             msg.header.stamp.to_sec()),
+        )
+
+    def on_mic(msg: "String"):
+        # microphone_send.py publishes raw int16 chunk bytes as a String
+        data = msg.data
+        if isinstance(data, str):
+            data = data.encode("latin-1")
+        transport.publish(topics["mic"], (data, rospy.get_time()))
+
+    rospy.Subscriber(topics["force"], WrenchStamped, on_force)
+    rospy.Subscriber(topics["hand"], Image, on_hand)
+    rospy.Subscriber(topics["depth"], Image, on_depth)
+    rospy.Subscriber(topics["lidar"], LaserScan, on_lidar)
+    rospy.Subscriber(topics["mic"], String, on_mic)
+    return transport, rospy.spin

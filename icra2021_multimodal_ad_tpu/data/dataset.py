@@ -126,10 +126,13 @@ def _load_images(root: str, data_dirs: Sequence[str], ids: Sequence[int],
     resized to (24, 32) like the reference's PIL resize((32, 24)).
 
     The reference decodes 56,000 PNGs serially at dataset build — its #1 hot
-    loop (SURVEY.md §3.1).  PNG inflate + resize release the GIL in C, so a
-    thread pool scales on the host cores; identical paths (consecutive 10 Hz
-    windows repeating a slower camera frame) are decoded once and fanned
-    out."""
+    loop (SURVEY.md §3.1).  Two mitigations: identical paths (consecutive
+    10 Hz windows repeating a slower camera frame) are decoded exactly once
+    and fanned out, and distinct paths are decoded by a thread pool sized to
+    the host cores.  On a single-core host (the TPU frontend this ships on)
+    the pool degrades to the plain serial loop — measured there, pool
+    overhead made threads 0.74x and processes 0.2x, so parallelism is only
+    engaged when cpu_count > 1."""
     from concurrent.futures import ThreadPoolExecutor
 
     paths = [

@@ -180,3 +180,114 @@ def hsr_preprocess(data_dir: str, out_dir: str,
         pd.DataFrame({"name": done}).to_csv(journal_path, index=False)
 
     return written
+
+
+# ---------------------------------------------------------------------------
+# Legacy ETL variant (datasets/data_preprocess.py:82-168)
+# ---------------------------------------------------------------------------
+
+
+def _legacy_mic_cols(n: int) -> List[str]:
+    return [f"Mic{i:04d}" for i in range(n)]
+
+
+def process_episode_legacy(ep_dir: str, data_dir_item: str,
+                           n_lidar: int = 963) -> pd.DataFrame:
+    """Align one episode in the OLDER schema
+    (datasets/data_preprocess.py:82-168): an extra head-RGB stream
+    (`rgb.csv` -> cur_rgb_id) and per-row microphone sample columns parsed
+    from Microphone.csv's `data` lists (Mic0000..), instead of wav-derived
+    MFCCs.  Differences from the live variant, kept for parity:
+
+      * time bound: start = round(min of ALL stream starts) + 1 s
+        (data_preprocess.py:22-37; the live variant uses max of starts).
+      * grid still 10 Hz until drop_start + 0.5.
+
+    The reference stores the mic COLUMN INDEX as the value of the first mic
+    column ('Mic0000': mi_idx, data_preprocess.py:134-135 — a bug); this
+    rebuild stores the sample value, i.e. the intended behavior
+    (SURVEY.md §2 note on implementing intent, not bugs)."""
+    df_rgb = pd.read_csv(os.path.join(ep_dir, "rgb.csv"))[1:]
+    df_depth = pd.read_csv(os.path.join(ep_dir, "depth.csv"))[1:]
+    df_lidar = pd.read_csv(os.path.join(ep_dir, "LiDAR.csv"))[1:]
+    df_hand = pd.read_csv(os.path.join(ep_dir, "hand.csv"))[1:]
+    df_weight = pd.read_csv(os.path.join(ep_dir, "hand_weight.csv"))[1:]
+    df_mic = pd.read_csv(os.path.join(ep_dir, "Microphone.csv"))[1:]
+    df_drop = pd.read_csv(os.path.join(ep_dir, "drop_time.csv"))
+    drop_end, drop_start = df_drop.values[0][-2], df_drop.values[0][-1]
+
+    start = round(min(
+        df_rgb["timegap"].values[0], df_depth["timegap"].values[0],
+        df_lidar["timegap"].values[0], df_weight["timegap"].values[0],
+        df_mic["timegap"].values[0],
+    ) + 1, 1)
+    n_steps = int(np.floor((drop_start + DROP_DURATION - start)
+                           / DATA_FREQUENCY + 1e-9)) + 1
+    if n_steps <= 0:
+        raise ValueError(f"{data_dir_item}: episode shorter than the legacy "
+                         "start bound (min start + 1 s)")
+    grid = np.round(start + DATA_FREQUENCY * np.arange(n_steps), 6)
+
+    ri = align_stream(grid, df_rgb["timegap"].values)
+    di = align_stream(grid, df_depth["timegap"].values)
+    hi = align_stream(grid, df_hand["timegap"].values)
+    li = align_stream(grid, df_lidar["timegap"].values)
+    wi = align_stream(grid, df_weight["timegap"].values)
+    mi = align_stream(grid, df_mic["timegap"].values)
+    for name, arr in (("rgb", ri), ("depth", di), ("hand", hi),
+                      ("LiDAR", li), ("weight", wi), ("mic", mi)):
+        if np.any(arr < 0):
+            raise ValueError(
+                f"{data_dir_item}: no {name} sample inside "
+                f"[t, t+{DATA_FREQUENCY}] for some grid step"
+            )
+
+    def parse_rows(series, idx, width=None):
+        rows = [np.asarray([float(v) for v in s[1:-1].split(",")],
+                           dtype=np.float32)
+                for s in series.values[idx]]
+        if width is not None:
+            rows = [r[:width] for r in rows]
+        return np.stack(rows)
+
+    lidar_rows = parse_rows(df_lidar["data"], li, width=n_lidar)
+    mic_rows = parse_rows(df_mic["data"], mi)
+
+    label = ((grid >= drop_start)
+             & (grid <= drop_start + DROP_DURATION)).astype(int)
+
+    out = {
+        "now_timegap": grid,
+        "cur_rgb_id": df_rgb["id"].values[ri],
+        "cur_depth_id": df_depth["id"].values[di],
+        "cur_hand_id": df_hand["id"].values[hi],
+        "cur_hand_weight": df_weight["weight"].values[wi],
+        "data_dir": data_dir_item,
+    }
+    df = pd.DataFrame(out)
+    for k, c in enumerate(_lidar_cols(n_lidar)):
+        df[c] = lidar_rows[:, k]
+    for k, c in enumerate(_legacy_mic_cols(mic_rows.shape[1])):
+        df[c] = mic_rows[:, k]
+    df["label"] = label
+    return df
+
+
+def hsr_preprocess_legacy(data_dir: str, out_path: str,
+                          episodes: Optional[List[str]] = None,
+                          n_lidar: int = 963) -> str:
+    """Legacy full ETL (data_preprocess.py:82-168): every episode appended
+    into ONE data_sum.csv at `out_path` (the legacy variant neither shards
+    nor journals)."""
+    if episodes is None:
+        episodes = sorted(os.listdir(data_dir))
+    frames = [
+        process_episode_legacy(os.path.join(data_dir, name, "data"), name,
+                               n_lidar=n_lidar)
+        for name in episodes
+    ]
+    df = pd.concat(frames, ignore_index=True)
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    df.to_csv(out_path, index_label="id")
+    print("hsr dataset : data_sum.csv made")
+    return out_path

@@ -47,13 +47,17 @@ class RingBuffer:
     """Fixed-capacity FIFO with atomic snapshot (the deque handoff of
     realtime_tester.py:83,124-130,189, with explicit locking)."""
 
-    def __init__(self, maxlen: int):
+    def __init__(self, maxlen: int, clock=None):
         self._q = deque(maxlen=maxlen)
         self._lock = threading.Lock()
+        # resolved at call time so tests can control the clock
+        self._clock = clock if clock is not None else (lambda: time.monotonic())
+        self.last_append = self._clock()  # liveness for the watchdog
 
     def append(self, item) -> None:
         with self._lock:
             self._q.append(item)
+            self.last_append = self._clock()
 
     def snapshot(self) -> list:
         with self._lock:
@@ -86,6 +90,16 @@ class SensorSource:
             self.force_q.full and self.hand_q.full
             and self.depth_q.full and len(self.mic_q) >= 1
         )
+
+    def stale_topics(self, timeout_s: float, now: Optional[float] = None):
+        """Queues silent for longer than timeout_s (the reference's per-
+        subscriber 10 s connection checks, realtime_tester.py:52-57)."""
+        if now is None:
+            now = time.monotonic()
+        queues = {"force": self.force_q, "hand_camera": self.hand_q,
+                  "depth": self.depth_q, "microphone": self.mic_q}
+        return [name for name, q in queues.items()
+                if now - q.last_append > timeout_s]
 
 
 class SimulatedSensors(SensorSource):
@@ -186,12 +200,28 @@ class StreamingDetector:
     def run(self, source: SensorSource, n_ticks: int = 300,
             nap: bool = False,
             on_tick: Optional[Callable] = None,
-            tick_hook: Optional[Callable] = None) -> np.ndarray:
-        """Returns the (n_ticks, batch_size) score trace."""
+            tick_hook: Optional[Callable] = None,
+            connection_timeout_s: Optional[float] = None) -> np.ndarray:
+        """Returns the (n_ticks, batch_size) score trace.
+
+        With connection_timeout_s, every tick checks sensor liveness and
+        raises SensorTimeout when any queue has been silent too long — the
+        reference's per-subscriber connection checks
+        (realtime_tester.py:52-57, which sys.exit(1))."""
+        from icra2021_multimodal_ad_tpu.data.orchestration import SensorTimeout
+
         traces = []
         for i in range(n_ticks):
             if tick_hook is not None:
                 tick_hook(i)  # simulator advance / rate limiting
+            if connection_timeout_s is not None:
+                dead = source.stale_topics(connection_timeout_s)
+                if dead:
+                    raise SensorTimeout(
+                        "sensor connection timeout (> %.1f s): %s — please "
+                        "check the sensor connection"
+                        % (connection_timeout_s, ", ".join(sorted(dead)))
+                    )
             start = time.perf_counter()
             x = get_realtime_dataloader(
                 self.config, self.fusion_params,

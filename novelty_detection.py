@@ -12,6 +12,7 @@ import os
 import time
 
 import jax
+import numpy as np
 
 from icra2021_multimodal_ad_tpu.config import get_config, get_input_size
 from icra2021_multimodal_ad_tpu.data.dataset import get_loaders
@@ -48,6 +49,24 @@ def main(config):
         train_x, valid_x, test_x, test_y,
         save_stats_path=config.train_diffs,
     )
+
+    if config.roc_plot_path or config.pr_plot_path:
+        # NAP ROC/PR curve plots (utils/metric.py:49-60,102-113 `show`
+        # options, rendered headlessly to files)
+        from icra2021_multimodal_ad_tpu.train import _coerce_like
+        from icra2021_multimodal_ad_tpu.utils.plotting import plot_pr, plot_roc
+
+        label = np.isin(np.asarray(test_y),
+                        [_coerce_like(config.target_class,
+                                      np.asarray(test_y))])
+        if config.unimodal_normal:
+            label = ~label
+        if config.roc_plot_path:
+            print("roc plot:", plot_roc(nap.score, label,
+                                        save_path=config.roc_plot_path))
+        if config.pr_plot_path:
+            print("pr plot:", plot_pr(nap.score, label,
+                                      save_path=config.pr_plot_path))
 
     df = report_dataframe(base, sap, nap)
     out = os.path.join(config.data, "result_csv", config.saved_result + ".csv")

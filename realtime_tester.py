@@ -43,6 +43,14 @@ def main():
     p.add_argument("--nap", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--plot", action="store_true")
+    p.add_argument("--live_plot", action="store_true",
+                   help="rolling per-tick score plot "
+                        "(realtime_tester.py:206-228 live_plotter)")
+    p.add_argument("--plot_path", type=str, default=None,
+                   help="save the live score plot headlessly to this file")
+    p.add_argument("--connection_timeout_s", type=float, default=None,
+                   help="raise if a sensor queue is silent this long "
+                        "(reference default 10 s, realtime_tester.py:52-57)")
     args = p.parse_args()
 
     cfg = Config(
@@ -64,15 +72,26 @@ def main():
     source = SimulatedSensors(cfg.batch_size, seed=cfg.seed)
     source.fill()  # warm the ring buffers
 
+    live = None
+    if args.live_plot or args.plot_path:
+        from icra2021_multimodal_ad_tpu.utils.plotting import LiveScorePlotter
+
+        live = LiveScorePlotter(window=min(args.ticks, 100),
+                                identifier="streaming anomaly score",
+                                interactive=args.live_plot or None)
+
     def tick_hook(i):
         source.tick(anomaly=i >= args.anomaly_after)
 
     def on_tick(i, scores):
         print(f"tick {i}: score={scores.mean():.4f} "
               f"lat={detector.latencies_s[-1] * 1e3:.2f} ms")
+        if live is not None:
+            live.update(scores.mean())
 
     trace = detector.run(source, n_ticks=args.ticks, nap=args.nap,
-                         on_tick=on_tick, tick_hook=tick_hook)
+                         on_tick=on_tick, tick_hook=tick_hook,
+                         connection_timeout_s=args.connection_timeout_s)
     stats = detector.latency_stats()
     print("latency:", stats)
     pre = trace[: args.anomaly_after].mean()
@@ -80,6 +99,8 @@ def main():
     post = post_rows.mean() if post_rows.size else float("nan")
     print(f"mean score before anomaly: {pre:.4f}  after: {post:.4f}")
 
+    if live is not None and args.plot_path:
+        print("live plot saved:", live.save(args.plot_path))
     if args.plot:
         from matplotlib import pyplot as plt
 

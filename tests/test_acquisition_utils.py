@@ -86,8 +86,8 @@ def test_repeater_sequential():
     calls = []
     rep = Repeater({"a": [1, 2], "b": [10]}, lambda c: calls.append(c) or c["a"],
                    max_workers=1)
-    out = rep.run()
-    assert sorted(out) == [1, 2]
+    out = rep.run()  # (config, result) pairs, parent-side aggregation
+    assert sorted(r for _, r in out) == [1, 2]
     assert len(calls) == 2
 
 

@@ -167,6 +167,38 @@ def test_sharded_eval_matches_single_device(data_root):
         )
 
 
+def test_object_select_mode_filters_episodes(data_root):
+    """objectsplit.csv per-object-type episode filter
+    (utils/data_loaders.py:261-276: keep rows whose data_dir is listed in
+    the object_type column, 'book only mode')."""
+    import pandas as pd
+
+    book_eps = ["ep0000", "ep0002", "ep0005"]
+    bottle_eps = ["ep0001", "ep0003"]
+    pd.DataFrame({"book": book_eps, "bottle": bottle_eps + [None]}).to_csv(
+        os.path.join(data_root, "objectsplit.csv"), index=False
+    )
+
+    from icra2021_multimodal_ad_tpu.data.dataset import TabularDataset
+
+    cfg = _config(data_root, "force_torque").replace(
+        object_select_mode=True, object_type="book"
+    )
+    ds = TabularDataset(cfg)
+    kept = set(ds.df["data_dir"].unique())
+    assert kept == set(book_eps)
+    assert len(ds) == ds.df.shape[0] > 0
+
+    cfg2 = cfg.replace(object_type="bottle")
+    ds2 = TabularDataset(cfg2)
+    assert set(ds2.df["data_dir"].unique()) == set(bottle_eps)
+
+    # full loader pipeline over the filtered view still trains/splits
+    manager, train_l, valid_l, test_l = get_loaders(cfg)
+    x, y = manager.get_transformed_data(test_l)
+    assert len(x) > 0 and set(np.unique(np.asarray(y))) <= {0.0, 1.0}
+
+
 def test_checkpoint_roundtrip(data_root, tmp_path):
     cfg = _config(data_root, "force_torque")
     model, params, state = get_model(cfg)

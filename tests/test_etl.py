@@ -98,3 +98,80 @@ def test_etl_output_feeds_dataset_loader(raw_root, tmp_path):
     ds = TabularDataset(cfg)
     assert ds.data.shape[1] == 128
     assert np.isfinite(np.asarray(ds.data)).all()
+
+
+def _write_legacy_episode(root, name, drop_start=2.5, duration=3.6,
+                          n_lidar=15, n_mic=8, seed=0):
+    """Raw capture tree in the OLDER schema (datasets/data_preprocess.py):
+    extra rgb.csv stream + Microphone.csv carrying per-row sample lists."""
+    import os
+
+    rng = np.random.default_rng(seed)
+    ep = os.path.join(root, name, "data")
+    os.makedirs(ep, exist_ok=True)
+
+    def clock(hz, start):
+        t = start + np.cumsum(rng.uniform(0.70 / hz, 0.95 / hz,
+                                          int(duration * hz * 1.6)))
+        return t[t < duration]
+
+    for stream, start in (("rgb", 0.04), ("depth", 0.05), ("hand", 0.06)):
+        t = clock(10, start)
+        pd.DataFrame({"time": t, "id": np.arange(1, len(t) + 1),
+                      "timegap": t}).to_csv(os.path.join(ep, f"{stream}.csv"))
+    t = clock(10, 0.07)
+    scans = ["[" + ",".join(f"{v:.3f}" for v in rng.uniform(0.2, 5, n_lidar))
+             + "]" for _ in t]
+    pd.DataFrame({"data": scans, "time": t, "timegap": t}).to_csv(
+        os.path.join(ep, "LiDAR.csv"))
+    t = clock(50, 0.02)
+    w = np.where(t >= drop_start, 40.0, 210.0) + rng.normal(0, 1, len(t))
+    pd.DataFrame({"datetime": t, "timegap": t,
+                  "weight": np.round(w, 1)}).to_csv(
+        os.path.join(ep, "hand_weight.csv"))
+    t = clock(20, 0.03)
+    mics = ["[" + ",".join(f"{v:.1f}" for v in rng.normal(0, 300, n_mic))
+            + "]" for _ in t]
+    pd.DataFrame({"data": mics, "time": t, "timegap": t}).to_csv(
+        os.path.join(ep, "Microphone.csv"))
+    pd.DataFrame([{"drop_end": drop_start + 0.5,
+                   "drop_start": drop_start}]).to_csv(
+        os.path.join(ep, "drop_time.csv"))
+
+
+def test_legacy_etl_variant_schema_and_labels(tmp_path):
+    """data_preprocess.py:82-168 parity: rgb-id column + per-row Mic sample
+    columns, min-start+1 time bound, single unsharded data_sum.csv."""
+    from icra2021_multimodal_ad_tpu.data.etl import (
+        hsr_preprocess_legacy,
+        process_episode_legacy,
+    )
+
+    root = str(tmp_path / "legacy")
+    for i in range(2):
+        _write_legacy_episode(root, f"ep{i}", seed=i)
+
+    out = hsr_preprocess_legacy(root, str(tmp_path / "data_sum.csv"),
+                                n_lidar=15)
+    df = pd.read_csv(out)
+    for col in ("now_timegap", "cur_rgb_id", "cur_depth_id", "cur_hand_id",
+                "cur_hand_weight", "data_dir", "LiDAR000", "LiDAR014",
+                "Mic0000", "Mic0007", "label"):
+        assert col in df.columns, col
+    assert set(df["data_dir"].unique()) == {"ep0", "ep1"}
+    assert set(df["label"].unique()) == {0, 1}
+
+    ep0 = df[df["data_dir"] == "ep0"]
+    # legacy time bound: starts ~1 s after the earliest stream sample
+    assert ep0["now_timegap"].iloc[0] >= 1.0
+    # grid ends at drop_start + 0.5, labels exactly the trailing 0.5 s window
+    assert ep0["now_timegap"].iloc[-1] <= 3.0 + 1e-6
+    labeled = ep0[ep0["label"] == 1]["now_timegap"]
+    assert labeled.min() >= 2.5 - 1e-6
+    # intended behavior: Mic0000 carries the SAMPLE value, not the index
+    # (the reference's data_preprocess.py:134-135 bug stored mi_idx)
+    assert not np.allclose(df["Mic0000"], 0.0)
+
+    one = process_episode_legacy(
+        str(tmp_path / "legacy" / "ep0" / "data"), "ep0", n_lidar=15)
+    assert len(one) == len(ep0)

@@ -1,0 +1,164 @@
+"""Episode orchestration + sensor fault handling.
+
+Covers the robot-side capabilities beyond the bare recorder: the scripted
+pick-place episode driver (main_for_data_collect.py:260-336), the one-command
+collect -> ETL -> shards flow, the sensor-connection watchdog
+(realtime_tester.py:52-57), and the camera reconnect cascade
+(hand_camera_send.py:28-44).
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from icra2021_multimodal_ad_tpu.data.orchestration import (
+    CameraUnavailable,
+    ConnectionWatchdog,
+    PickPlaceScript,
+    ReconnectingCamera,
+    SensorTimeout,
+    collect_and_build,
+    run_collection,
+)
+
+
+# ---------------------------------------------------------------------------
+# watchdog
+# ---------------------------------------------------------------------------
+
+
+def test_watchdog_raises_after_timeout_naming_topic():
+    t = [0.0]
+    wd = ConnectionWatchdog(["mic", "cam"], timeout_s=10.0, clock=lambda: t[0])
+    wd.check()  # fresh
+    t[0] = 9.0
+    wd.beat("cam")
+    wd.check(now=9.5)  # mic at 9.5s silence — still under 10
+    with pytest.raises(SensorTimeout, match="mic"):
+        wd.check(now=10.5)  # mic dead, cam alive
+    assert wd.stale_topics(now=10.5) == ["mic"]
+
+
+def test_streaming_detector_enforces_connection_timeout(monkeypatch):
+    from icra2021_multimodal_ad_tpu.data import streaming as st
+
+    clock = [0.0]
+    monkeypatch.setattr(st.time, "monotonic", lambda: clock[0])
+    source = st.SensorSource(batch_size=2)
+    clock[0] = 0.5
+    source.force_q.append(1.0)
+    clock[0] = 9.9
+    assert source.stale_topics(10.0) == []
+    clock[0] = 10.3  # others silent since t=0, force refreshed at t=0.5
+    assert "force" not in source.stale_topics(10.0)
+    assert set(source.stale_topics(10.0)) == {"hand_camera", "depth",
+                                              "microphone"}
+
+    detector = st.StreamingDetector.__new__(st.StreamingDetector)  # no model
+    detector.config = None
+    detector.latencies_s = []
+    with pytest.raises(SensorTimeout, match="depth"):
+        st.StreamingDetector.run(detector, source, n_ticks=1,
+                                 connection_timeout_s=10.0)
+
+
+# ---------------------------------------------------------------------------
+# camera reconnect cascade
+# ---------------------------------------------------------------------------
+
+
+class _FakeCam:
+    def __init__(self, frames, fail_after=None):
+        self.frames = list(frames)
+        self.fail_after = fail_after
+        self.reads = 0
+        self.released = False
+
+    def read(self):
+        self.reads += 1
+        if self.fail_after is not None and self.reads > self.fail_after:
+            return None
+        return self.frames[0] if self.frames else None
+
+    def release(self):
+        self.released = True
+
+
+def test_camera_cascades_to_next_device_on_failure():
+    dead = _FakeCam([], fail_after=0)
+    live = _FakeCam(["frame"])
+    cam = ReconnectingCamera([lambda: dead, lambda: live])
+    assert cam.read() == "frame"
+    assert cam.reconnects == 1  # device 0 failed once, cascaded to 1
+    assert cam.read() == "frame"
+    assert cam.reconnects == 1  # stays on the live device
+
+
+def test_camera_recovers_after_transient_failure_and_wraps():
+    flaky = _FakeCam(["a"], fail_after=1)
+    cam = ReconnectingCamera([lambda: flaky, lambda: _FakeCam([], 0),
+                              lambda: _FakeCam(["b"])])
+    assert cam.read() == "a"  # first read OK
+    assert cam.read() == "b"  # flaky dies -> candidate 1 dead -> candidate 2
+    assert cam.reconnects == 2
+
+
+def test_camera_unavailable_after_full_cycles():
+    cam = ReconnectingCamera([lambda: _FakeCam([], 0)] * 2, max_cycles=2)
+    with pytest.raises(CameraUnavailable):
+        cam.read()
+    assert cam.reconnects == 4
+
+
+# ---------------------------------------------------------------------------
+# scripted episodes -> capture tree -> ETL -> shards
+# ---------------------------------------------------------------------------
+
+
+def test_pick_place_weight_profile():
+    s = PickPlaceScript(object_grams=200.0)
+    assert s.weight_grams(0.1) == 0.0                      # approach
+    assert 0 < s.weight_grams(s.approach_s + 0.3) <= 200.0  # grasp ramp
+    carry_t = s.carry_start + 0.1
+    assert s.weight_grams(carry_t) == 200.0                # carrying
+    assert s.weight_grams(s.drop_time() + 0.1) == 40.0     # dropped
+    assert PickPlaceScript(drop=False).drop_time() is None
+
+
+def test_run_collection_writes_etl_ready_tree(tmp_path):
+    out = str(tmp_path / "collect")
+    names = run_collection(out, n_episodes=2, seed=3, n_lidar=20)
+    assert names == ["ep0000", "ep0001"]
+    ep = os.path.join(out, "data", "ep0000", "data")
+    for f in ("depth.csv", "hand.csv", "LiDAR.csv", "hand_weight.csv",
+              "Microphone.csv", "drop_time.csv"):
+        assert os.path.exists(os.path.join(ep, f)), f
+    assert os.path.exists(os.path.join(ep, "sound", "output.wav"))
+    assert os.path.exists(os.path.join(ep, "img", "hand", "1.png"))
+    assert os.path.exists(os.path.join(ep, "img", "d", "1.png"))
+
+    w = pd.read_csv(os.path.join(ep, "hand_weight.csv"))
+    drop = pd.read_csv(os.path.join(ep, "drop_time.csv"))
+    drop_start = drop["drop_start"].iloc[0]
+    before = w[w["timegap"].between(drop_start - 0.5, drop_start - 0.1)]
+    after = w[w["timegap"] > drop_start + 0.05]
+    assert before["weight"].mean() > 150
+    assert after["weight"].mean() < 80
+
+
+def test_collect_and_build_one_command(tmp_path):
+    out = str(tmp_path / "robot")
+    shards = collect_and_build(out, n_episodes=2, seed=1, n_lidar=12,
+                               episodes_per_shard=2)
+    assert len(shards) == 1 and os.path.exists(shards[0])
+    df = pd.read_csv(shards[0])
+    for col in ("mfcc00", "mfcc12", "cur_depth_id", "cur_hand_id",
+                "cur_hand_weight", "LiDAR000", "label"):
+        assert col in df.columns, col
+    assert set(df["label"].unique()) == {0, 1}
+    # the drop must be visible: labeled rows carry the dropped weight
+    dropped = df[df["label"] == 1]["cur_hand_weight"]
+    carried = df[df["label"] == 0]["cur_hand_weight"]
+    assert dropped.mean() < carried.quantile(0.9)

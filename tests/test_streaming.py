@@ -56,30 +56,74 @@ def test_realtime_dataloader_shape():
     assert np.isfinite(np.asarray(x)).all()
 
 
-def test_streaming_detector_sees_anomaly():
-    cfg = _cfg()
+def _collect_normal_windows(cfg, fusion_params, n_ticks=25, seed=7):
+    """Gather fused windows from the simulator's normal regime (the
+    training-set analog of the robot's no-drop episodes)."""
+    src = SimulatedSensors(batch_size=cfg.batch_size, seed=seed)
+    for _ in range(12):
+        src.tick()
+    rows = []
+    for _ in range(n_ticks):
+        src.tick()
+        rows.append(np.asarray(get_realtime_dataloader(
+            cfg, fusion_params,
+            src.force_q.snapshot(), src.hand_q.snapshot(),
+            src.depth_q.snapshot(), src.mic_q.snapshot(),
+        )))
+    return np.concatenate(rows, axis=0)
+
+
+def test_streaming_detector_trained_model_anomaly_raises_score():
+    """With a TRAINED model the anomaly must raise the BASE score — a
+    directional assertion with margin, not just 'the trace changed'
+    (realtime_tester.py:291-309 intent: score spikes on the drop)."""
+    from icra2021_multimodal_ad_tpu.train import NoveltyDetecter
+
+    cfg = _cfg(n_epochs=12, lr=3e-3, seed=0)
     model, params, state = get_model(cfg)
     fusion_params = fusion_init(jax.random.PRNGKey(cfg.seed))
-    det = StreamingDetector(cfg, model, params, state, fusion_params)
 
+    windows = _collect_normal_windows(cfg, fusion_params)
+    n_valid = len(windows) // 5
+    res = NoveltyDetecter(cfg.replace(batch_size=64)).train(
+        model, params, state, windows[n_valid:], windows[:n_valid]
+    )
+
+    det = StreamingDetector(cfg, model, res.params, res.state, fusion_params)
     src = SimulatedSensors(batch_size=10, seed=2)
     src.fill()
-
     anomaly_after = 12
     trace = det.run(
         src, n_ticks=24,
         tick_hook=lambda i: src.tick(anomaly=i >= anomaly_after),
     )
     assert trace.shape == (24, 10)
-    # untrained AE: the anomaly still shifts the input distribution ->
-    # reconstruction error changes; check the trace reacts
-    pre = trace[:anomaly_after].mean()
+    pre = trace[2:anomaly_after].mean()
     post = trace[-5:].mean()
-    assert post != pytest.approx(pre, rel=1e-3)
+    # direction AND margin: the drop signature must raise the trained
+    # model's reconstruction error decisively
+    assert post > 2.0 * pre, (pre, post)
 
     stats = det.latency_stats()
     assert stats["ticks"] == 24
     assert stats["p50_ms"] > 0
+
+    # NAP streaming on the same trained model: same direction
+    from icra2021_multimodal_ad_tpu.ops.rapp import get_diffs
+    from icra2021_multimodal_ad_tpu.ops.scoring import concat_diffs, nap_fit
+
+    stats_nap = nap_fit(concat_diffs(
+        get_diffs(windows[n_valid:], model, res.params, res.state)
+    ))
+    det_nap = StreamingDetector(cfg, model, res.params, res.state,
+                                fusion_params, nap_stats=stats_nap)
+    src2 = SimulatedSensors(batch_size=10, seed=4)
+    src2.fill()
+    trace_nap = det_nap.run(
+        src2, n_ticks=24, nap=True,
+        tick_hook=lambda i: src2.tick(anomaly=i >= anomaly_after),
+    )
+    assert trace_nap[-5:].mean() > 2.0 * trace_nap[2:anomaly_after].mean()
 
 
 def test_streaming_nap_path():
