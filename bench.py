@@ -110,8 +110,10 @@ def main():
     # BASELINE.md's AUROC-parity claim rides on the fp32 path, so the number
     # must be recorded.  Any failure is recorded with its reason, never
     # swallowed silently.
+    # batch B//4 first: the full-B fp32 conv compile alone can eat minutes
+    # of tunnel time for <5% more measured throughput
     tput32, fp32_error = None, None
-    for b32 in (B, B // 4, B // 16):
+    for b32 in (B // 4, B // 16):
         raw32 = {k: v[:b32] for k, v in raw.items()}
         try:
             t32 = timed_loop(
@@ -204,22 +206,21 @@ def main():
         def run_train(n_epochs):
             det = NoveltyDetecter(cfg.replace(
                 n_epochs=n_epochs, batch_size=Bt, verbose=0))
-            # the trainer donates its param/state buffers — hand it copies
-            r = det.train(
-                model,
-                jax.tree.map(jnp.copy, params),
-                jax.tree.map(jnp.copy, state),
-                xtr, xva, fused=True,
-            )
+            # fused mode does not donate (best-model copies alias the
+            # inputs), so params/state can be reused across calls
+            r = det.train(model, params, state, xtr, xva, fused=True)
             return r.valid_history[-1]
 
+        # 20-epoch span so the dispatch-RTT noise of the tunneled device
+        # (hundreds of ms per fetch) is small against the measured signal;
+        # the epoch-scan program compiles once per epoch-count
         run_train(1)  # compile 1-epoch program
         t0 = time.perf_counter(); run_train(1)
         t1 = time.perf_counter() - t0
-        run_train(6)  # compile 6-epoch program
-        t0 = time.perf_counter(); run_train(6)
-        t6 = time.perf_counter() - t0
-        trainer_tput = (5 * n_rows) / max(t6 - t1, 1e-9)
+        run_train(21)  # compile 21-epoch program
+        t0 = time.perf_counter(); run_train(21)
+        t21 = time.perf_counter() - t0
+        trainer_tput = (20 * n_rows) / max(t21 - t1, 1e-9)
     except Exception as e:  # noqa: BLE001 — reason is recorded
         trainer_error = f"{type(e).__name__}: {e}"[:300]
 
@@ -242,8 +243,10 @@ def main():
                                  steps_per_episode=40, n_shards=2,
                                  n_lidar=963, seed=0)
         bcfg = cfg.replace(data_folder_name=root, slicing_size=n_rows)
+        ds = TabularDataset(bcfg)  # warm run: compiles the fusion program
+        jax.block_until_ready(ds.data)
         t0 = time.perf_counter()
-        ds = TabularDataset(bcfg)
+        ds = TabularDataset(bcfg)  # timed run: CSV + decode + fuse execute
         jax.block_until_ready(ds.data)
         build_rows_per_sec = len(ds) / (time.perf_counter() - t0)
     except Exception as e:  # noqa: BLE001 — reason is recorded

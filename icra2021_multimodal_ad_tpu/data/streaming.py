@@ -178,12 +178,29 @@ class StreamingDetector:
         self.nap_stats = nap_stats
         self.latencies_s: list = []
 
+        # config.compute_dtype == 'bfloat16' selects the explicit serving
+        # fast path for the BASE scorer (ops/serving.py): operands stream at
+        # half bandwidth, matmuls accumulate fp32, scores stay fp32.  The
+        # NAP path keeps the fp32 params (its whitening is cancellation-
+        # sensitive, CLAUDE.md invariant).
+        self._dtype = (
+            jnp.bfloat16
+            if getattr(config, "compute_dtype", "float32") == "bfloat16"
+            else jnp.float32
+        )
+        if self._dtype == jnp.bfloat16:
+            from icra2021_multimodal_ad_tpu.ops.serving import cast_floats
+
+            self._serve_params = cast_floats(params, jnp.bfloat16)
+        else:
+            self._serve_params = params
+
         model_ = model
 
         @jax.jit
         def _base_score(params, state, x):
             x_hat, _ = ae_forward(model_, params, state, x, train=False)
-            d = x_hat - x
+            d = x_hat.astype(jnp.float32) - x.astype(jnp.float32)
             return jnp.mean(d * d, axis=-1)
 
         self._base_score = _base_score
@@ -195,7 +212,10 @@ class StreamingDetector:
             diffs = diffs_batch(self.model, self.params, self.state, x)
             cat = jnp.concatenate(diffs, axis=-1)
             return np.asarray(nap_score_device(self.nap_stats, cat))
-        return np.asarray(self._base_score(self.params, self.state, x))
+        return np.asarray(
+            self._base_score(self._serve_params, self.state,
+                             x.astype(self._dtype))
+        )
 
     def run(self, source: SensorSource, n_ticks: int = 300,
             nap: bool = False,

@@ -21,7 +21,7 @@ from typing import List, Optional
 import jax
 import jax.numpy as jnp
 
-from icra2021_multimodal_ad_tpu.models.autoencoder import AutoEncoder, ae_forward
+from icra2021_multimodal_ad_tpu.models.autoencoder import AutoEncoder, ae_decode
 from icra2021_multimodal_ad_tpu.models.fc_module import fc_module_apply_taps
 
 
@@ -33,14 +33,24 @@ def diffs_batch(model: AutoEncoder, params: dict, state: dict, x: jax.Array):
     VIB models score deterministically (z = mu) — the reference's get_diffs
     drives encoder layers directly, bypassing the decorator entirely
     (reconstruction_aggregation.py:22-28), so the taps here are likewise the
-    raw per-layer outputs (including the double-width VIB head)."""
+    raw per-layer outputs (including the double-width VIB head).
+
+    FLOPs: the reference computes the encoder three times per window
+    (model(x) at reconstruction_aggregation.py:21, then the two per-layer
+    re-drives at :22-28).  Here the x-pathway taps are computed once and the
+    bottleneck tap IS the latent (identical ops, bitwise-equal), so the
+    whole extraction is 2 encoder passes + 1 decoder pass."""
     if model.distribution is not None:
         model = model._replace(stochastic_inference=False)
     x = x.reshape(x.shape[0], -1).astype(jnp.float32)
-    x_hat, _ = ae_forward(model, params, state, x, train=False)
     taps_x, _ = fc_module_apply_taps(
         model.encoder, params["encoder"], state["encoder"], x, train=False
     )
+    z = taps_x[-1]
+    if model.distribution is not None:
+        z = z[..., : z.shape[-1] // 2]  # deterministic VIB: z = mu
+    x_hat, _ = ae_decode(model, params, state, z, train=False)
+    x_hat = x_hat.reshape(x.shape[0], -1)
     taps_xhat, _ = fc_module_apply_taps(
         model.encoder, params["encoder"], state["encoder"], x_hat, train=False
     )

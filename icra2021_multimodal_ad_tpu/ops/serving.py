@@ -1,0 +1,138 @@
+"""Explicit bf16 serving path — the throughput configuration.
+
+The train/eval path is fp32 with HIGHEST-precision matmuls because the RaPP
+diffs feed the NAP SVD (CLAUDE.md invariant; utils/normalize.py:66 semantics).
+Serving doesn't refit anything, so its operands can stream at bf16 (half the
+HBM bandwidth, native MXU input dtype) while every matmul still accumulates
+fp32 — scores come back fp32.  This module makes that path first-class
+instead of a bench-only trick:
+
+    serving = make_serving(cfg, model, params, state, fusion_params,
+                           nap_stats=stats)       # cfg.compute_dtype decides
+    scores = serving.score_raw(r=..., d=..., t=..., m=...)  # fusion+AE+BASE
+    scores = serving.score_nap(x_fused)                     # Pallas kernel
+
+Reference capability anchor: the realtime tester's scoring loop
+(test_file/realtime_tester.py:291-309) — the reference ran it in fp32 torch;
+the TPU-native serving configuration is bf16 by design (BASELINE.md
+throughput target rides on it).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from icra2021_multimodal_ad_tpu.models.autoencoder import AutoEncoder, ae_forward
+from icra2021_multimodal_ad_tpu.ops.fusion import FusionParams, fuse
+from icra2021_multimodal_ad_tpu.ops.pallas_kernels import (
+    nap_precompute,
+    nap_score_pallas,
+)
+from icra2021_multimodal_ad_tpu.ops.scoring import NapStats
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+def cast_floats(tree, dtype):
+    """Cast only the floating leaves of a pytree."""
+    return jax.tree.map(
+        lambda a: a.astype(dtype)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a,
+        tree,
+    )
+
+
+class ServingModel(NamedTuple):
+    """Pre-cast parameters plus jitted scorers.  Build via make_serving."""
+
+    model: AutoEncoder
+    params: dict
+    state: dict
+    fusion_params: Optional[FusionParams]
+    nap_stats: Optional[NapStats]
+    compute_dtype: object
+
+    def score_fused(self, x: jax.Array) -> jax.Array:
+        """BASE score on already-fused (B, input) windows."""
+        return _score_fused(self.model, self.params, self.state,
+                            x.astype(self.compute_dtype))
+
+    def score_raw(self, **mods) -> jax.Array:
+        """Fusion convs + AE forward + BASE score on raw modality tensors
+        (r/d/t/m keyword layout of ops/fusion.fuse)."""
+        if self.fusion_params is None:
+            raise ValueError("score_raw needs fusion_params")
+        mods = {k: v.astype(self.compute_dtype) for k, v in mods.items()}
+        return _score_raw(self.model, self.params, self.state,
+                          self.fusion_params, tuple(sorted(mods)), mods)
+
+    def score_nap(self, x_cat: jax.Array) -> jax.Array:
+        """Fused NAP score (Pallas kernel) of concat diffs; bf16 streams the
+        matrix at half bandwidth, accumulation and score stay fp32."""
+        if self.nap_stats is None:
+            raise ValueError("score_nap needs nap_stats")
+        return nap_score_pallas(self.nap_stats, x_cat,
+                                dtype=self.compute_dtype,
+                                precomputed=self._nap_pre)
+
+    @property
+    def _nap_pre(self):
+        # recomputed lazily per call-site jit cache; cheap (one K-dot)
+        return nap_precompute(self.nap_stats)
+
+
+def make_serving(config, model: AutoEncoder, params, state,
+                 fusion_params: Optional[FusionParams] = None,
+                 nap_stats: Optional[NapStats] = None) -> ServingModel:
+    """Build the serving bundle; `config.compute_dtype` ('float32' |
+    'bfloat16') selects the operand dtype — the previously-dormant knob."""
+    dtype = _DTYPES[getattr(config, "compute_dtype", "float32")]
+    return ServingModel(
+        model=model,
+        params=cast_floats(params, dtype),
+        state=state,  # BN running stats stay fp32 (tiny, accuracy-relevant)
+        fusion_params=(cast_floats(fusion_params, dtype)
+                       if fusion_params is not None else None),
+        nap_stats=nap_stats,
+        compute_dtype=dtype,
+    )
+
+
+from functools import partial  # noqa: E402
+
+
+@partial(jax.jit, static_argnames=("model",))
+def _score_fused(model, params, state, x):
+    x_hat, _ = ae_forward(model, params, state, x, train=False)
+    d = (x_hat.astype(jnp.float32) - x.astype(jnp.float32))
+    return jnp.mean(d * d, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("model", "keys"))
+def _score_raw(model, params, state, fusion_params, keys, mods):
+    x = fuse(fusion_params, sensor="All", **mods)
+    x_hat, _ = ae_forward(model, params, state, x, train=False)
+    d = (x_hat.astype(jnp.float32) - x.astype(jnp.float32))
+    return jnp.mean(d * d, axis=-1)
+
+
+def bf16_accuracy_guard(config, model, params, state, x,
+                        tol: float = 5e-2) -> float:
+    """Mean relative BASE-score error of the bf16 serving path vs fp32 on a
+    probe batch; raises if above tol (deploy-time sanity check)."""
+    import numpy as np
+
+    fp32 = make_serving(config.replace(compute_dtype="float32"),
+                        model, params, state)
+    bf16 = make_serving(config.replace(compute_dtype="bfloat16"),
+                        model, params, state)
+    s32 = np.asarray(fp32.score_fused(jnp.asarray(x)))
+    s16 = np.asarray(bf16.score_fused(jnp.asarray(x)))
+    rel = float(np.mean(np.abs(s16 - s32) / (np.abs(s32) + 1e-6)))
+    if rel > tol:
+        raise ValueError(f"bf16 serving rel err {rel:.4f} > tol {tol}")
+    return rel

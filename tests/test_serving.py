@@ -1,0 +1,114 @@
+"""bf16 serving path: config.compute_dtype drives the operand dtype; scores
+track the fp32 path within tolerance (the explicit fast path of CLAUDE.md /
+BASELINE.md's throughput configuration)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icra2021_multimodal_ad_tpu.config import Config, get_input_size
+from icra2021_multimodal_ad_tpu.models.builder import get_model
+from icra2021_multimodal_ad_tpu.ops.fusion import fusion_init
+from icra2021_multimodal_ad_tpu.ops.serving import (
+    bf16_accuracy_guard,
+    cast_floats,
+    make_serving,
+)
+
+
+def _setup():
+    cfg = Config(sensor="All", n_layers=3, btl_size=16, verbose=0, seed=0)
+    cfg = cfg.replace(input_size=get_input_size(cfg))
+    model, params, state = get_model(cfg)
+    return cfg, model, params, state
+
+
+def test_cast_floats_only_touches_float_leaves():
+    tree = {"w": jnp.ones((2, 2), jnp.float32), "i": jnp.arange(3)}
+    out = cast_floats(tree, jnp.bfloat16)
+    assert out["w"].dtype == jnp.bfloat16
+    assert out["i"].dtype == tree["i"].dtype
+
+
+def test_bf16_serving_tracks_fp32_scores():
+    cfg, model, params, state = _setup()
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(64, 1728)), jnp.float32
+    )
+    rel = bf16_accuracy_guard(cfg, model, params, state, x, tol=5e-2)
+    assert rel < 5e-2
+
+    serving = make_serving(cfg.replace(compute_dtype="bfloat16"),
+                           model, params, state)
+    assert serving.params["encoder"][0]["w"].dtype == jnp.bfloat16
+    s = serving.score_fused(x)
+    assert s.dtype == jnp.float32 and s.shape == (64,)
+
+
+def test_serving_raw_modality_path():
+    cfg, model, params, state = _setup()
+    fusion_params = fusion_init(jax.random.PRNGKey(0))
+    serving = make_serving(cfg.replace(compute_dtype="bfloat16"),
+                           model, params, state, fusion_params=fusion_params)
+    rng = np.random.default_rng(1)
+    mods = {
+        "r": jnp.asarray(rng.uniform(0, 1, (8, 3, 32, 32)), jnp.float32),
+        "d": jnp.asarray(rng.uniform(0, 1, (8, 1, 32, 32)), jnp.float32),
+        "t": jnp.asarray(rng.uniform(0, 1, (8, 1)), jnp.float32),
+        "m": jnp.asarray(rng.uniform(-1, 1, (8, 1, 13)), jnp.float32),
+    }
+    s16 = np.asarray(serving.score_raw(**mods))
+
+    fp32 = make_serving(cfg, model, params, state,
+                        fusion_params=fusion_init(jax.random.PRNGKey(0)))
+    s32 = np.asarray(fp32.score_raw(**mods))
+    assert s16.shape == (8,)
+    np.testing.assert_allclose(s16, s32, rtol=8e-2)
+
+
+def test_serving_nap_kernel_path():
+    from icra2021_multimodal_ad_tpu.ops.scoring import (
+        nap_fit,
+        nap_score_device,
+    )
+
+    cfg, model, params, state = _setup()
+    # well-conditioned whitening fit (rows >> dims); rank-deficient fits
+    # amplify layout noise in null directions and are covered elsewhere
+    cat = jnp.asarray(
+        np.random.default_rng(2).normal(size=(512, 384)), jnp.float32
+    )
+    stats = nap_fit(cat)
+
+    serving = make_serving(cfg, model, params, state, nap_stats=stats)
+    ours = np.asarray(serving.score_nap(cat))
+    ref = np.asarray(nap_score_device(stats, cat))
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-5)
+
+    serving16 = make_serving(cfg.replace(compute_dtype="bfloat16"),
+                             model, params, state, nap_stats=stats)
+    s16 = np.asarray(serving16.score_nap(cat))
+    assert s16.shape == ref.shape and np.isfinite(s16).all()
+
+
+def test_streaming_detector_bf16_serving_mode():
+    """StreamingDetector honors config.compute_dtype: bf16 BASE scorer
+    tracks the fp32 one; NAP keeps fp32 params."""
+    from icra2021_multimodal_ad_tpu.data.streaming import StreamingDetector
+
+    cfg, model, params, state = _setup()
+    fusion_params = fusion_init(jax.random.PRNGKey(0))
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(10, 1728)), jnp.float32
+    )
+
+    det32 = StreamingDetector(cfg, model, params, state, fusion_params)
+    det16 = StreamingDetector(cfg.replace(compute_dtype="bfloat16"),
+                              model, params, state, fusion_params)
+    s32 = det32.score_batch(x)
+    s16 = det16.score_batch(x)
+    rel = np.mean(np.abs(s16 - s32) / (np.abs(s32) + 1e-6))
+    assert rel < 5e-2
+    assert det16._serve_params["encoder"][0]["w"].dtype == jnp.bfloat16
+    assert det16.params["encoder"][0]["w"].dtype == jnp.float32  # NAP path
