@@ -114,9 +114,12 @@ def _read_shards(config: Config):
 
 
 def _decode_one(path: str) -> np.ndarray:
-    from PIL import Image
+    # native libpng decode releases the GIL (PIL does not), so the thread
+    # pool below scales with host cores; resize stays in PIL -> outputs are
+    # bit-identical to the pure-PIL path (falls back to PIL automatically)
+    from icra2021_multimodal_ad_tpu.data.fast_png import decode_resized
 
-    return np.asarray(Image.open(path).resize((32, 24)))
+    return decode_resized(path, (32, 24))
 
 
 def _load_images(root: str, data_dirs: Sequence[str], ids: Sequence[int],

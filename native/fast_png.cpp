@@ -1,0 +1,77 @@
+// Native PNG decoder for the dataset image-ingest hot loop.
+//
+// The reference decodes 56,000 per-row PNGs serially through PIL at dataset
+// build time (utils/data_loaders.py:337-367 — its #1 hot loop).  CPython
+// threads cannot parallelize PIL there (it holds the GIL through most of the
+// decode), but ctypes releases the GIL for the duration of a C call — so this
+// decoder gives Python thread pools true multicore scaling while keeping the
+// post-decode resize in PIL for bit-identical outputs.
+//
+// Uses libpng's simplified API: palette expansion and 16->8 bit conversion
+// are handled by the library; images with an alpha channel return an error
+// so the Python wrapper can fall back to PIL (alpha layouts must match PIL's
+// numpy view exactly, and the robot data has none).
+//
+// Build: g++ -O3 -std=c++17 -shared -fPIC native/fast_png.cpp -lpng -o
+//        native/libfastpng.so
+
+#include <cstring>
+#include <png.h>
+
+extern "C" {
+
+// Probe height/width/output-channels. Returns 0 on success, negative on
+// failure (unreadable, or alpha present -> caller falls back).
+int fast_png_dims(const char* path, int* h, int* w, int* c) {
+  png_image im;
+  std::memset(&im, 0, sizeof im);
+  im.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_file(&im, path)) {
+    png_image_free(&im);
+    return -1;
+  }
+  const int ch = PNG_IMAGE_PIXEL_CHANNELS(im.format);
+  *h = static_cast<int>(im.height);
+  *w = static_cast<int>(im.width);
+  if (ch == 2 || ch == 4) {  // gray+alpha / RGBA: defer to PIL
+    png_image_free(&im);
+    return -2;
+  }
+  *c = (ch >= 3) ? 3 : 1;
+  png_image_free(&im);
+  return 0;
+}
+
+// Decode into an 8-bit H*W*C buffer (C in {1,3}); returns 0 on success,
+// -1 unreadable, -2 alpha present, -3 buffer too small, -4 decode error.
+int fast_png_decode(const char* path, unsigned char* out, long cap,
+                    int* h, int* w, int* c) {
+  png_image im;
+  std::memset(&im, 0, sizeof im);
+  im.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_file(&im, path)) {
+    png_image_free(&im);
+    return -1;
+  }
+  const int ch = PNG_IMAGE_PIXEL_CHANNELS(im.format);
+  if (ch == 2 || ch == 4) {
+    png_image_free(&im);
+    return -2;
+  }
+  im.format = (ch >= 3) ? PNG_FORMAT_RGB : PNG_FORMAT_GRAY;
+  const long need = static_cast<long>(PNG_IMAGE_SIZE(im));
+  if (need > cap) {
+    png_image_free(&im);
+    return -3;
+  }
+  if (!png_image_finish_read(&im, nullptr, out, 0, nullptr)) {
+    png_image_free(&im);
+    return -4;
+  }
+  *h = static_cast<int>(im.height);
+  *w = static_cast<int>(im.width);
+  *c = (ch >= 3) ? 3 : 1;
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,65 @@
+"""Config CLI surface (new flags incl. VIB + plot paths) and the profiling
+utilities (SURVEY.md §5 tracing replacement)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icra2021_multimodal_ad_tpu.config import Config, get_config
+from icra2021_multimodal_ad_tpu.utils.profiling import Timer, timed, trace
+
+
+def test_cli_parses_vib_and_plot_flags():
+    cfg = get_config([
+        "--sensor", "force_torque",
+        "--distribution", "normal", "--k", "3",
+        "--roc_plot_path", "/tmp/r.png",
+        "--pr_plot_path", "/tmp/p.png",
+        "--train_diffs", "/tmp/d.npz",
+    ])
+    assert cfg.distribution == "normal" and cfg.k == 3
+    assert cfg.roc_plot_path == "/tmp/r.png"
+    assert cfg.pr_plot_path == "/tmp/p.png"
+    # defaults stay None / identity
+    cfg2 = get_config(["--sensor", "force_torque"])
+    assert cfg2.distribution is None and cfg2.k == 1
+    assert cfg2.roc_plot_path is None
+
+
+def test_cli_slicing_downgrade_fixup():
+    # novelty_detection.py:171-173 intended behavior (`!=`, not `is not`)
+    cfg = get_config(["--file_name", "other_sum"])
+    assert cfg.slicing_size == 7000
+    assert get_config([]).slicing_size == 56000
+
+
+def test_timer_spans_accumulate():
+    t = Timer()
+    with t.span("a"):
+        jnp.ones((8, 8)).sum()
+    with t.span("a"):
+        jnp.ones((8, 8)).sum()
+    with t.span("b", sync=False):
+        pass
+    rep = t.report()
+    assert rep["a"]["count"] == 2 and rep["a"]["total_s"] > 0
+    assert rep["b"]["count"] == 1
+
+
+def test_timed_excludes_compile():
+    f = jax.jit(lambda x: (x * x).sum())
+    x = jnp.ones((256, 256))
+    dt = timed(f, x, warmup=1, iters=3)
+    assert 0 < dt < 5.0
+
+
+def test_trace_writes_profile(tmp_path):
+    log_dir = str(tmp_path / "trace")
+    with trace(log_dir):
+        jax.block_until_ready(jnp.ones((64, 64)) @ jnp.ones((64, 64)))
+    found = []
+    for root, _, files in os.walk(log_dir):
+        found += files
+    assert found, "profiler trace produced no files"
