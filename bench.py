@@ -211,16 +211,17 @@ def main():
             r = det.train(model, params, state, xtr, xva, fused=True)
             return r.valid_history[-1]
 
-        # 20-epoch span so the dispatch-RTT noise of the tunneled device
-        # (hundreds of ms per fetch) is small against the measured signal;
-        # the epoch-scan program compiles once per epoch-count
+        # 100-epoch span: each epoch is ~40 ms of compute while the tunneled
+        # device's fixed dispatch+fetch overhead varies by hundreds of ms —
+        # the span must swamp that noise (measured: a 20-epoch span reported
+        # 4x low).  The epoch-scan program compiles once per epoch-count.
         run_train(1)  # compile 1-epoch program
         t0 = time.perf_counter(); run_train(1)
         t1 = time.perf_counter() - t0
-        run_train(21)  # compile 21-epoch program
-        t0 = time.perf_counter(); run_train(21)
-        t21 = time.perf_counter() - t0
-        trainer_tput = (20 * n_rows) / max(t21 - t1, 1e-9)
+        run_train(101)  # compile 101-epoch program
+        t0 = time.perf_counter(); run_train(101)
+        t101 = time.perf_counter() - t0
+        trainer_tput = (100 * n_rows) / max(t101 - t1, 1e-9)
     except Exception as e:  # noqa: BLE001 — reason is recorded
         trainer_error = f"{type(e).__name__}: {e}"[:300]
 

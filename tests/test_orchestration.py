@@ -162,3 +162,72 @@ def test_collect_and_build_one_command(tmp_path):
     dropped = df[df["label"] == 1]["cur_hand_weight"]
     carried = df[df["label"] == 0]["cur_hand_weight"]
     assert dropped.mean() < carried.quantile(0.9)
+
+
+# ---------------------------------------------------------------------------
+# sensor bridge (microphone_send.py / hand_camera_send.py analogs)
+# ---------------------------------------------------------------------------
+
+
+def test_sensor_bridge_camera_publishes_with_cascade(tmp_path):
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import sensor_bridge
+    from icra2021_multimodal_ad_tpu.data.acquisition import LocalTransport
+
+    class _Dead:
+        def read(self):
+            return None
+
+        def release(self):
+            pass
+
+    class _Live:
+        def read(self):
+            return np.zeros((4, 4, 3), np.uint8)
+
+        def release(self):
+            pass
+
+    cam = ReconnectingCamera([lambda: _Dead(), lambda: _Live()])
+    transport = LocalTransport()
+    got = []
+    transport.subscribe(sensor_bridge.CAMERA_TOPIC, got.append)
+    sent = sensor_bridge.run_camera(transport, None, ticks=3, camera=cam,
+                                    sleep=lambda s: None)
+    assert sent == 3 and len(got) == 3
+    assert cam.reconnects == 1  # cascaded off the dead device once
+    assert got[0][0].shape == (4, 4, 3)
+
+
+def test_sensor_bridge_mic_wav_replay(tmp_path):
+    import sys
+    import wave
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import sensor_bridge
+    from icra2021_multimodal_ad_tpu.data.acquisition import LocalTransport
+
+    path = str(tmp_path / "a.wav")
+    n = sensor_bridge.CHUNK_FRAMES * 5 + 100  # 5 full chunks + remainder
+    audio = np.random.default_rng(0).integers(
+        -3000, 3000, (n, 2)).astype(np.int16)
+    with wave.open(path, "wb") as f:
+        f.setnchannels(2)
+        f.setsampwidth(2)
+        f.setframerate(sensor_bridge.SAMPLE_RATE)
+        f.writeframes(audio.tobytes())
+
+    transport = LocalTransport()
+    got = []
+    transport.subscribe(sensor_bridge.MIC_TOPIC, got.append)
+    sent = sensor_bridge.run_mic(transport, wav_path=path)
+    assert sent == 5 == len(got)  # partial tail chunk dropped, as pyaudio would
+    chunk_bytes = sensor_bridge.CHUNK_FRAMES * 2 * 2
+    assert all(len(c[0]) == chunk_bytes for c in got)
+    # chunks concatenate back to the original audio prefix
+    cat = np.frombuffer(b"".join(c[0] for c in got), dtype=np.int16)
+    np.testing.assert_array_equal(
+        cat, audio[: 5 * sensor_bridge.CHUNK_FRAMES].ravel()
+    )
