@@ -46,6 +46,21 @@ def _cast(tree, dtype):
     )
 
 
+def _retry(f, attempts=3, wait_s=20):
+    """The remote-compile tunnel occasionally drops a response mid-body
+    (transient INTERNAL errors); retrying after a pause succeeds and the
+    compile cache makes retries cheap.  Sections must not die to a blip."""
+    last = None
+    for i in range(attempts):
+        try:
+            return f()
+        except Exception as e:  # noqa: BLE001 — re-raised after attempts
+            last = e
+            if i + 1 < attempts:
+                time.sleep(wait_s)
+    raise last
+
+
 def timed_loop(make_body, n_iters=N_ITERS):
     """Wall time per iteration of an on-device fori_loop with carried
     dependency; compile + fixed overhead excluded via 1-iter baseline."""
@@ -55,14 +70,15 @@ def timed_loop(make_body, n_iters=N_ITERS):
         body = make_body()
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    float(run(1))  # compile n=1
-    t0 = time.perf_counter()
-    float(run(1))
-    t1 = time.perf_counter() - t0
-    float(run(n_iters + 1))  # compile n=n_iters+1
-    t0 = time.perf_counter()
-    float(run(n_iters + 1))
-    tn = time.perf_counter() - t0
+    def measure(n):
+        t0 = time.perf_counter()
+        float(run(n))
+        return time.perf_counter() - t0
+
+    _retry(lambda: float(run(1)))  # compile n=1
+    t1 = _retry(lambda: measure(1))
+    _retry(lambda: float(run(n_iters + 1)))  # compile n=n_iters+1
+    tn = _retry(lambda: measure(n_iters + 1))
     return max((tn - t1) / n_iters, 1e-9)
 
 
@@ -88,11 +104,11 @@ def main():
         return jnp.mean(delta * delta, axis=-1)
 
     # -- numeric agreement bf16 vs fp32 ------------------------------------
-    s32 = jax.jit(fused_score)(fusion_params, params, state, raw)
+    s32 = _retry(lambda: jax.jit(fused_score)(fusion_params, params, state, raw))
     fp16 = _cast(fusion_params, jnp.bfloat16)
     p16 = _cast(params, jnp.bfloat16)
     raw16 = {k: v.astype(jnp.bfloat16) for k, v in raw.items()}
-    s16 = jax.jit(fused_score)(fp16, p16, state, raw16)
+    s16 = _retry(lambda: jax.jit(fused_score)(fp16, p16, state, raw16))
     rel = float(jnp.mean(jnp.abs(s16 - s32) / (jnp.abs(s32) + 1e-6)))
 
     # -- throughput: fused pipeline ----------------------------------------
@@ -215,12 +231,15 @@ def main():
         # device's fixed dispatch+fetch overhead varies by hundreds of ms —
         # the span must swamp that noise (measured: a 20-epoch span reported
         # 4x low).  The epoch-scan program compiles once per epoch-count.
-        run_train(1)  # compile 1-epoch program
-        t0 = time.perf_counter(); run_train(1)
-        t1 = time.perf_counter() - t0
-        run_train(101)  # compile 101-epoch program
-        t0 = time.perf_counter(); run_train(101)
-        t101 = time.perf_counter() - t0
+        def measure_train(n_epochs):
+            t0 = time.perf_counter()
+            run_train(n_epochs)
+            return time.perf_counter() - t0
+
+        _retry(lambda: run_train(1))  # compile 1-epoch program
+        t1 = _retry(lambda: measure_train(1))
+        _retry(lambda: run_train(101))  # compile 101-epoch program
+        t101 = _retry(lambda: measure_train(101))
         trainer_tput = (100 * n_rows) / max(t101 - t1, 1e-9)
     except Exception as e:  # noqa: BLE001 — reason is recorded
         trainer_error = f"{type(e).__name__}: {e}"[:300]

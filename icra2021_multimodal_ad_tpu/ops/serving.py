@@ -136,3 +136,74 @@ def bf16_accuracy_guard(config, model, params, state, x,
     if rel > tol:
         raise ValueError(f"bf16 serving rel err {rel:.4f} > tol {tol}")
     return rel
+
+
+# ---------------------------------------------------------------------------
+# Serialized serving artifacts (jax.export / StableHLO)
+# ---------------------------------------------------------------------------
+
+
+def export_base_scorer(serving: ServingModel, batch_size: int,
+                       input_size: int, path: Optional[str] = None) -> bytes:
+    """Serialize the fused BASE scorer (weights baked in as constants) to a
+    StableHLO artifact.  The artifact is loadable WITHOUT this package or
+    the model code — the deployment story the reference's torch.save state
+    dicts (novelty_detection.py:196) never had.  Shapes are static
+    (batch_size x input_size), matching the serving batch contract."""
+    from jax import export as jexport
+
+    model, params, state = serving.model, serving.params, serving.state
+    dtype = serving.compute_dtype
+
+    def fn(x):
+        x_hat, _ = ae_forward(model, params, state, x.astype(dtype),
+                              train=False)
+        d = x_hat.astype(jnp.float32) - x.astype(jnp.float32)
+        return jnp.mean(d * d, axis=-1)
+
+    exp = jexport.export(jax.jit(fn))(
+        jax.ShapeDtypeStruct((batch_size, input_size), jnp.float32)
+    )
+    blob = exp.serialize()
+    if path:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob
+
+
+def export_nap_scorer(serving: ServingModel, batch_size: int,
+                      cat_size: int, path: Optional[str] = None) -> bytes:
+    """Serialize rotate+standardize+mean-square NAP scoring of concat diffs
+    (whitening stats baked in)."""
+    from jax import export as jexport
+
+    from icra2021_multimodal_ad_tpu.ops.scoring import nap_score_device
+
+    stats = serving.nap_stats
+    if stats is None:
+        raise ValueError("export_nap_scorer needs nap_stats")
+
+    def fn(x_cat):
+        return nap_score_device(stats, x_cat)
+
+    exp = jexport.export(jax.jit(fn))(
+        jax.ShapeDtypeStruct((batch_size, cat_size), jnp.float32)
+    )
+    blob = exp.serialize()
+    if path:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob
+
+
+def load_scorer(blob_or_path):
+    """Deserialize an exported scorer; returns a callable(x) -> scores."""
+    from jax import export as jexport
+
+    if isinstance(blob_or_path, (str, bytes)) and not isinstance(
+        blob_or_path, bytes
+    ):
+        with open(blob_or_path, "rb") as f:
+            blob_or_path = f.read()
+    exported = jexport.deserialize(blob_or_path)
+    return exported.call

@@ -112,3 +112,45 @@ def test_streaming_detector_bf16_serving_mode():
     assert rel < 5e-2
     assert det16._serve_params["encoder"][0]["w"].dtype == jnp.bfloat16
     assert det16.params["encoder"][0]["w"].dtype == jnp.float32  # NAP path
+
+
+def test_exported_scorer_roundtrip(tmp_path):
+    """jax.export artifact: serialize the fused BASE scorer with weights
+    baked in, deserialize, and match the live path exactly."""
+    from icra2021_multimodal_ad_tpu.ops.serving import (
+        export_base_scorer,
+        export_nap_scorer,
+        load_scorer,
+    )
+    from icra2021_multimodal_ad_tpu.ops.scoring import (
+        nap_fit,
+        nap_score_device,
+    )
+
+    cfg, model, params, state = _setup()
+    serving = make_serving(cfg, model, params, state)
+    x = jnp.asarray(
+        np.random.default_rng(5).normal(size=(32, 1728)), jnp.float32
+    )
+
+    path = str(tmp_path / "base_scorer.bin")
+    blob = export_base_scorer(serving, 32, 1728, path=path)
+    assert len(blob) > 1000
+
+    scorer = load_scorer(path)
+    np.testing.assert_allclose(
+        np.asarray(scorer(x)), np.asarray(serving.score_fused(x)),
+        rtol=1e-6,
+    )
+
+    cat = jnp.asarray(
+        np.random.default_rng(6).normal(size=(256, 128)), jnp.float32
+    )
+    stats = nap_fit(cat)
+    serving_n = make_serving(cfg, model, params, state, nap_stats=stats)
+    blob_n = export_nap_scorer(serving_n, 256, 128)
+    scorer_n = load_scorer(blob_n)
+    np.testing.assert_allclose(
+        np.asarray(scorer_n(cat)), np.asarray(nap_score_device(stats, cat)),
+        rtol=1e-5,
+    )
