@@ -236,11 +236,26 @@ def main():
             run_train(n_epochs)
             return time.perf_counter() - t0
 
+        # the tunnel's fixed dispatch+fetch overhead varies by SECONDS run
+        # to run, so the span must dwarf it (500 epochs ~ 17 s of compute)
+        # and each point is a median of 3
+        import statistics
+
+        span = 500
         _retry(lambda: run_train(1))  # compile 1-epoch program
-        t1 = _retry(lambda: measure_train(1))
-        _retry(lambda: run_train(101))  # compile 101-epoch program
-        t101 = _retry(lambda: measure_train(101))
-        trainer_tput = (100 * n_rows) / max(t101 - t1, 1e-9)
+        t1 = statistics.median(
+            _retry(lambda: measure_train(1)) for _ in range(3)
+        )
+        _retry(lambda: run_train(span + 1))  # compile span-epoch program
+        tn = statistics.median(
+            _retry(lambda: measure_train(span + 1)) for _ in range(3)
+        )
+        if tn - t1 < 1.0:
+            raise RuntimeError(
+                f"trainer span not resolvable over tunnel noise "
+                f"(t1={t1:.2f}s, t{span + 1}={tn:.2f}s)"
+            )
+        trainer_tput = (span * n_rows) / (tn - t1)
     except Exception as e:  # noqa: BLE001 — reason is recorded
         trainer_error = f"{type(e).__name__}: {e}"[:300]
 

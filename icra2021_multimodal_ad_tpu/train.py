@@ -28,7 +28,7 @@ Semantics matched:
 from __future__ import annotations
 
 import time
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -57,6 +57,17 @@ class TrainResult(NamedTuple):
     state: dict
     train_history: list
     valid_history: list
+
+
+@lru_cache(maxsize=None)
+def _adam(lr: float):
+    """One optimizer object per learning rate.  optax.adam returns a fresh
+    NamedTuple of closures on every call; the trainer passes it as a STATIC
+    jit argument, so a fresh object per NoveltyDetecter.train would make
+    every training run recompile the whole epoch program (~20 s over the
+    tunnel, measured).  Caching by lr restores jit-cache hits across runs
+    (sweeps, repeated trainings in one process)."""
+    return optax.adam(lr)
 
 
 @partial(jax.jit, static_argnames=("model", "optimizer"), donate_argnums=(1, 2, 3))
@@ -269,7 +280,7 @@ class NoveltyDetecter:
             otherwise dominate, CLAUDE.md timing rules).
         """
         cfg = self.config
-        optimizer = optax.adam(cfg.lr)
+        optimizer = _adam(cfg.lr)
         if rng is None:
             rng = jax.random.PRNGKey(cfg.seed + 1)
 

@@ -97,3 +97,32 @@ def test_best_params_selection_restores_lowest_valid():
         eval_step(model, res.params, res.state, jnp.asarray(valid_x))
     ) / len(valid_x)
     assert restored == pytest.approx(best_epoch_loss, rel=1e-5)
+
+
+def test_trainer_does_not_recompile_across_runs():
+    """optax.adam returns fresh closure objects; the trainer must reuse one
+    per lr or every det.train() recompiles the epoch program (measured ~20 s
+    per run over the TPU tunnel)."""
+    import jax.numpy as jnp
+
+    from icra2021_multimodal_ad_tpu.config import Config, get_input_size
+    from icra2021_multimodal_ad_tpu.models.builder import get_model
+    from icra2021_multimodal_ad_tpu.train import _adam, train_all_epochs
+
+    assert _adam(1e-3) is _adam(1e-3)
+    assert _adam(1e-3) is not _adam(3e-3)
+
+    cfg = Config(sensor="force_torque", n_layers=2, btl_size=4, verbose=0,
+                 n_epochs=2, batch_size=16, seed=0)
+    cfg = cfg.replace(input_size=get_input_size(cfg))
+    x = jnp.ones((32, 64), jnp.float32)
+    xv = jnp.ones((16, 64), jnp.float32)
+
+    from icra2021_multimodal_ad_tpu.train import NoveltyDetecter
+
+    before = train_all_epochs._cache_size()
+    for _ in range(2):
+        model, params, state = get_model(cfg)
+        NoveltyDetecter(cfg).train(model, params, state, x, xv, fused=True)
+    added = train_all_epochs._cache_size() - before
+    assert added <= 1, f"trainer recompiled across identical runs ({added})"
