@@ -15,7 +15,7 @@ import itertools
 import multiprocessing
 import random
 from concurrent.futures import ProcessPoolExecutor
-from typing import Any, Callable, Dict, List, Sequence
+from typing import Any, Callable, Dict, List, Optional, Sequence
 
 
 def expand_grid(grid: Dict[str, Sequence[Any]],
@@ -48,6 +48,20 @@ def _invoke(f_and_config):
     return config, f(config)
 
 
+def _worker_init(device_ids, counter, env_var):
+    """Pool initializer: pin each worker to one accelerator BEFORE jax
+    initializes — the analog of the reference's one-process-per-GPU-id
+    assignment (utils/repeater.py:25-62 passes gpu_id through the grid)."""
+    import os
+
+    if not device_ids:
+        return
+    with counter.get_lock():
+        idx = counter.value
+        counter.value += 1
+    os.environ[env_var] = str(device_ids[idx % len(device_ids)])
+
+
 class Repeater:
     """Run `f(overrides_dict)` over every grid point (repeater.py:25-62).
 
@@ -58,11 +72,15 @@ class Repeater:
     """
 
     def __init__(self, grid: Dict[str, Sequence[Any]], f: Callable,
-                 max_workers: int = 1, seed: int = 0):
+                 max_workers: int = 1, seed: int = 0,
+                 device_ids: Optional[Sequence] = None,
+                 device_env_var: str = "TPU_VISIBLE_DEVICES"):
         self.grid = grid
         self.f = f
         self.max_workers = max_workers
         self.seed = seed
+        self.device_ids = list(device_ids) if device_ids else None
+        self.device_env_var = device_env_var
 
     def run(self, sequential: bool | None = None) -> list:
         """Returns [(config_dict, f(config_dict)), ...] in execution order."""
@@ -73,8 +91,14 @@ class Repeater:
         if sequential:
             return [_invoke((self.f, c)) for c in configs]
         # spawn (not fork): workers re-import cleanly, which matters when
-        # the parent already initialized a JAX backend
+        # the parent already initialized a JAX backend; each worker is
+        # pinned to one accelerator round-robin (reference: one process
+        # per gpu_id) before jax initializes in it
         ctx = multiprocessing.get_context("spawn")
-        with ProcessPoolExecutor(max_workers=self.max_workers,
-                                 mp_context=ctx) as pool:
+        counter = ctx.Value("i", 0)
+        with ProcessPoolExecutor(
+            max_workers=self.max_workers, mp_context=ctx,
+            initializer=_worker_init,
+            initargs=(self.device_ids, counter, self.device_env_var),
+        ) as pool:
             return list(pool.map(_invoke, [(self.f, c) for c in configs]))

@@ -59,6 +59,9 @@ def main():
                    help='JSON dict of {config_field: [values...]}')
     p.add_argument("--out", type=str, default="sweep_results.csv")
     p.add_argument("--max_workers", type=int, default=1)
+    p.add_argument("--device_ids", type=str, default=None,
+                   help="comma list; round-robin one accelerator per worker "
+                        "(the reference's one-process-per-gpu_id semantics)")
     p.add_argument("--data_folder_name", type=str,
                    default="data/hsr_dropobject/")
     p.add_argument("--seed", type=int, default=0)
@@ -71,8 +74,10 @@ def main():
     # run_one is module-level (picklable); all Reporter aggregation happens
     # in the parent over the returned (config, result) pairs, so the
     # parallel mode produces the same CSV as sequential
+    device_ids = (args.device_ids.split(",") if args.device_ids else None)
     pairs = Repeater(grid, run_one, max_workers=args.max_workers,
-                     seed=args.seed).run(sequential=args.max_workers <= 1)
+                     seed=args.seed, device_ids=device_ids,
+                     ).run(sequential=args.max_workers <= 1)
 
     reporter = Reporter()
     for overrides, result in pairs:

@@ -67,3 +67,22 @@ def test_parallel_sweep_matches_sequential(tmp_path, monkeypatch, n_workers):
     par = open(par_csv).read()
     assert seq == par
     assert len(seq.splitlines()) == 1 + 4  # header + 4 grid points
+
+
+def test_parallel_workers_pinned_to_distinct_devices():
+    """Per-worker accelerator pinning (the reference ran one process per
+    gpu_id, utils/repeater.py:25-62): each spawned worker gets one id from
+    the round-robin list in its env before jax initializes."""
+    rep = Repeater({"a": [1, 2, 3, 4]}, _read_pin, max_workers=2,
+                   device_ids=[0, 1], device_env_var="FAKE_DEVICE_PIN")
+    pairs = rep.run(sequential=False)
+    pins = sorted({pin for _, pin in pairs})
+    assert set(pins) <= {"0", "1"} and len(pins) >= 1
+    # with 2 workers both pins appear unless one worker ran everything
+    assert len(pairs) == 4
+
+
+def _read_pin(config):
+    import os
+
+    return os.environ.get("FAKE_DEVICE_PIN", "missing")
