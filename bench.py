@@ -115,7 +115,10 @@ def main():
     def make_fused(fp, p, s, mods, dtype):
         def body(i, acc):
             eps = (i.astype(jnp.float32) * 1e-9 + acc * 0).astype(dtype)
-            mods_i = dict(mods, t=mods["t"] + eps)
+            # every modality must depend on the loop counter, or XLA hoists
+            # that modality's conv stack out of the loop and the number
+            # silently excludes it (caught by a component-split timing study)
+            mods_i = {k: v + eps for k, v in mods.items()}
             return acc + jnp.sum(fused_score(fp, p, s, mods_i))
         return body
 

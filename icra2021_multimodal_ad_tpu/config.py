@@ -69,6 +69,12 @@ class Config:
     # -- filled in post-parse (reference mutates argparse namespace) -------
     input_size: Optional[int] = None
 
+    # -- mid-training checkpoint/resume (beyond the reference: SURVEY.md §5
+    #    notes it had no optimizer/epoch resume) ---------------------------
+    checkpoint_path: Optional[str] = None
+    checkpoint_every: int = 0   # save every N epochs (0 = off)
+    resume: bool = False        # continue from checkpoint_path if present
+
     # -- plots (utils/metric.py:49-60,102-113 `show` flags, headless) ------
     roc_plot_path: Optional[str] = None  # save the NAP ROC curve here
     pr_plot_path: Optional[str] = None   # save the NAP PR curve here

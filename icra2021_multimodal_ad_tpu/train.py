@@ -59,6 +59,55 @@ class TrainResult(NamedTuple):
     valid_history: list
 
 
+def save_train_checkpoint(path: str, epoch: int, params, state, opt_state,
+                          best: dict, train_history, valid_history) -> str:
+    """Mid-training checkpoint: params + BN state + optimizer state + epoch
+    + best-so-far snapshot + loss histories.  The reference had no
+    optimizer/epoch resume at all (SURVEY.md §5 checkpoint notes); this
+    makes an interrupted run continue bit-exactly (the per-epoch shuffle is
+    fold_in(seed, epoch), so epoch index alone restores the data order)."""
+    from icra2021_multimodal_ad_tpu.utils.checkpoint import save_checkpoint
+
+    extra = {
+        "epoch": np.asarray(epoch),
+        "opt_leaves": [np.asarray(x) for x in jax.tree.leaves(opt_state)],
+        "best_loss": np.asarray(best["loss"]),
+        "best_params": best["params"],
+        "best_state": best["state"],
+        "train_history": np.asarray(train_history, dtype=np.float64),
+        "valid_history": np.asarray(valid_history, dtype=np.float64),
+    }
+    return save_checkpoint(path, params, state, extra=extra)
+
+
+def load_train_checkpoint(path: str, optimizer):
+    """Inverse of save_train_checkpoint; opt_state is rebuilt by grafting the
+    saved leaves onto a freshly-initialized optimizer tree structure."""
+    from icra2021_multimodal_ad_tpu.utils.checkpoint import load_checkpoint
+
+    params, state, meta = load_checkpoint(path)
+    extra = meta["extra"]
+    template = optimizer.init(params)
+    opt_state = jax.tree.unflatten(
+        jax.tree.structure(template),
+        [jnp.asarray(x) for x in extra["opt_leaves"]],
+    )
+    best = {
+        "loss": float(extra["best_loss"]),
+        "params": jax.tree.map(jnp.asarray, extra["best_params"]),
+        "state": jax.tree.map(jnp.asarray, extra["best_state"]),
+    }
+    return {
+        "params": jax.tree.map(jnp.asarray, params),
+        "state": jax.tree.map(jnp.asarray, state),
+        "opt_state": opt_state,
+        "epoch": int(extra["epoch"]),
+        "best": best,
+        "train_history": [float(v) for v in np.atleast_1d(extra["train_history"])],
+        "valid_history": [float(v) for v in np.atleast_1d(extra["valid_history"])],
+    }
+
+
 @lru_cache(maxsize=None)
 def _adam(lr: float):
     """One optimizer object per learning rate.  optax.adam returns a fresh
@@ -261,7 +310,10 @@ class NoveltyDetecter:
 
     def train(self, model: AutoEncoder, params, state, train_x, valid_x,
               rng: Optional[jax.Array] = None,
-              fused: Optional[bool] = None) -> TrainResult:
+              fused: Optional[bool] = None,
+              checkpoint_path: Optional[str] = None,
+              checkpoint_every: int = 0,
+              resume: bool = False) -> TrainResult:
         """Device-resident training loop.
 
         NOTE: the underlying epoch programs donate their (params, state,
@@ -300,10 +352,15 @@ class NoveltyDetecter:
             valid_x = self._put(valid_x)
             if batch % n_dev == 0:
                 data_sharding = batch_sharding(self.mesh)
-        opt_state = optimizer.init(params)
+        # params may be None when resuming purely from a checkpoint
+        opt_state = optimizer.init(params) if params is not None else None
 
+        checkpointing = bool(checkpoint_path) and (checkpoint_every > 0
+                                                   or resume)
         if fused is None:
-            fused = cfg.verbose < 1
+            fused = cfg.verbose < 1 and not checkpointing
+        if checkpointing:
+            fused = False  # mid-run checkpoints need the per-epoch loop
         if fused:
             best_params, best_state, tr, va = train_all_epochs(
                 model, params, state, opt_state, train_x, valid_x, rng,
@@ -318,8 +375,31 @@ class NoveltyDetecter:
 
         train_history, valid_history = [], []
         best = {"loss": np.inf, "params": params, "state": state}
+        start_epoch = 0
 
-        for epoch in range(cfg.n_epochs):
+        if resume and checkpoint_path:
+            import os
+
+            ckpt = (checkpoint_path if checkpoint_path.endswith(".npz")
+                    else checkpoint_path + ".npz")
+            if os.path.exists(ckpt):
+                loaded = load_train_checkpoint(ckpt, optimizer)
+                params, state = loaded["params"], loaded["state"]
+                opt_state = loaded["opt_state"]
+                best = loaded["best"]
+                train_history = loaded["train_history"]
+                valid_history = loaded["valid_history"]
+                start_epoch = loaded["epoch"]
+                if cfg.verbose >= 1:
+                    print(f"resumed from {ckpt} at epoch {start_epoch}")
+
+        if params is None:
+            raise ValueError(
+                "no params: pass (params, state) or resume=True with an "
+                "existing checkpoint_path"
+            )
+
+        for epoch in range(start_epoch, cfg.n_epochs):
             perm = jax.random.permutation(jax.random.fold_in(rng, epoch), n)
             params, state, opt_state, total = train_epoch(
                 model, params, state, opt_state, train_x, perm,
@@ -347,6 +427,13 @@ class NoveltyDetecter:
                 print(
                     f"Epoch {epoch + 1} - loss={train_loss:.4e} "
                     f"valid={valid_loss:.4e} lowest={best['loss']:.4e}"
+                )
+
+            if (checkpoint_path and checkpoint_every > 0
+                    and (epoch + 1) % checkpoint_every == 0):
+                save_train_checkpoint(
+                    checkpoint_path, epoch + 1, params, state, opt_state,
+                    best, train_history, valid_history,
                 )
 
         return TrainResult(

@@ -40,7 +40,12 @@ def main(config):
     valid_x, _ = dset_manager.get_transformed_data(valid_loader)
     test_x, test_y = dset_manager.get_transformed_data(test_loader)
 
-    result = detecter.train(model, params, state, train_x, valid_x)
+    result = detecter.train(
+        model, params, state, train_x, valid_x,
+        checkpoint_path=config.checkpoint_path,
+        checkpoint_every=config.checkpoint_every,
+        resume=config.resume,
+    )
     save_checkpoint(config.saved_name, result.params, result.state,
                     config=config)
 
