@@ -23,6 +23,13 @@ from icra2021_multimodal_ad_tpu.utils.checkpoint import save_checkpoint
 
 
 def main(config):
+    # multi-host pods coordinate here; single host is a silent no-op
+    from icra2021_multimodal_ad_tpu.parallel.distributed import (
+        initialize_multihost,
+    )
+
+    initialize_multihost()
+
     config = config.replace(input_size=get_input_size(config))
     model, params, state = get_model(config)
 

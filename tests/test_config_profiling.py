@@ -63,3 +63,36 @@ def test_trace_writes_profile(tmp_path):
     for root, _, files in os.walk(log_dir):
         found += files
     assert found, "profiler trace produced no files"
+
+
+def test_multihost_init_is_noop_on_single_host(monkeypatch):
+    from icra2021_multimodal_ad_tpu.parallel.distributed import (
+        initialize_multihost,
+    )
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    assert initialize_multihost() is False
+
+
+def test_multihost_init_passes_env_coordinates(monkeypatch):
+    import jax
+
+    from icra2021_multimodal_ad_tpu.parallel.distributed import (
+        initialize_multihost,
+    )
+
+    calls = {}
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda coordinator_address=None, num_processes=None,
+        process_id=None: calls.update(
+            addr=coordinator_address, n=num_processes, pid=process_id
+        ),
+    )
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    monkeypatch.setenv("JAX_PROCESS_ID", "2")
+    assert initialize_multihost() is True
+    assert calls == {"addr": "10.0.0.1:1234", "n": 4, "pid": 2}
