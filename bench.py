@@ -98,9 +98,13 @@ def main():
     }
 
     def fused_score(fp, p, s, mods):
+        # fp32 -> exact HIGHEST path; bf16 -> the serving mixed-precision
+        # forward (ops/serving.py), which is the shipped bf16 configuration
+        from icra2021_multimodal_ad_tpu.ops.serving import _forward
+
         x = fuse(fp, sensor="All", **mods)
-        x_hat, _ = ae_forward(model, p, s, x, train=False)
-        delta = (x_hat - x).astype(jnp.float32)
+        x_hat = _forward(model, p, s, x)
+        delta = (x_hat.astype(jnp.float32) - x.astype(jnp.float32))
         return jnp.mean(delta * delta, axis=-1)
 
     # -- numeric agreement bf16 vs fp32 ------------------------------------

@@ -199,7 +199,10 @@ class StreamingDetector:
 
         @jax.jit
         def _base_score(params, state, x):
-            x_hat, _ = ae_forward(model_, params, state, x, train=False)
+            # fp32 takes the exact path; bf16 the fast serving forward
+            from icra2021_multimodal_ad_tpu.ops.serving import _forward
+
+            x_hat = _forward(model_, params, state, x)
             d = x_hat.astype(jnp.float32) - x.astype(jnp.float32)
             return jnp.mean(d * d, axis=-1)
 

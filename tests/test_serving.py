@@ -154,3 +154,37 @@ def test_exported_scorer_roundtrip(tmp_path):
         np.asarray(scorer_n(cat)), np.asarray(nap_score_device(stats, cat)),
         rtol=1e-5,
     )
+
+
+def test_serving_forward_matches_exact_forward():
+    """The mixed-precision serving forward must track the exact fp32
+    forward closely (it trades ~0.4% reconstruction error for ~1.9x
+    throughput), including on VIB models (deterministic z = mu head)."""
+    from icra2021_multimodal_ad_tpu.models.autoencoder import ae_forward
+    from icra2021_multimodal_ad_tpu.ops.serving import serving_ae_forward
+
+    cfg, model, params, state = _setup()
+    x = jnp.asarray(
+        np.random.default_rng(7).normal(size=(32, 1728)), jnp.float32
+    )
+    ref, _ = ae_forward(model, params, state, x, train=False)
+    p16 = cast_floats(params, jnp.bfloat16)
+    out = serving_ae_forward(model, p16, state, x.astype(jnp.bfloat16))
+    rel = np.mean(np.abs(np.asarray(out, np.float32) - np.asarray(ref))
+                  / (np.abs(np.asarray(ref)) + 1e-3))
+    assert rel < 2e-2, rel
+
+    # VIB model: deterministic head
+    vib_cfg = cfg.replace(distribution="normal", k=2, sensor="force_torque",
+                          n_layers=2, btl_size=4)
+    vib_cfg = vib_cfg.replace(input_size=64)
+    vmodel, vparams, vstate = get_model(vib_cfg)
+    xv = jnp.asarray(np.random.default_rng(8).normal(size=(8, 64)),
+                     jnp.float32)
+    vref, _ = ae_forward(vmodel, vparams, vstate, xv, train=False)
+    vout = serving_ae_forward(vmodel, cast_floats(vparams, jnp.bfloat16),
+                              vstate, xv.astype(jnp.bfloat16))
+    assert vout.shape == vref.shape
+    vrel = np.mean(np.abs(np.asarray(vout, np.float32) - np.asarray(vref))
+                   / (np.abs(np.asarray(vref)) + 1e-3))
+    assert vrel < 3e-2, vrel
