@@ -29,3 +29,15 @@ from icra2021_multimodal_ad_tpu.ops.scoring import (  # noqa: F401
     ScoreReport,
 )
 from icra2021_multimodal_ad_tpu.ops.rapp import get_diffs  # noqa: F401
+from icra2021_multimodal_ad_tpu.ops.scoring import (  # noqa: F401
+    nap_fit_sharded,
+    load_nap_stats,
+    save_nap_stats,
+)
+from icra2021_multimodal_ad_tpu.ops.serving import (  # noqa: F401
+    make_serving,
+    serving_ae_forward,
+    export_base_scorer,
+    export_nap_scorer,
+    load_scorer,
+)
