@@ -74,6 +74,36 @@ def rotater_fit(x: jax.Array) -> RotaterStats:
 
 
 @jax.jit
+def rotater_fit_gram(x: jax.Array) -> RotaterStats:
+    """Rotation fit via the d x d Gram matrix instead of the tall SVD.
+
+    At the canonical eval scale (56k windows x ~5.3k concat-diff dims) the
+    thin SVD costs O(n d^2) inside an iterative decomposition, while
+    Gram + eigh is one near-peak MXU GEMM (same O(n d^2) FLOPs but at
+    matmul efficiency) plus an O(d^3) eigh — an order of magnitude faster
+    in practice.  The right singular vectors equal the Gram eigenvectors,
+    so whitening statistics agree with rotater_fit wherever the spectrum is
+    healthy; directions with near-zero singular values (numerical null
+    space) can differ because squaring the matrix squares the condition
+    number — use rotater_fit when bit-parity in those directions matters
+    (the golden-fixture path does).
+
+    Shards for free: with x row-sharded over a mesh, XLA turns the Gram
+    contraction into per-shard partial products + an all-reduce — the
+    'distributed Gram' alternative to gathering the diffs (SURVEY.md §5).
+    """
+    x = x.astype(jnp.float32)
+    mu = x.mean(axis=0)
+    xc = x - mu
+    g = jnp.dot(xc.T, xc, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    w, v = jnp.linalg.eigh(g)           # ascending eigenvalues
+    v = v[:, ::-1]                      # descending, SVD order
+    v = _fix_svd_signs(v.T).T           # same sign convention as the SVD fit
+    return RotaterStats(mu=mu, v=v)
+
+
+@jax.jit
 def rotater_run(stats: RotaterStats, x: jax.Array) -> jax.Array:
     x = x.astype(jnp.float32)
     return jnp.dot(x - stats.mu, stats.v, preferred_element_type=jnp.float32,

