@@ -80,6 +80,9 @@ class Config:
     pr_plot_path: Optional[str] = None   # save the NAP PR curve here
 
     # -- TPU-native additions ----------------------------------------------
+    nap_fit_method: str = "svd"   # "svd" (exact, reference semantics) |
+    # "gram" (Gram+eigh: mesh-shardable without gathering the diffs, and
+    # slightly faster single-chip; differs in numerically-null directions)
     seed: int = 0                 # PRNG seed for init, shuffle, fusion weights
     mesh_shape: Optional[int] = None  # devices on the 'data' mesh axis (None = all)
     param_dtype: str = "float32"

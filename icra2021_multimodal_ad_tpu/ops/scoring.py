@@ -136,10 +136,10 @@ def nap_fit(train_diffs_cat: jax.Array, method: str = "svd") -> NapStats:
     of the rotated training data.
 
     method="svd" (default) is the exact reference semantics; method="gram"
-    fits the rotation from the d x d Gram matrix — an order of magnitude
-    faster at the canonical 56k x 5.3k scale and mesh-shardable without an
-    all-gather, at the cost of fidelity in numerically-null directions
-    (see ops/normalize.rotater_fit_gram)."""
+    fits the rotation from the d x d Gram matrix — mesh-shardable WITHOUT
+    the ~1.2 GB all-gather (and measured slightly faster single-chip:
+    1.58 s vs 1.99 s at 56k x 5312 on TPU v5e), at the cost of fidelity in
+    numerically-null directions (see ops/normalize.rotater_fit_gram)."""
     if method == "gram":
         rot = rotater_fit_gram(train_diffs_cat)
     elif method == "svd":
@@ -153,15 +153,19 @@ def nap_fit(train_diffs_cat: jax.Array, method: str = "svd") -> NapStats:
 
 def nap_fit_sharded(train_diffs, mesh,
                     start_layer_index: int = 0,
-                    end_layer_index: Optional[int] = None) -> NapStats:
+                    end_layer_index: Optional[int] = None,
+                    method: str = "svd") -> NapStats:
     """Distributed NAP fit: per-shard diff matrices are all-gathered over ICI
     before the SVD (SURVEY.md §5 mapping of utils/metric.py:183-238 +
     normalize.py:52-70 to the mesh).  The gathered matrix is bit-identical to
     the single-device concat, so the fitted stats — and every downstream
     score — match the single-device path exactly."""
+    cat = concat_diffs(train_diffs, start_layer_index, end_layer_index)
+    if method == "gram":
+        # the Gram contraction reduces over the mesh directly — no gather
+        return nap_fit(cat, method="gram")
     from icra2021_multimodal_ad_tpu.parallel.mesh import all_gather
 
-    cat = concat_diffs(train_diffs, start_layer_index, end_layer_index)
     return nap_fit(all_gather(mesh, cat))
 
 
@@ -201,17 +205,20 @@ def get_d_norm_loss(train_diffs, valid_diffs, test_diffs, test_label,
     valid_cat = concat_diffs(valid_diffs, start_layer_index, end_layer_index)
     test_cat = concat_diffs(test_diffs, start_layer_index, end_layer_index)
 
+    method = (getattr(config, "nap_fit_method", "svd")
+              if config is not None else "svd")
     if mesh is not None:
         from icra2021_multimodal_ad_tpu.parallel.mesh import all_gather
 
         stats = nap_fit_sharded(train_diffs, mesh,
-                                start_layer_index, end_layer_index)
+                                start_layer_index, end_layer_index,
+                                method=method)
         valid_cat = all_gather(mesh, valid_cat)
         test_cat = all_gather(mesh, test_cat)
     else:
         train_cat = concat_diffs(train_diffs, start_layer_index,
                                  end_layer_index)
-        stats = nap_fit(train_cat)
+        stats = nap_fit(train_cat, method=method)
     if save_stats_path is None and config is not None:
         save_stats_path = getattr(config, "train_diffs", None)
     if save_stats_path:
