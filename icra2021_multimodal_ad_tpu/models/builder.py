@@ -81,5 +81,11 @@ def get_model(config: Config, key: jax.Array | None = None):
     if key is None:
         key = jax.random.PRNGKey(config.seed)
     model = build_autoencoder(config)
-    params, state = ae_init(key, model)
+    dtype = None
+    if getattr(config, "param_dtype", "float32") == "bfloat16":
+        import jax.numpy as jnp
+
+        dtype = jnp.bfloat16  # BN running stats stay fp32 (fc_layer_init)
+    params, state = (ae_init(key, model, dtype) if dtype is not None
+                     else ae_init(key, model))
     return model, params, state

@@ -96,3 +96,16 @@ def test_multihost_init_passes_env_coordinates(monkeypatch):
     monkeypatch.setenv("JAX_PROCESS_ID", "2")
     assert initialize_multihost() is True
     assert calls == {"addr": "10.0.0.1:1234", "n": 4, "pid": 2}
+
+
+def test_param_dtype_knob_builds_bf16_params():
+    from icra2021_multimodal_ad_tpu.config import Config, get_input_size
+    from icra2021_multimodal_ad_tpu.models.builder import get_model
+
+    cfg = Config(sensor="force_torque", n_layers=2, btl_size=4, verbose=0,
+                 param_dtype="bfloat16")
+    cfg = cfg.replace(input_size=get_input_size(cfg))
+    model, params, state = get_model(cfg)
+    assert params["encoder"][0]["w"].dtype == jnp.bfloat16
+    # BN running stats stay fp32 (accuracy-relevant accumulators)
+    assert state["encoder"][0]["bn_mean"].dtype == jnp.float32
