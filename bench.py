@@ -28,7 +28,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from icra2021_multimodal_ad_tpu.config import Config, get_input_size
-from icra2021_multimodal_ad_tpu.models.autoencoder import ae_forward
 from icra2021_multimodal_ad_tpu.models.builder import get_model
 from icra2021_multimodal_ad_tpu.ops.fusion import fuse, fusion_init
 from icra2021_multimodal_ad_tpu.ops.rapp import diffs_batch

@@ -16,8 +16,8 @@ import argparse
 import dataclasses
 import json
 import os
-from dataclasses import dataclass, field
-from typing import Any, List, Optional, Sequence
+from dataclasses import dataclass
+from typing import Any, Optional, Sequence
 
 
 @dataclass

@@ -20,9 +20,8 @@ Capability parity with the robot-side pieces the recorder alone didn't cover:
 
 from __future__ import annotations
 
-import math
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from icra2021_multimodal_ad_tpu.config import Config
-from icra2021_multimodal_ad_tpu.models.autoencoder import AutoEncoder, ae_forward
+from icra2021_multimodal_ad_tpu.models.autoencoder import AutoEncoder
 from icra2021_multimodal_ad_tpu.ops.fusion import FusionParams, fuse
 from icra2021_multimodal_ad_tpu.ops.image import norm_minmax_global
 from icra2021_multimodal_ad_tpu.ops.mfcc import mfcc_from_int16_chunks

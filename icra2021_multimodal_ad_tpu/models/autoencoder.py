@@ -14,7 +14,6 @@ from __future__ import annotations
 from typing import NamedTuple, Optional
 
 import jax
-import jax.numpy as jnp
 
 from icra2021_multimodal_ad_tpu.models.fc_module import (
     FCModuleSpec,

@@ -27,7 +27,6 @@ Semantics matched:
 
 from __future__ import annotations
 
-import time
 from functools import lru_cache, partial
 from typing import NamedTuple, Optional
 

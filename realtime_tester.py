@@ -16,7 +16,6 @@ behavior.
 import argparse
 
 import jax
-import numpy as np
 
 from icra2021_multimodal_ad_tpu.config import Config, get_input_size
 from icra2021_multimodal_ad_tpu.data.streaming import (

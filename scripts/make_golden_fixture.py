@@ -21,7 +21,6 @@ import numpy as np
 import pandas as pd
 
 from icra2021_multimodal_ad_tpu.config import Config, get_input_size
-from icra2021_multimodal_ad_tpu.data.dataset import get_loaders
 from icra2021_multimodal_ad_tpu.data.fixture import fixture_to_features
 from icra2021_multimodal_ad_tpu.data.synthetic import generate_data_sum_shards
 from icra2021_multimodal_ad_tpu.models.builder import get_model
