@@ -26,6 +26,9 @@ def main():
                    help="run the ETL afterwards (capture tree -> data_sum)")
     p.add_argument("--episodes_per_shard", type=int, default=120)
     p.add_argument("--transport", choices=["sim", "ros"], default="sim")
+    p.add_argument("--episode_s", type=float, default=10.0,
+                   help="wall-clock seconds to record per episode "
+                        "(ros transport)")
     args = p.parse_args()
 
     from icra2021_multimodal_ad_tpu.data.orchestration import (
@@ -35,21 +38,30 @@ def main():
     )
 
     if args.transport == "ros":
-        # live robot: subscribe the collector to the HSR topics and record
-        # wall-clock episodes (requires rospy on the robot host)
+        # live robot: subscribe a fresh collector to the HSR topics per
+        # episode, record for --episode_s wall-clock seconds, persist the
+        # capture tree, detach (rospy callbacks keep arriving on their own
+        # threads while this loop sleeps; rospy.spin is not needed and
+        # would never return between episodes)
+        import os
+        import time as _time
+
         from icra2021_multimodal_ad_tpu.data.acquisition import (
             DataCollector,
             make_ros_transport,
         )
 
-        transport, spin = make_ros_transport()
+        transport, _spin = make_ros_transport()
         for ep in range(args.episodes):
             name = f"ep{ep:04d}"
-            import os
-
-            DataCollector(transport, os.path.join(args.out_dir, "data"), name)
-            print(f"recording {name} — Ctrl-C to stop this episode")
-            spin()
+            collector = DataCollector(
+                transport, os.path.join(args.out_dir, "data"), name
+            )
+            print(f"recording {name} for {args.episode_s:.1f} s ...")
+            _time.sleep(args.episode_s)
+            collector.detach()
+            path = collector.recorder.save()
+            print(f"saved {path}")
         return
 
     script = PickPlaceScript(drop=not args.no_drop,

@@ -128,8 +128,9 @@ def _add_flags(p: argparse.ArgumentParser) -> None:
         elif f.name in ("input_size", "mesh_shape"):
             p.add_argument(name, type=int, default=default)
         elif f.name == "distribution":
+            # "none" is typable on the CLI and maps back to identity mode
             p.add_argument(name, type=str, default=default,
-                           choices=[None, "normal"])
+                           choices=["none", "normal"])
         elif default is None:
             p.add_argument(name, type=str, default=None)
         else:
@@ -150,6 +151,8 @@ def get_config(argv: Optional[Sequence[str]] = None, **overrides) -> Config:
     kw = vars(ns)
     if "from" in kw:
         kw["from_"] = kw.pop("from")
+    if kw.get("distribution") in ("none", "None"):
+        kw["distribution"] = None
     cfg = Config(**kw)
     if cfg.file_name != "data_sum":
         cfg = cfg.replace(slicing_size=7000)

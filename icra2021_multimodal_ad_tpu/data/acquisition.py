@@ -47,8 +47,15 @@ class LocalTransport:
     def subscribe(self, topic: str, callback) -> None:
         self._subs.setdefault(topic, []).append(callback)
 
+    def unsubscribe(self, topic: str, callback) -> None:
+        """Detach one callback (episode teardown — a collector left attached
+        would double-record the next episode)."""
+        subs = self._subs.get(topic, [])
+        if callback in subs:
+            subs.remove(callback)
+
     def publish(self, topic: str, payload) -> None:
-        for cb in self._subs.get(topic, []):
+        for cb in list(self._subs.get(topic, [])):
             cb(payload)
 
 
@@ -154,22 +161,27 @@ class DataCollector:
     def __init__(self, transport, out_dir: str, episode: str,
                  start_time: Optional[float] = None):
         self.recorder = EpisodeRecorder(out_dir, episode, start_time)
-        transport.subscribe(
-            self.TOPICS["force"],
-            lambda p: self.recorder.on_force(*p[:3], t=p[3] if len(p) > 3 else None),
-        )
-        transport.subscribe(
-            self.TOPICS["hand"], lambda p: self.recorder.on_image("hand", *p)
-        )
-        transport.subscribe(
-            self.TOPICS["depth"], lambda p: self.recorder.on_image("depth", *p)
-        )
-        transport.subscribe(
-            self.TOPICS["lidar"], lambda p: self.recorder.on_lidar(*p)
-        )
-        transport.subscribe(
-            self.TOPICS["mic"], lambda p: self.recorder.on_mic_chunk(*p)
-        )
+        self._transport = transport
+        self._subs = [
+            (self.TOPICS["force"],
+             lambda p: self.recorder.on_force(
+                 *p[:3], t=p[3] if len(p) > 3 else None)),
+            (self.TOPICS["hand"],
+             lambda p: self.recorder.on_image("hand", *p)),
+            (self.TOPICS["depth"],
+             lambda p: self.recorder.on_image("depth", *p)),
+            (self.TOPICS["lidar"], lambda p: self.recorder.on_lidar(*p)),
+            (self.TOPICS["mic"], lambda p: self.recorder.on_mic_chunk(*p)),
+        ]
+        for topic, cb in self._subs:
+            transport.subscribe(topic, cb)
+
+    def detach(self) -> None:
+        """Stop recording: unsubscribe every callback from the transport
+        (episode boundary — the next episode gets a fresh collector)."""
+        if hasattr(self._transport, "unsubscribe"):
+            for topic, cb in self._subs:
+                self._transport.unsubscribe(topic, cb)
 
 
 def make_ros_transport():  # pragma: no cover — requires a live ROS master

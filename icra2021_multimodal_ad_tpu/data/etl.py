@@ -199,8 +199,10 @@ def process_episode_legacy(ep_dir: str, data_dir_item: str,
     from Microphone.csv's `data` lists (Mic0000..), instead of wav-derived
     MFCCs.  Differences from the live variant, kept for parity:
 
-      * time bound: start = round(min of ALL stream starts) + 1 s
-        (data_preprocess.py:22-37; the live variant uses max of starts).
+      * time bound: start = round(min over rgb/depth/LiDAR/weight/mic
+        starts) + 1 s — the hand stream is excluded from the bound, exactly
+        as in the reference (data_preprocess.py:22-37 passes five streams;
+        the live variant uses max of starts instead).
       * grid still 10 Hz until drop_start + 0.5.
 
     The reference stores the mic COLUMN INDEX as the value of the first mic

@@ -101,6 +101,11 @@ def rotater_fit_gram(x: jax.Array) -> RotaterStats:
                 precision=jax.lax.Precision.HIGHEST)
     w, v = jnp.linalg.eigh(g)           # ascending eigenvalues
     v = v[:, ::-1]                      # descending, SVD order
+    # match the thin SVD's (d, min(n, d)) column contract: with n < d the
+    # extra eigenvectors span the exact null space (variance ~0) and would
+    # poison the downstream standardizer with amplified noise
+    k = min(x.shape[0], x.shape[1])
+    v = v[:, :k]
     v = _fix_svd_signs(v.T).T           # same sign convention as the SVD fit
     return RotaterStats(mu=mu, v=v)
 

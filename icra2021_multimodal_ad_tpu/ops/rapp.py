@@ -40,8 +40,6 @@ def diffs_batch(model: AutoEncoder, params: dict, state: dict, x: jax.Array):
     re-drives at :22-28).  Here the x-pathway taps are computed once and the
     bottleneck tap IS the latent (identical ops, bitwise-equal), so the
     whole extraction is 2 encoder passes + 1 decoder pass."""
-    if model.distribution is not None:
-        model = model._replace(stochastic_inference=False)
     x = x.reshape(x.shape[0], -1).astype(jnp.float32)
     taps_x, _ = fc_module_apply_taps(
         model.encoder, params["encoder"], state["encoder"], x, train=False

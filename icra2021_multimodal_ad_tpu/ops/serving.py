@@ -55,6 +55,7 @@ class ServingModel(NamedTuple):
     fusion_params: Optional[FusionParams]
     nap_stats: Optional[NapStats]
     compute_dtype: object
+    nap_pre: Optional[tuple] = None  # (offset, inv_std), folded at build
 
     def score_fused(self, x: jax.Array) -> jax.Array:
         """BASE score on already-fused (B, input) windows."""
@@ -77,12 +78,7 @@ class ServingModel(NamedTuple):
             raise ValueError("score_nap needs nap_stats")
         return nap_score_pallas(self.nap_stats, x_cat,
                                 dtype=self.compute_dtype,
-                                precomputed=self._nap_pre)
-
-    @property
-    def _nap_pre(self):
-        # recomputed lazily per call-site jit cache; cheap (one K-dot)
-        return nap_precompute(self.nap_stats)
+                                precomputed=self.nap_pre)
 
 
 def make_serving(config, model: AutoEncoder, params, state,
@@ -99,6 +95,9 @@ def make_serving(config, model: AutoEncoder, params, state,
                        if fusion_params is not None else None),
         nap_stats=nap_stats,
         compute_dtype=dtype,
+        # fold the two whitening means once at build time — score_nap calls
+        # must not re-dispatch the mu @ V GEMV per tick
+        nap_pre=(nap_precompute(nap_stats) if nap_stats is not None else None),
     )
 
 
@@ -142,7 +141,11 @@ def serving_ae_forward(model: AutoEncoder, params, state, x) -> jax.Array:
 
 def _forward(model, params, state, x):
     """fp32 serving keeps the exact HIGHEST-precision path; low-precision
-    serving takes the fast mixed-precision forward."""
+    serving takes the fast mixed-precision forward.  Serving is always
+    deterministic: VIB models score with z = mu regardless of their
+    stochastic_inference flag (matching diffs_batch / eval_epoch)."""
+    if model.distribution is not None:
+        model = model._replace(stochastic_inference=False)
     if x.dtype == jnp.float32:
         x_hat, _ = ae_forward(model, params, state, x, train=False)
         return x_hat
@@ -243,9 +246,9 @@ def load_scorer(blob_or_path):
     """Deserialize an exported scorer; returns a callable(x) -> scores."""
     from jax import export as jexport
 
-    if isinstance(blob_or_path, (str, bytes)) and not isinstance(
-        blob_or_path, bytes
-    ):
+    import os
+
+    if isinstance(blob_or_path, (str, os.PathLike)):
         with open(blob_or_path, "rb") as f:
             blob_or_path = f.read()
     exported = jexport.deserialize(blob_or_path)

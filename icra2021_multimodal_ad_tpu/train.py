@@ -373,7 +373,14 @@ class NoveltyDetecter:
             )
 
         train_history, valid_history = [], []
-        best = {"loss": np.inf, "params": params, "state": state}
+        # deep-copy the initial snapshot: train_epoch donates its buffers,
+        # and a run whose every valid loss is NaN would otherwise return
+        # references to deleted arrays instead of surfacing the divergence
+        best = {
+            "loss": np.inf,
+            "params": jax.tree.map(jnp.copy, params),
+            "state": jax.tree.map(jnp.copy, state),
+        }
         start_epoch = 0
 
         if resume and checkpoint_path:

@@ -33,7 +33,11 @@ int fast_png_dims(const char* path, int* h, int* w, int* c) {
   const int ch = PNG_IMAGE_PIXEL_CHANNELS(im.format);
   *h = static_cast<int>(im.height);
   *w = static_cast<int>(im.width);
-  if (ch == 2 || ch == 4) {  // gray+alpha / RGBA: defer to PIL
+  // defer to PIL for anything whose numpy view would differ from a plain
+  // 8-bit gray/RGB conversion: alpha channels, 16-bit (LINEAR) samples
+  // (PIL returns raw uint16), and palette images (PIL returns indices)
+  if (ch == 2 || ch == 4 ||
+      (im.format & (PNG_FORMAT_FLAG_LINEAR | PNG_FORMAT_FLAG_COLORMAP))) {
     png_image_free(&im);
     return -2;
   }
@@ -54,7 +58,8 @@ int fast_png_decode(const char* path, unsigned char* out, long cap,
     return -1;
   }
   const int ch = PNG_IMAGE_PIXEL_CHANNELS(im.format);
-  if (ch == 2 || ch == 4) {
+  if (ch == 2 || ch == 4 ||
+      (im.format & (PNG_FORMAT_FLAG_LINEAR | PNG_FORMAT_FLAG_COLORMAP))) {
     png_image_free(&im);
     return -2;
   }

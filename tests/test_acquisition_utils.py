@@ -156,3 +156,21 @@ def test_loss_registry_matches_torch():
                                     torch.from_numpy(labels))
     )
     assert ours == pytest.approx(ref, rel=1e-4)
+
+
+def test_collector_detach_stops_recording():
+    """Episode teardown: after detach() the recorder must not receive new
+    messages (a collector left subscribed would double-record the next
+    episode — review finding on the ROS collection loop)."""
+    from icra2021_multimodal_ad_tpu.data.acquisition import (
+        DataCollector,
+        LocalTransport,
+    )
+
+    transport = LocalTransport()
+    c = DataCollector(transport, "/tmp/unused", "ep0", start_time=0.0)
+    transport.publish(DataCollector.TOPICS["force"], (1.0, 2.0, 3.0, 0.1))
+    assert len(c.recorder.rows["hand_weight"]) == 1
+    c.detach()
+    transport.publish(DataCollector.TOPICS["force"], (1.0, 2.0, 3.5, 0.2))
+    assert len(c.recorder.rows["hand_weight"]) == 1  # no longer recording

@@ -109,3 +109,10 @@ def test_param_dtype_knob_builds_bf16_params():
     assert params["encoder"][0]["w"].dtype == jnp.bfloat16
     # BN running stats stay fp32 (accuracy-relevant accumulators)
     assert state["encoder"][0]["bn_mean"].dtype == jnp.float32
+
+
+def test_distribution_none_is_typable_on_cli():
+    cfg = get_config(["--distribution", "none"])
+    assert cfg.distribution is None
+    cfg2 = get_config(["--distribution", "normal"])
+    assert cfg2.distribution == "normal"

@@ -106,3 +106,29 @@ def test_parallel_decode_scales_on_multicore(tmp_path):
 
     np.testing.assert_array_equal(serial, parallel)
     assert t_serial / t_parallel >= 2.0, (t_serial, t_parallel)
+
+
+def test_exotic_formats_fall_back_to_pil(tmp_path):
+    """16-bit (LINEAR) and palette (COLORMAP) PNGs must be declined by the
+    native decoder — PIL returns raw uint16 / palette indices there, and a
+    silent 8-bit conversion would corrupt features (review finding)."""
+    rng = np.random.default_rng(0)
+
+    p16 = str(tmp_path / "gray16.png")
+    arr16 = rng.integers(0, 65535, (20, 24), dtype=np.uint16)
+    Image.fromarray(arr16, mode="I;16").save(p16)
+    assert fast_png.decode(p16) is None
+    np.testing.assert_array_equal(
+        fast_png.decode_resized(p16, (8, 8)),
+        np.asarray(Image.open(p16).resize((8, 8))),
+    )
+
+    ppal = str(tmp_path / "palette.png")
+    Image.fromarray(
+        rng.integers(0, 255, (20, 24, 3), dtype=np.uint8)
+    ).convert("P", palette=Image.ADAPTIVE).save(ppal)
+    assert fast_png.decode(ppal) is None
+    np.testing.assert_array_equal(
+        fast_png.decode_resized(ppal, (8, 8)),
+        np.asarray(Image.open(ppal).resize((8, 8))),
+    )

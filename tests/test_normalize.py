@@ -144,3 +144,25 @@ def test_gram_fit_runs_sharded_without_gather():
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(sharded.mu), np.asarray(ref.mu),
                                atol=1e-6)
+
+
+def test_gram_fit_truncates_to_thin_svd_rank():
+    """With fewer rows than columns the Gram fit must match the thin SVD's
+    (d, min(n, d)) column contract — the full eigenbasis would standardize
+    exact-null directions with ~1e-13 variances (review finding)."""
+    import jax.numpy as jnp
+
+    from icra2021_multimodal_ad_tpu.ops.normalize import (
+        rotater_fit,
+        rotater_fit_gram,
+    )
+    from icra2021_multimodal_ad_tpu.ops.scoring import nap_fit
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(20, 64)),
+                    jnp.float32)
+    svd = rotater_fit(x)
+    gram = rotater_fit_gram(x)
+    assert svd.v.shape == (64, 20)
+    assert gram.v.shape == (64, 20)
+    stats = nap_fit(x, method="gram")
+    assert stats.standardizer.var.shape == (20,)

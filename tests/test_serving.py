@@ -188,3 +188,21 @@ def test_serving_forward_matches_exact_forward():
     vrel = np.mean(np.abs(np.asarray(vout, np.float32) - np.asarray(vref))
                    / (np.abs(np.asarray(vref)) + 1e-3))
     assert vrel < 3e-2, vrel
+
+
+def test_fp32_serving_is_deterministic_for_stochastic_vib():
+    """fp32 serving of a VIB model built with stochastic_inference=True must
+    not require a PRNG key (review finding: only the bf16 branch overrode
+    the flag)."""
+    from icra2021_multimodal_ad_tpu.config import Config, get_input_size
+
+    cfg = Config(sensor="force_torque", n_layers=2, btl_size=4, verbose=0,
+                 distribution="normal", k=2, stochastic_inference=True)
+    cfg = cfg.replace(input_size=get_input_size(cfg))
+    model, params, state = get_model(cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 64)),
+                    jnp.float32)
+    serving = make_serving(cfg, model, params, state)  # fp32 default
+    s1 = np.asarray(serving.score_fused(x))
+    s2 = np.asarray(serving.score_fused(x))
+    np.testing.assert_array_equal(s1, s2)  # deterministic, no key needed
