@@ -59,9 +59,20 @@ def _listify(node):
     return {k: _listify(v) for k, v in node.items()}
 
 
+def _is_dir_path(path: str) -> bool:
+    return path.endswith(os.sep) or os.path.isdir(path)
+
+
 def save_checkpoint(path: str, params, state, config=None,
                     extra: Optional[dict] = None) -> str:
-    """Persist (params, state) to `<path>.npz` (suffix added if missing)."""
+    """Persist (params, state) to `<path>.npz` (suffix added if missing).
+
+    A DIRECTORY path (trailing separator, or an existing directory) routes
+    to Orbax instead — async-friendly, sharding-aware storage for large
+    runs; the flat-npz format stays the default for single-file artifacts.
+    """
+    if _is_dir_path(path):
+        return _save_orbax(path, params, state, config, extra)
     if not path.endswith(".npz"):
         path = path + ".npz"
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
@@ -78,8 +89,40 @@ def save_checkpoint(path: str, params, state, config=None,
     return path
 
 
+def _save_orbax(path: str, params, state, config, extra) -> str:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path.rstrip(os.sep))
+    tree = {"params": params, "state": state}
+    if extra:
+        tree["extra"] = extra
+    tree_dir = os.path.join(path, "tree")
+    ocp.PyTreeCheckpointer().save(tree_dir, tree, force=True)
+    if config is not None:
+        with open(os.path.join(path, "config.json"), "w") as f:
+            json.dump(_config_dict(config), f)
+    return path
+
+
+def _load_orbax(path: str) -> Tuple[Any, Any, dict]:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path.rstrip(os.sep))
+    tree = ocp.PyTreeCheckpointer().restore(os.path.join(path, "tree"))
+    meta: dict = {"extra": tree.get("extra", {})}
+    cfg_path = os.path.join(path, "config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            meta["config"] = json.load(f)
+    return tree["params"], tree["state"], meta
+
+
 def load_checkpoint(path: str) -> Tuple[Any, Any, dict]:
-    """Returns (params, state, meta) where meta has 'config' and 'extra'."""
+    """Returns (params, state, meta) where meta has 'config' and 'extra'.
+    Directory paths load Orbax checkpoints; files load the flat npz."""
+    if _is_dir_path(path) and not os.path.isfile(path) \
+            and not os.path.isfile(path + ".npz"):
+        return _load_orbax(path)
     if not path.endswith(".npz"):
         path = path + ".npz"
     z = np.load(path)

@@ -237,3 +237,25 @@ def test_cli_main(data_root, tmp_path, monkeypatch):
     assert b > 0.8 and s > 0.8 and n > 0.8
     assert os.path.exists(tmp_path / "model.npz")
     assert os.path.exists(tmp_path / "hsr_objectdrop" / "result_csv" / "run0.csv")
+
+
+def test_orbax_directory_checkpoint_roundtrip(data_root, tmp_path):
+    """Directory paths route to Orbax (async-friendly storage for large
+    runs); file paths keep the flat npz.  Same (params, state, config)
+    contract either way."""
+    import jax
+
+    cfg = _config(data_root, "force_torque")
+    model, params, state = get_model(cfg)
+
+    ckpt_dir = str(tmp_path / "orbax_ck") + os.sep
+    out = save_checkpoint(ckpt_dir, params, state, config=cfg)
+    assert os.path.isdir(out)
+    p2, s2, meta = load_checkpoint(out)
+    assert meta["config"]["sensor"] == "force_torque"
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # structure incl. the empty no-BN state dict survives
+    empty = lambda x: isinstance(x, dict) and not x  # noqa: E731
+    assert jax.tree.structure(state, is_leaf=empty) == \
+        jax.tree.structure(s2, is_leaf=empty)
