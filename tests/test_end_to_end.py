@@ -259,3 +259,28 @@ def test_orbax_directory_checkpoint_roundtrip(data_root, tmp_path):
     empty = lambda x: isinstance(x, dict) and not x  # noqa: E731
     assert jax.tree.structure(state, is_leaf=empty) == \
         jax.tree.structure(s2, is_leaf=empty)
+
+
+def test_sharded_eval_with_gram_fit(data_root):
+    """nap_fit_method='gram' over a mesh: the Gram reduction happens on the
+    sharded diffs (no gather) and the scores are finite and sane (on the
+    fixture's degenerate spectrum gram vs svd scores legitimately differ in
+    null directions, so this asserts behavior, not bit-parity)."""
+    from icra2021_multimodal_ad_tpu.parallel.mesh import get_mesh
+
+    cfg = _config(data_root, "force_torque", n_epochs=6).replace(
+        nap_fit_method="gram")
+    model, params, state = get_model(cfg)
+    manager, train_l, valid_l, test_l = get_loaders(cfg)
+    train_x, _ = manager.get_transformed_data(train_l)
+    valid_x, _ = manager.get_transformed_data(valid_l)
+    test_x, test_y = manager.get_transformed_data(test_l)
+
+    det = NoveltyDetecter(cfg, mesh=get_mesh(8))
+    result = det.train(model, params, state, train_x, valid_x)
+    base, sap, nap = det.test(model, result.params, result.state,
+                              train_x, valid_x, test_x, test_y)
+    assert np.isfinite(nap.score).all()
+    assert 0.0 <= nap.auroc <= 1.0
+    # whitening stats carry the truncated-rank contract
+    assert nap.score.shape == (len(test_x),)
