@@ -62,6 +62,15 @@ def main():
             collector.detach()
             path = collector.recorder.save()
             print(f"saved {path}")
+        if args.build:
+            from icra2021_multimodal_ad_tpu.data.etl import hsr_preprocess
+
+            shards = hsr_preprocess(
+                os.path.join(args.out_dir, "data"), args.out_dir,
+                episodes_per_shard=args.episodes_per_shard,
+                n_lidar=args.n_lidar,
+            )
+            print("data_sum shards:", shards)
         return
 
     script = PickPlaceScript(drop=not args.no_drop,

@@ -74,16 +74,30 @@ def process_episode(ep_dir: str, data_dir_item: str,
     df_lidar = pd.read_csv(os.path.join(ep_dir, "LiDAR.csv"))[1:]
     df_hand = pd.read_csv(os.path.join(ep_dir, "hand.csv"))[1:]
     df_weight = pd.read_csv(os.path.join(ep_dir, "hand_weight.csv"))[1:]
-    df_drop = pd.read_csv(os.path.join(ep_dir, "drop_time.csv"))
-    drop_end, drop_start = df_drop.values[0][-2], df_drop.values[0][-1]
 
     start = calc_time_bound(
         df_depth["timegap"].values, df_lidar["timegap"].values,
         df_weight["timegap"].values,
     )
-    # grid: start, start+0.1, ... <= drop_start + 0.5 (float-robust count)
-    n_steps = int(np.floor((drop_start + DROP_DURATION - start) / DATA_FREQUENCY
-                           + 1e-9)) + 1
+    drop_path = os.path.join(ep_dir, "drop_time.csv")
+    if os.path.exists(drop_path):
+        df_drop = pd.read_csv(drop_path)
+        drop_end, drop_start = df_drop.values[0][-2], df_drop.values[0][-1]
+        end_t = drop_start + DROP_DURATION
+    else:
+        # normal (no-drop) episode — the anomaly detector's TRAINING data;
+        # the reference only ever recorded drop episodes, so this extends
+        # the grid to the last instant every aligned stream still covers,
+        # with all labels 0
+        drop_start = None
+        end_t = min(
+            df_depth["timegap"].values[-1], df_lidar["timegap"].values[-1],
+            df_weight["timegap"].values[-1], df_hand["timegap"].values[-1],
+        ) - DATA_FREQUENCY
+    # grid: start, start+0.1, ... <= end bound (float-robust count)
+    n_steps = int(np.floor((end_t - start) / DATA_FREQUENCY + 1e-9)) + 1
+    if n_steps <= 0:
+        raise ValueError(f"{data_dir_item}: streams too short for the grid")
     grid = np.round(start + DATA_FREQUENCY * np.arange(n_steps), 6)
 
     di = align_stream(grid, df_depth["timegap"].values)
@@ -105,7 +119,11 @@ def process_episode(ep_dir: str, data_dir_item: str,
             for s in df_lidar["data"].values[li]
         ]
     )
-    label = ((grid >= drop_start) & (grid <= drop_start + DROP_DURATION)).astype(int)
+    if drop_start is None:
+        label = np.zeros(len(grid), dtype=int)
+    else:
+        label = ((grid >= drop_start)
+                 & (grid <= drop_start + DROP_DURATION)).astype(int)
 
     # MFCC over the same 0.1 s grid (concatdata_maker.py:171-174): one frame
     # per grid step, taken from the episode wav.

@@ -44,6 +44,13 @@ TOPICS = DataCollector.TOPICS
 class SensorTimeout(RuntimeError):
     """A sensor topic went silent past the connection timeout."""
 
+    @classmethod
+    def for_topics(cls, dead, timeout_s: float) -> "SensorTimeout":
+        return cls(
+            "sensor connection timeout (> %.1f s): %s — please check the "
+            "sensor connection" % (timeout_s, ", ".join(sorted(dead)))
+        )
+
 
 class CameraUnavailable(RuntimeError):
     """No camera candidate produced a frame after a full reconnect cycle."""
@@ -73,10 +80,7 @@ class ConnectionWatchdog:
     def check(self, now: Optional[float] = None) -> None:
         dead = self.stale_topics(now)
         if dead:
-            raise SensorTimeout(
-                "sensor connection timeout (> %.1f s): %s — please check the "
-                "sensor connection" % (self.timeout_s, ", ".join(sorted(dead)))
-            )
+            raise SensorTimeout.for_topics(dead, self.timeout_s)
 
 
 class ReconnectingCamera:

@@ -240,11 +240,7 @@ class StreamingDetector:
             if connection_timeout_s is not None:
                 dead = source.stale_topics(connection_timeout_s)
                 if dead:
-                    raise SensorTimeout(
-                        "sensor connection timeout (> %.1f s): %s — please "
-                        "check the sensor connection"
-                        % (connection_timeout_s, ", ".join(sorted(dead)))
-                    )
+                    raise SensorTimeout.for_topics(dead, connection_timeout_s)
             start = time.perf_counter()
             x = get_realtime_dataloader(
                 self.config, self.fusion_params,

@@ -25,15 +25,13 @@ from icra2021_multimodal_ad_tpu.ops.scoring import (  # noqa: F401
     get_d_loss,
     get_d_norm_loss,
     nap_fit,
+    nap_fit_sharded,
     nap_transform,
+    load_nap_stats,
+    save_nap_stats,
     ScoreReport,
 )
 from icra2021_multimodal_ad_tpu.ops.rapp import get_diffs  # noqa: F401
-from icra2021_multimodal_ad_tpu.ops.scoring import (  # noqa: F401
-    nap_fit_sharded,
-    load_nap_stats,
-    save_nap_stats,
-)
 from icra2021_multimodal_ad_tpu.ops.serving import (  # noqa: F401
     make_serving,
     serving_ae_forward,

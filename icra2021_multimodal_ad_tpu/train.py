@@ -386,9 +386,20 @@ class NoveltyDetecter:
         if resume and checkpoint_path:
             import os
 
-            ckpt = (checkpoint_path if checkpoint_path.endswith(".npz")
-                    else checkpoint_path + ".npz")
-            if os.path.exists(ckpt):
+            from icra2021_multimodal_ad_tpu.utils.checkpoint import (
+                _is_dir_path,
+            )
+
+            if _is_dir_path(checkpoint_path):
+                ckpt = checkpoint_path  # Orbax directory checkpoint
+                found = os.path.exists(
+                    os.path.join(checkpoint_path.rstrip(os.sep), "tree")
+                )
+            else:
+                ckpt = (checkpoint_path if checkpoint_path.endswith(".npz")
+                        else checkpoint_path + ".npz")
+                found = os.path.exists(ckpt)
+            if found:
                 loaded = load_train_checkpoint(ckpt, optimizer)
                 params, state = loaded["params"], loaded["state"]
                 opt_state = loaded["opt_state"]

@@ -47,6 +47,10 @@ def main():
                         "(realtime_tester.py:206-228 live_plotter)")
     p.add_argument("--plot_path", type=str, default=None,
                    help="save the live score plot headlessly to this file")
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16 = the serving fast path for the BASE "
+                        "scorer (NAP stays fp32)")
     p.add_argument("--connection_timeout_s", type=float, default=None,
                    help="raise if a sensor queue is silent this long "
                         "(reference default 10 s, realtime_tester.py:52-57)")
@@ -56,7 +60,7 @@ def main():
         batch_size=args.batch_size, btl_size=args.btl_size,
         n_layers=args.n_layers, sensor=args.sensor,
         saved_name=args.saved_name, train_diffs=args.train_diffs,
-        seed=args.seed,
+        seed=args.seed, compute_dtype=args.compute_dtype,
     )
     cfg = cfg.replace(input_size=get_input_size(cfg))
 

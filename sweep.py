@@ -44,6 +44,9 @@ def run_one(overrides: dict) -> dict:
     base_r, sap_r, nap_r = det.test(
         model, res.params, res.state, train_x, valid_x, test_x, test_y
     )
+    cfg_row = {k: v for k, v in overrides.items() if k != "progress"}
+    print(f"[{overrides.get('progress', '?')}] {cfg_row} -> "
+          f"nap_auroc={nap_r.auroc:.4f}", flush=True)  # streams per point
     return {
         "base_auroc": base_r.auroc, "sap_auroc": sap_r.auroc,
         "nap_auroc": nap_r.auroc,
@@ -83,8 +86,6 @@ def main():
     for overrides, result in pairs:
         cfg_row = {k: v for k, v in overrides.items() if k != "progress"}
         reporter.add(cfg_row, result)
-        print(f"[{overrides.get('progress', '?')}] {cfg_row} -> "
-              f"nap_auroc={result['nap_auroc']:.4f}")
     reporter.export(args.out)
     print("wrote", args.out)
 

@@ -175,3 +175,23 @@ def test_legacy_etl_variant_schema_and_labels(tmp_path):
     one = process_episode_legacy(
         str(tmp_path / "legacy" / "ep0" / "data"), "ep0", n_lidar=15)
     assert len(one) == len(ep0)
+
+
+def test_no_drop_episode_builds_label0_dataset(tmp_path):
+    """Normal (label-0) episodes — the detector's TRAINING data — must flow
+    through collection -> ETL even though they have no drop_time.csv
+    (review finding: the reference only ever recorded drop episodes)."""
+    from icra2021_multimodal_ad_tpu.data.orchestration import (
+        PickPlaceScript,
+        collect_and_build,
+    )
+
+    out = str(tmp_path / "normal")
+    shards = collect_and_build(out, n_episodes=2, seed=5, n_lidar=10,
+                               episodes_per_shard=2,
+                               script=PickPlaceScript(drop=False))
+    df = pd.read_csv(shards[0])
+    assert len(df) > 20
+    assert set(df["label"].unique()) == {0}
+    # weight stays in the carried regime (no drop signature)
+    assert df["cur_hand_weight"].max() > 150

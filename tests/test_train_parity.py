@@ -166,3 +166,27 @@ def test_checkpoint_resume_is_bit_exact(tmp_path):
     for a, b in zip(jax.tree.leaves(full.params),
                     jax.tree.leaves(resumed.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_from_orbax_directory_checkpoint(tmp_path):
+    """Directory checkpoint_path (Orbax) must resume, not silently restart
+    (review finding: the resume check hardcoded '.npz')."""
+    import jax.numpy as jnp
+
+    from icra2021_multimodal_ad_tpu.config import Config, get_input_size
+    from icra2021_multimodal_ad_tpu.models.builder import get_model
+
+    cfg = Config(sensor="force_torque", n_layers=2, btl_size=4, verbose=0,
+                 batch_size=16, seed=0, lr=3e-3)
+    cfg = cfg.replace(input_size=get_input_size(cfg))
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(48, 64)), jnp.float32)
+    xv = jnp.asarray(rng.normal(size=(16, 64)), jnp.float32)
+
+    ckpt = str(tmp_path / "orbax_mid") + "/"
+    model, p, s = get_model(cfg)
+    NoveltyDetecter(cfg.replace(n_epochs=2)).train(
+        model, p, s, x, xv, checkpoint_path=ckpt, checkpoint_every=2)
+    resumed = NoveltyDetecter(cfg.replace(n_epochs=4)).train(
+        model, None, None, x, xv, checkpoint_path=ckpt, resume=True)
+    assert len(resumed.valid_history) == 4  # 2 loaded + 2 new epochs
