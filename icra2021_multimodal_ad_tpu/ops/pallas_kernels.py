@@ -132,3 +132,117 @@ def nap_score_pallas_check(stats: NapStats, x: jax.Array,
     ours = np.asarray(nap_score_pallas(stats, x))
     ref = np.asarray(nap_score_device(stats, x))
     return bool(np.allclose(ours, ref, rtol=rtol, atol=1e-5))
+
+
+# ---------------------------------------------------------------------------
+# Fused MLP forward: a whole FC module (all layers) in one kernel
+# ---------------------------------------------------------------------------
+
+
+def _round128(x: int) -> int:
+    return _round_up(x, 128)
+
+
+def _make_mlp_kernel(acts):
+    """Kernel over one batch tile: static python loop over layers, each
+    matmul accumulating fp32 with bias + leaky + folded BN affine applied
+    in-register; the activation is cast back to the operand dtype and NEVER
+    leaves VMEM between layers — the HBM inter-layer round trips of the
+    layer-by-layer forward disappear.
+
+    MEASUREMENT (TPU v5e, canonical 16384 x 1728 AE, bf16): this kernel runs
+    2.34 ms at tb=256 (the largest tile that fits VMEM with a whole module's
+    weights resident — tb>=512 exceeds ~16 MB and fails to compile), while
+    XLA's own pipeline for serving_ae_forward measured 1.94 ms in the same
+    session.  XLA wins at this shape because it can pipeline weight fetches
+    against much larger batch tiles; the fused kernel is kept (correctness-
+    tested against the serving forward to ~2e-5) for regimes where
+    weight-resident execution pays — smaller modules, many small-batch
+    streaming calls — and as the packed-affine reference implementation."""
+    n_layers = len(acts)
+
+    def kernel(*refs):
+        x_ref = refs[0]
+        out_ref = refs[-1]
+        y = x_ref[:]
+        for l in range(n_layers):
+            w = refs[1 + 4 * l][:]
+            b = refs[2 + 4 * l][:]
+            s = refs[3 + 4 * l][:]
+            t = refs[4 + 4 * l][:]
+            acc = jnp.dot(y, w, preferred_element_type=jnp.float32)
+            acc = acc + b
+            if acts[l]:
+                acc = jnp.where(acc >= 0, acc, 0.2 * acc)  # leakyrelu(0.2)
+            acc = acc * s + t
+            y = acc.astype(x_ref.dtype)
+        out_ref[:] = y
+
+    return kernel
+
+
+def pack_module_layers(spec, params_mod, state_mod, dtype=jnp.bfloat16):
+    """Pad one FC module's layers to 128-multiples and fold the eval-mode BN
+    into a per-lane affine (scale, shift).  Padded lanes carry w=b=0 and
+    scale=shift=0, so they stay exactly zero through leaky + affine and
+    contribute nothing to the next matmul."""
+    from icra2021_multimodal_ad_tpu.models.layers import BN_EPS
+
+    layers = []
+    acts = []
+    for lspec, p, s in zip(spec.layers, params_mod, state_mod):
+        din, dout = p["w"].shape
+        dinp, doutp = _round128(din), _round128(dout)
+        w = jnp.zeros((dinp, doutp), dtype).at[:din, :dout].set(
+            p["w"].astype(dtype))
+        b = jnp.zeros((1, doutp), jnp.float32).at[0, :dout].set(
+            p["b"].astype(jnp.float32))
+        if lspec.bn:
+            inv = 1.0 / jnp.sqrt(s["bn_var"] + BN_EPS)
+            scale_r = p["bn_scale"].astype(jnp.float32) * inv
+            shift_r = (p["bn_bias"].astype(jnp.float32)
+                       - s["bn_mean"] * scale_r)
+        else:
+            scale_r = jnp.ones((dout,), jnp.float32)
+            shift_r = jnp.zeros((dout,), jnp.float32)
+        scale = jnp.zeros((1, doutp), jnp.float32).at[0, :dout].set(scale_r)
+        shift = jnp.zeros((1, doutp), jnp.float32).at[0, :dout].set(shift_r)
+        layers.append((w, b, scale, shift))
+        acts.append(lspec.act is not None)
+    return layers, acts
+
+
+@partial(jax.jit, static_argnames=("acts", "tb", "out_dim"))
+def _mlp_padded(x_p, flat_layers, acts, tb: int, out_dim: int):
+    bp, d0p = x_p.shape
+    kernel = _make_mlp_kernel(acts)
+    in_specs = [pl.BlockSpec((tb, d0p), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    for arr in flat_layers:
+        in_specs.append(
+            pl.BlockSpec(arr.shape,
+                         lambda i, _n=len(arr.shape): (0,) * _n,
+                         memory_space=pltpu.VMEM)
+        )
+    out = pl.pallas_call(
+        kernel,
+        grid=(bp // tb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tb, out_dim), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, out_dim), x_p.dtype),
+        interpret=_interpret(),
+    )(x_p, *flat_layers)
+    return out
+
+
+def fused_module_forward(layers, acts, x, tb: int = 256) -> jax.Array:
+    """Apply one packed FC module (from pack_module_layers) to (B, Din)
+    inputs; returns (B, Dout_padded) — callers slice the real lanes."""
+    b, din = x.shape
+    dinp = layers[0][0].shape[0]
+    bp = _round_up(max(b, tb), tb)
+    x_p = jnp.zeros((bp, dinp), x.dtype).at[:b, :din].set(x)
+    flat = tuple(arr for layer in layers for arr in layer)
+    out = _mlp_padded(x_p, flat, tuple(acts), tb, layers[-1][0].shape[1])
+    return out[:b]

@@ -49,3 +49,45 @@ def test_nap_pallas_identity_whitening():
     ours = np.asarray(nap_score_pallas(stats, x, tb=8, tj=128))
     np.testing.assert_allclose(ours, np.asarray(jnp.mean(x * x, axis=1)),
                                rtol=1e-4)
+
+
+def test_fused_mlp_kernel_matches_serving_forward():
+    """The whole-module fused kernel (weights VMEM-resident, BN folded to a
+    per-lane affine, padded lanes pinned to zero) must reproduce the
+    layer-by-layer serving forward."""
+    import jax.numpy as jnp
+
+    from icra2021_multimodal_ad_tpu.config import Config, get_input_size
+    from icra2021_multimodal_ad_tpu.models.builder import get_model
+    from icra2021_multimodal_ad_tpu.ops.pallas_kernels import (
+        fused_module_forward,
+        pack_module_layers,
+    )
+    from icra2021_multimodal_ad_tpu.ops.serving import (
+        cast_floats,
+        serving_ae_forward,
+    )
+
+    cfg = Config(sensor="All", n_layers=3, btl_size=16, verbose=0, seed=0)
+    cfg = cfg.replace(input_size=get_input_size(cfg))
+    model, params, state = get_model(cfg)
+    p16 = cast_floats(params, jnp.bfloat16)
+
+    enc_l, enc_a = pack_module_layers(model.encoder, p16["encoder"],
+                                      state["encoder"])
+    dec_l, dec_a = pack_module_layers(model.decoder, p16["decoder"],
+                                      state["decoder"])
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(37, 1728)),
+                    jnp.bfloat16)
+    z = fused_module_forward(enc_l, enc_a, x)[:, : cfg.btl_size]
+    xh = fused_module_forward(dec_l, dec_a, z)[:, : 1728]
+    ref = serving_ae_forward(model, p16, state, x)
+    rel = np.mean(
+        np.abs(np.asarray(xh, np.float32) - np.asarray(ref, np.float32))
+        / (np.abs(np.asarray(ref, np.float32)) + 1e-3)
+    )
+    assert rel < 1e-2, rel
+    # padded output lanes are exactly zero
+    full = fused_module_forward(dec_l, dec_a, z)
+    assert full.shape[1] >= 1792
+    np.testing.assert_array_equal(np.asarray(full[:, 1728:]), 0.0)
