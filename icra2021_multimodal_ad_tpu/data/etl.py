@@ -311,3 +311,62 @@ def hsr_preprocess_legacy(data_dir: str, out_path: str,
     df.to_csv(out_path, index_label="id")
     print("hsr dataset : data_sum.csv made")
     return out_path
+
+
+# ---------------------------------------------------------------------------
+# Earliest prototype variant (youngjae/preprocess/make_timesync_csv_file.py)
+# ---------------------------------------------------------------------------
+
+
+def make_timesync_frames(ep_dir: str, out_path: Optional[str] = None,
+                         n_lidar: Optional[int] = None) -> pd.DataFrame:
+    """Frame-driven time sync — the reference's earliest prototype
+    (youngjae/preprocess/make_timesync_csv_file.py:13-62): instead of a
+    fixed 10 Hz grid, every RGB frame defines its own window
+    [timegap, next_timegap), and the first depth / LiDAR / weight sample
+    inside each window is attached.  Emits (now_timegap, next_timegap,
+    cur_rgb_id, cur_depth_id, LiDAR columns, cur_hand_weight); no labels —
+    the prototype predates drop annotation.
+
+    Windows with no sample in some stream are dropped (the prototype's
+    linear scans returned None there and wrote NaN rows)."""
+    df_rgb = pd.read_csv(os.path.join(ep_dir, "rgb.csv"))[1:]
+    df_depth = pd.read_csv(os.path.join(ep_dir, "depth.csv"))[1:]
+    df_lidar = pd.read_csv(os.path.join(ep_dir, "LiDAR.csv"))[1:]
+    df_weight = pd.read_csv(os.path.join(ep_dir, "hand_weight.csv"))[1:]
+
+    rgb_t = df_rgb["timegap"].values.astype(np.float64)
+    rgb_id = df_rgb["id"].values
+    now_t, next_t = rgb_t[:-1], rgb_t[1:]
+
+    def first_in_window(timegaps):
+        tg = np.asarray(timegaps, dtype=np.float64)
+        idx = np.searchsorted(tg, now_t, side="left")
+        idx_c = np.clip(idx, 0, len(tg) - 1)
+        ok = (idx < len(tg)) & (tg[idx_c] <= next_t)
+        return np.where(ok, idx_c, -1)
+
+    di = first_in_window(df_depth["timegap"].values)
+    li = first_in_window(df_lidar["timegap"].values)
+    wi = first_in_window(df_weight["timegap"].values)
+    keep = (di >= 0) & (li >= 0) & (wi >= 0)
+
+    lidar_rows = np.stack([
+        np.asarray([float(v) for v in s[1:-1].split(",")], dtype=np.float32)
+        for s in df_lidar["data"].values[li[keep]]
+    ])
+    if n_lidar is not None:
+        lidar_rows = lidar_rows[:, :n_lidar]
+
+    out = pd.DataFrame({
+        "now_timegap": now_t[keep],
+        "next_timegap": next_t[keep],
+        "cur_rgb_id": rgb_id[:-1][keep],
+        "cur_depth_id": df_depth["id"].values[di[keep]],
+        "cur_hand_weight": df_weight["weight"].values[wi[keep]],
+    })
+    for k, c in enumerate(_lidar_cols(lidar_rows.shape[1])):
+        out[c] = lidar_rows[:, k]
+    if out_path:
+        out.to_csv(out_path, index_label="id")
+    return out

@@ -195,3 +195,24 @@ def test_no_drop_episode_builds_label0_dataset(tmp_path):
     assert set(df["label"].unique()) == {0}
     # weight stays in the carried regime (no drop signature)
     assert df["cur_hand_weight"].max() > 150
+
+
+def test_frame_driven_timesync_prototype(tmp_path):
+    """make_timesync_frames (youngjae/preprocess/make_timesync_csv_file.py
+    parity): RGB frames define the sync windows; each row carries the first
+    depth/LiDAR/weight sample inside its window; no labels."""
+    from icra2021_multimodal_ad_tpu.data.etl import make_timesync_frames
+
+    root = str(tmp_path / "proto")
+    _write_legacy_episode(root, "ep0", n_lidar=8, seed=2)
+    ep = os.path.join(root, "ep0", "data")
+    df = make_timesync_frames(ep, out_path=str(tmp_path / "sync.csv"),
+                              n_lidar=8)
+    assert len(df) > 10
+    for col in ("now_timegap", "next_timegap", "cur_rgb_id", "cur_depth_id",
+                "cur_hand_weight", "LiDAR000", "LiDAR007"):
+        assert col in df.columns, col
+    assert "label" not in df.columns  # the prototype predates labels
+    # windows are consecutive rgb frames
+    assert (df["next_timegap"].values > df["now_timegap"].values).all()
+    assert os.path.exists(str(tmp_path / "sync.csv"))
