@@ -24,7 +24,7 @@ from icra2021_multimodal_ad_tpu.utils.reporter import Reporter
 def run_one(overrides: dict) -> dict:
     """One training+eval run; returns the result row."""
     overrides = dict(overrides)
-    overrides.pop("progress", None)
+    progress = overrides.pop("progress", "?")
     base = Config(verbose=0)
     cfg = base.replace(**overrides)
     cfg = cfg.replace(input_size=get_input_size(cfg))
@@ -45,7 +45,7 @@ def run_one(overrides: dict) -> dict:
         model, res.params, res.state, train_x, valid_x, test_x, test_y
     )
     cfg_row = {k: v for k, v in overrides.items() if k != "progress"}
-    print(f"[{overrides.get('progress', '?')}] {cfg_row} -> "
+    print(f"[{progress}] {cfg_row} -> "
           f"nap_auroc={nap_r.auroc:.4f}", flush=True)  # streams per point
     return {
         "base_auroc": base_r.auroc, "sap_auroc": sap_r.auroc,
