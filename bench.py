@@ -38,11 +38,7 @@ BASELINE_WINDOWS_PER_SEC = 100_000.0
 N_ITERS = 20
 
 
-def _cast(tree, dtype):
-    return jax.tree.map(
-        lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a,
-        tree,
-    )
+from icra2021_multimodal_ad_tpu.ops.serving import cast_floats as _cast  # noqa: E402
 
 
 def _retry(f, attempts=3, wait_s=20):

@@ -52,10 +52,15 @@ def main():
         )
 
         transport, _spin = make_ros_transport()
+        import rospy
+
         for ep in range(args.episodes):
             name = f"ep{ep:04d}"
+            # episode clock must be the ROS clock: row times come from
+            # message header stamps (sim time under /use_sim_time)
             collector = DataCollector(
-                transport, os.path.join(args.out_dir, "data"), name
+                transport, os.path.join(args.out_dir, "data"), name,
+                start_time=rospy.get_time(),
             )
             print(f"recording {name} for {args.episode_s:.1f} s ...")
             _time.sleep(args.episode_s)

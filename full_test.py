@@ -77,6 +77,10 @@ def run_full_test(config: Config, fixture_path: str, plot: bool = False,
         plt.plot(scores, color="r")
         plt.title("NAP score")
         if score_plot_path:
+            import os
+
+            os.makedirs(os.path.dirname(os.path.abspath(score_plot_path)),
+                        exist_ok=True)
             fig.savefig(score_plot_path, dpi=110, bbox_inches="tight")
             print("score plot saved:", score_plot_path)
         if plot:

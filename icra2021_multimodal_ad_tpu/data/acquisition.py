@@ -198,23 +198,37 @@ def make_ros_transport():  # pragma: no cover — requires a live ROS master
     from sensor_msgs.msg import Image, LaserScan
     from std_msgs.msg import String
 
+    if not rospy.core.is_initialized():
+        rospy.init_node("icra_tpu_collector", anonymous=True)
+
     transport = LocalTransport()
     topics = DataCollector.TOPICS
 
     def _img_array(msg: "Image") -> np.ndarray:
-        # minimal cv_bridge-free decode for the encodings the HSR publishes
-        buf = np.frombuffer(msg.data, dtype=np.uint8)
+        # minimal cv_bridge-free decode for the encodings the HSR
+        # publishes; honors the per-row stride (msg.step — drivers pad rows
+        # for alignment) and the declared byte order
+        rows = np.frombuffer(msg.data, dtype=np.uint8).reshape(
+            msg.height, msg.step
+        )
         if msg.encoding in ("rgb8", "bgr8"):
-            arr = buf.reshape(msg.height, msg.width, 3)
+            arr = rows[:, : msg.width * 3].reshape(msg.height, msg.width, 3)
             if msg.encoding == "bgr8":
                 arr = arr[..., ::-1]
             return arr
         if msg.encoding in ("16UC1", "mono16"):
-            return np.frombuffer(msg.data, dtype=np.uint16).reshape(
-                msg.height, msg.width
+            dt = np.dtype(np.uint16).newbyteorder(
+                ">" if msg.is_bigendian else "<"
+            )
+            return (
+                rows[:, : msg.width * 2]
+                .copy()
+                .view(dt)
+                .reshape(msg.height, msg.width)
+                .astype(np.uint16)
             )
         if msg.encoding == "mono8":
-            return buf.reshape(msg.height, msg.width)
+            return rows[:, : msg.width].copy()
         raise ValueError(f"unsupported image encoding {msg.encoding!r}")
 
     def on_force(msg: "WrenchStamped"):

@@ -81,7 +81,7 @@ def main():
 
         live = LiveScorePlotter(window=min(args.ticks, 100),
                                 identifier="streaming anomaly score",
-                                interactive=args.live_plot or None)
+                                interactive=bool(args.live_plot))
 
     def tick_hook(i):
         source.tick(anomaly=i >= args.anomaly_after)

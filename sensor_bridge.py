@@ -88,9 +88,11 @@ def iter_wav_chunks(path: str, chunk_frames: int = CHUNK_FRAMES):
 
 
 def run_mic(transport, ticks: Optional[int] = None,
-            wav_path: Optional[str] = None, sleep=lambda s: None) -> int:
+            wav_path: Optional[str] = None, sleep=time.sleep) -> int:
     """Publish int16 chunks; live pyaudio when available, wav replay
-    otherwise (microphone_send.py:14-36 loop)."""
+    otherwise (microphone_send.py:14-36 loop).  Replay paces at the wav's
+    real-time rate (one chunk per CHUNK_FRAMES/SAMPLE_RATE) so recorded
+    timegaps match the audio duration; pass sleep=lambda s: None in tests."""
     sent = 0
     if wav_path is not None:
         for chunk in iter_wav_chunks(wav_path):
