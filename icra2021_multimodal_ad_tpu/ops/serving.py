@@ -80,13 +80,70 @@ class ServingModel(NamedTuple):
                                 dtype=self.compute_dtype,
                                 precomputed=self.nap_pre)
 
+    def nap_diffs(self, x: jax.Array) -> jax.Array:
+        """Concat RaPP diffs of fused (B, input) windows at the serving
+        precision: bf16 servers take the mixed-precision dual-pathway taps
+        (serving_diffs_batch), fp32 servers the exact extraction."""
+        from icra2021_multimodal_ad_tpu.ops.rapp import diffs_batch
+
+        if self.compute_dtype == jnp.float32:
+            d = diffs_batch(self.model, self.params, self.state,
+                            x.astype(jnp.float32))
+        else:
+            d = serving_diffs_batch(self.model, self.params, self.state,
+                                    x.astype(self.compute_dtype))
+        return jnp.concatenate(d, axis=-1)
+
+    def score_nap_windows(self, x: jax.Array) -> jax.Array:
+        """Full NAP path on fused windows: diff extraction + whitened score,
+        end to end at the serving precision (the streaming NAP hot path)."""
+        return self.score_nap(self.nap_diffs(x))
+
+    def score_sap_windows(self, x: jax.Array) -> jax.Array:
+        """SAP score (mean square over concat diffs, utils/metric.py:145-181
+        semantics) on fused windows at the serving precision — completes the
+        BASE/SAP/NAP three-score contract for serving."""
+        cat = self.nap_diffs(x)
+        return jnp.mean(cat * cat, axis=-1)
+
+    def score_nap_raw(self, **mods) -> jax.Array:
+        """Raw modality tensors -> fusion convs -> RaPP diffs -> NAP score,
+        everything at the serving precision (r/d/t/m layout of fusion.fuse)."""
+        if self.fusion_params is None:
+            raise ValueError("score_nap_raw needs fusion_params")
+        mods = {k: v.astype(self.compute_dtype) for k, v in mods.items()}
+        from icra2021_multimodal_ad_tpu.ops.fusion import fuse as _fuse
+
+        x = _fuse(self.fusion_params, sensor="All", **mods)
+        return self.score_nap_windows(x)
+
+
+#: default whitening-variance floor (relative to the max column variance)
+#: for bf16 NAP serving — see ops/scoring.nap_effective_stats for the
+#: measurements behind the value.
+NAP_VAR_FLOOR_REL_BF16 = 1e-6
+
 
 def make_serving(config, model: AutoEncoder, params, state,
                  fusion_params: Optional[FusionParams] = None,
-                 nap_stats: Optional[NapStats] = None) -> ServingModel:
+                 nap_stats: Optional[NapStats] = None,
+                 nap_var_floor_rel="auto") -> ServingModel:
     """Build the serving bundle; `config.compute_dtype` ('float32' |
-    'bfloat16') selects the operand dtype — the previously-dormant knob."""
+    'bfloat16') selects the operand dtype — the previously-dormant knob.
+
+    `nap_var_floor_rel`: whitening-variance floor for score_nap* (see
+    ops/scoring.nap_effective_stats).  "auto" = NAP_VAR_FLOOR_REL_BF16 for
+    bf16 (where un-floored near-null directions amplify rounding into
+    garbage scores), no floor for fp32 (exact eval parity).  Pass a float to
+    override, or None/0 to disable."""
+    from icra2021_multimodal_ad_tpu.ops.scoring import nap_effective_stats
+
     dtype = _DTYPES[getattr(config, "compute_dtype", "float32")]
+    if nap_var_floor_rel == "auto":
+        nap_var_floor_rel = (NAP_VAR_FLOOR_REL_BF16
+                             if dtype == jnp.bfloat16 else None)
+    if nap_stats is not None and nap_var_floor_rel:
+        nap_stats = nap_effective_stats(nap_stats, nap_var_floor_rel)
     return ServingModel(
         model=model,
         params=cast_floats(params, dtype),
@@ -104,6 +161,31 @@ def make_serving(config, model: AutoEncoder, params, state,
 from functools import partial  # noqa: E402
 
 
+def _module_taps_mixed(spec, params_mod, state_mod, y, dtype):
+    """One FC module on the mixed-precision stream, collecting per-layer
+    taps.  Each layer's matmul streams `dtype` operands into an fp32
+    accumulation; bias + activation + eval-mode BN affine stay fp32; the tap
+    is the fp32 per-layer output (the quantity diffs_batch records on the
+    exact path); only the operand fed to the NEXT matmul is cast back down.
+    Returns (taps, stream) — `stream` is the dtype-cast last tap."""
+    from icra2021_multimodal_ad_tpu.models.layers import BN_EPS, activation
+
+    taps = []
+    for lspec, p, s in zip(spec.layers, params_mod, state_mod):
+        acc = jnp.dot(y, p["w"].astype(dtype),
+                      preferred_element_type=jnp.float32)
+        acc = acc + p["b"].astype(jnp.float32)
+        acc = activation(lspec.act, acc)
+        if lspec.bn:
+            inv = jax.lax.rsqrt(s["bn_var"] + BN_EPS)
+            acc = ((acc - s["bn_mean"]) * inv
+                   * p["bn_scale"].astype(jnp.float32)
+                   + p["bn_bias"].astype(jnp.float32))
+        taps.append(acc)
+        y = acc.astype(dtype)
+    return taps, y
+
+
 def serving_ae_forward(model: AutoEncoder, params, state, x) -> jax.Array:
     """Eval-mode AE forward with LOW-PRECISION inter-layer activations.
 
@@ -117,26 +199,44 @@ def serving_ae_forward(model: AutoEncoder, params, state, x) -> jax.Array:
 
     VIB models take the deterministic head (z = mu) like the scoring path.
     """
-    from icra2021_multimodal_ad_tpu.models.layers import BN_EPS, activation
-
     dtype = x.dtype
-    y = x
-    for mod in ("encoder", "decoder"):
-        spec = getattr(model, mod)
-        for lspec, p, s in zip(spec.layers, params[mod], state[mod]):
-            y = jnp.dot(y, p["w"].astype(dtype),
-                        preferred_element_type=jnp.float32)
-            y = y + p["b"].astype(jnp.float32)
-            y = activation(lspec.act, y)
-            if lspec.bn:
-                inv = jax.lax.rsqrt(s["bn_var"] + BN_EPS)
-                y = ((y - s["bn_mean"]) * inv
-                     * p["bn_scale"].astype(jnp.float32)
-                     + p["bn_bias"].astype(jnp.float32))
-            y = y.astype(dtype)
-        if mod == "encoder" and model.distribution is not None:
-            y = y[..., : y.shape[-1] // 2]  # deterministic VIB: z = mu
+    _, y = _module_taps_mixed(model.encoder, params["encoder"],
+                              state["encoder"], x, dtype)
+    if model.distribution is not None:
+        y = y[..., : y.shape[-1] // 2]  # deterministic VIB: z = mu
+    _, y = _module_taps_mixed(model.decoder, params["decoder"],
+                              state["decoder"], y, dtype)
     return y
+
+
+@partial(jax.jit, static_argnames=("model",))
+def serving_diffs_batch(model: AutoEncoder, params, state, x):
+    """Mixed-precision RaPP diff extraction — ops/rapp.diffs_batch semantics
+    (reconstruction_aggregation.py:6-37 capability) on the serving numerics:
+    every matmul streams x.dtype operands with fp32 MXU accumulation, every
+    tap and every diff is fp32.  Same tuple layout as diffs_batch
+    (n_layers + 1 diff arrays).
+
+    This is the throughput configuration for NAP *scoring* against already-
+    fitted stats (streaming / serving); the NAP *fit* stays on the exact
+    fp32 HIGHEST path (CLAUDE.md invariant — the SVD is cancellation-
+    sensitive).  Deploy behind nap_accuracy_guard."""
+    dtype = x.dtype
+    x32 = x.reshape(x.shape[0], -1).astype(jnp.float32)
+    taps_x, _ = _module_taps_mixed(model.encoder, params["encoder"],
+                                   state["encoder"], x32.astype(dtype), dtype)
+    z = taps_x[-1]
+    if model.distribution is not None:
+        z = z[..., : z.shape[-1] // 2]  # deterministic VIB: z = mu
+    taps_d, _ = _module_taps_mixed(model.decoder, params["decoder"],
+                                   state["decoder"], z.astype(dtype), dtype)
+    x_hat = taps_d[-1]  # fp32 tap of the last decoder layer
+    taps_xhat, _ = _module_taps_mixed(model.encoder, params["encoder"],
+                                      state["encoder"], x_hat.astype(dtype),
+                                      dtype)
+    diffs = [x_hat - x32]
+    diffs += [h2 - h1 for h1, h2 in zip(taps_x, taps_xhat)]
+    return tuple(diffs)
 
 
 def _forward(model, params, state, x):
@@ -182,6 +282,38 @@ def bf16_accuracy_guard(config, model, params, state, x,
     rel = float(np.mean(np.abs(s16 - s32) / (np.abs(s32) + 1e-6)))
     if rel > tol:
         raise ValueError(f"bf16 serving rel err {rel:.4f} > tol {tol}")
+    return rel
+
+
+def nap_accuracy_guard(config, model, params, state, nap_stats, x,
+                       tol: float = 5e-2,
+                       nap_var_floor_rel=NAP_VAR_FLOOR_REL_BF16) -> float:
+    """Mean relative NAP-score error of the bf16 serving path (mixed-
+    precision diff extraction + bf16 whitening matmul) vs the fp32 path on a
+    probe batch of fused windows; raises above tol.
+
+    NAP is the risky score to run at low precision: whitening divides each
+    rotated column by the train-diff std, so forward-pass rounding on a
+    well-trained model (whose diffs are small) is amplified relative to the
+    signal.  Both bundles here use the SAME variance floor (the bf16
+    default), so the guard isolates the precision error — run it before
+    enabling bf16 NAP serving.  Pass nap_var_floor_rel=0 to compare against
+    un-floored whitening (expected to fail on degenerate fits; that failure
+    is the guard doing its job)."""
+    import numpy as np
+
+    fp32 = make_serving(config.replace(compute_dtype="float32"),
+                        model, params, state, nap_stats=nap_stats,
+                        nap_var_floor_rel=nap_var_floor_rel)
+    bf16 = make_serving(config.replace(compute_dtype="bfloat16"),
+                        model, params, state, nap_stats=nap_stats,
+                        nap_var_floor_rel=nap_var_floor_rel)
+    x = jnp.asarray(x)
+    s32 = np.asarray(fp32.score_nap_windows(x))
+    s16 = np.asarray(bf16.score_nap_windows(x))
+    rel = float(np.mean(np.abs(s16 - s32) / (np.abs(s32) + 1e-6)))
+    if rel > tol:
+        raise ValueError(f"bf16 NAP serving rel err {rel:.4f} > tol {tol}")
     return rel
 
 

@@ -94,7 +94,8 @@ def test_serving_nap_kernel_path():
 
 def test_streaming_detector_bf16_serving_mode():
     """StreamingDetector honors config.compute_dtype: bf16 BASE scorer
-    tracks the fp32 one; NAP keeps fp32 params."""
+    tracks the fp32 one; the exact fp32 params stay available for the
+    fp32 NAP path."""
     from icra2021_multimodal_ad_tpu.data.streaming import StreamingDetector
 
     cfg, model, params, state = _setup()
@@ -111,7 +112,141 @@ def test_streaming_detector_bf16_serving_mode():
     rel = np.mean(np.abs(s16 - s32) / (np.abs(s32) + 1e-6))
     assert rel < 5e-2
     assert det16._serve_params["encoder"][0]["w"].dtype == jnp.bfloat16
-    assert det16.params["encoder"][0]["w"].dtype == jnp.float32  # NAP path
+    assert det16.params["encoder"][0]["w"].dtype == jnp.float32  # exact path
+
+
+def test_serving_diffs_batch_matches_exact_fp32():
+    """serving_diffs_batch with fp32 operands must reproduce diffs_batch
+    (on CPU both resolve to the same fp32 matmuls), and with bf16 operands
+    every per-layer diff must stay finite and close on an untrained model."""
+    from icra2021_multimodal_ad_tpu.ops.rapp import diffs_batch
+    from icra2021_multimodal_ad_tpu.ops.serving import serving_diffs_batch
+
+    cfg, model, params, state = _setup()
+    x = jnp.asarray(
+        np.random.default_rng(9).normal(size=(16, 1728)), jnp.float32
+    )
+    ref = diffs_batch(model, params, state, x)
+    got = serving_diffs_batch(model, params, state, x)
+    assert len(got) == len(ref) == cfg.n_layers + 1
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-5)
+
+    got16 = serving_diffs_batch(model, cast_floats(params, jnp.bfloat16),
+                                state, x.astype(jnp.bfloat16))
+    for r, g in zip(ref, got16):
+        assert g.dtype == jnp.float32  # taps/diffs stay fp32
+        rel = np.mean(np.abs(np.asarray(g) - np.asarray(r))
+                      / (np.abs(np.asarray(r)) + 1e-3))
+        assert rel < 5e-2, rel
+
+    # SAP at serving precision: mean square over the same concat diffs
+    cat_ref = np.concatenate([np.asarray(r) for r in ref], axis=-1)
+    sap_ref = np.mean(cat_ref * cat_ref, axis=-1)
+    serving = make_serving(cfg, model, params, state)
+    np.testing.assert_allclose(np.asarray(serving.score_sap_windows(x)),
+                               sap_ref, rtol=1e-5)
+    serving16 = make_serving(cfg.replace(compute_dtype="bfloat16"),
+                             model, params, state)
+    sap16 = np.asarray(serving16.score_sap_windows(x))
+    assert np.mean(np.abs(sap16 - sap_ref) / (sap_ref + 1e-6)) < 5e-2
+
+
+def test_bf16_nap_serving_on_trained_model():
+    """The deploy-risk case for bf16 NAP: on a TRAINED model the diffs are
+    small, so forward rounding is amplified by the whitening divide.  The
+    guard must pass on in-distribution windows and the bf16 score must
+    preserve the anomaly separation (direction + margin) of the fp32 path.
+    """
+    from icra2021_multimodal_ad_tpu.data.streaming import (
+        SimulatedSensors,
+        StreamingDetector,
+        get_realtime_dataloader,
+    )
+    from icra2021_multimodal_ad_tpu.ops.rapp import get_diffs
+    from icra2021_multimodal_ad_tpu.ops.scoring import concat_diffs, nap_fit
+    from icra2021_multimodal_ad_tpu.ops.serving import nap_accuracy_guard
+    from icra2021_multimodal_ad_tpu.train import NoveltyDetecter
+
+    cfg = Config(sensor="All", batch_size=10, n_layers=3, btl_size=16,
+                 verbose=0, n_epochs=10, lr=3e-3, seed=0)
+    cfg = cfg.replace(input_size=get_input_size(cfg))
+    model, params, state = get_model(cfg)
+    fusion_params = fusion_init(jax.random.PRNGKey(cfg.seed))
+
+    src = SimulatedSensors(batch_size=10, seed=7)
+    for _ in range(12):
+        src.tick()
+    rows = []
+    for _ in range(20):
+        src.tick()
+        rows.append(np.asarray(get_realtime_dataloader(
+            cfg, fusion_params,
+            src.force_q.snapshot(), src.hand_q.snapshot(),
+            src.depth_q.snapshot(), src.mic_q.snapshot(),
+        )))
+    windows = np.concatenate(rows, axis=0)
+    n_valid = len(windows) // 5
+    res = NoveltyDetecter(cfg.replace(batch_size=64)).train(
+        model, params, state, windows[n_valid:], windows[:n_valid]
+    )
+
+    stats = nap_fit(concat_diffs(
+        get_diffs(windows[n_valid:], model, res.params, res.state)
+    ))
+
+    # guard passes on in-distribution (normal) windows (both precisions on
+    # the default bf16 variance floor).  This fit is deliberately worst-case
+    # degenerate — 160 rows against ~5k diff dims — so the bf16 error is at
+    # its ceiling here (~0.1); well-conditioned fits measure <5e-2 (see
+    # nap_effective_stats docstring).  A deployment whose guard exceeds its
+    # tolerance should raise the floor or keep NAP on fp32.
+    rel = nap_accuracy_guard(cfg, model, res.params, res.state, stats,
+                             windows[:64], tol=0.15)
+    assert rel < 0.15, rel
+
+    # ...and CATCHES the un-floored degenerate case: this fit has 160 rows
+    # against ~5k diff dims, so without the floor the whitening divides by
+    # near-zero variances and bf16 rounding explodes (measured >1e5x)
+    with pytest.raises(ValueError, match="rel err"):
+        nap_accuracy_guard(cfg, model, res.params, res.state, stats,
+                           windows[:64], tol=5e-2, nap_var_floor_rel=0)
+
+    # anomaly separation survives bf16: score normal + anomalous batches
+    anom = SimulatedSensors(batch_size=10, seed=9)
+    anom.fill()
+    for _ in range(10):
+        anom.tick(anomaly=True)
+    x_anom = get_realtime_dataloader(
+        cfg, fusion_params,
+        anom.force_q.snapshot(), anom.hand_q.snapshot(),
+        anom.depth_q.snapshot(), anom.mic_q.snapshot(),
+    )
+    x_norm = jnp.asarray(windows[:10])
+    serving16 = make_serving(cfg.replace(compute_dtype="bfloat16"),
+                             model, res.params, res.state, nap_stats=stats)
+    s_norm = np.asarray(serving16.score_nap_windows(x_norm))
+    s_anom = np.asarray(serving16.score_nap_windows(x_anom))
+    assert s_anom.mean() > 2.0 * s_norm.mean(), (s_norm.mean(), s_anom.mean())
+
+    # the streaming detector's bf16 NAP branch tracks the fp32 one under
+    # the same floored whitening (the fp32 detector gets pre-floored stats;
+    # its own path applies no floor — exact reference semantics)
+    from icra2021_multimodal_ad_tpu.ops.scoring import nap_effective_stats
+    from icra2021_multimodal_ad_tpu.ops.serving import NAP_VAR_FLOOR_REL_BF16
+
+    det32 = StreamingDetector(
+        cfg, model, res.params, res.state, fusion_params,
+        nap_stats=nap_effective_stats(stats, NAP_VAR_FLOOR_REL_BF16),
+    )
+    det16 = StreamingDetector(cfg.replace(compute_dtype="bfloat16"),
+                              model, res.params, res.state,
+                              fusion_params, nap_stats=stats)
+    n32 = det32.score_batch(x_norm, nap=True)
+    n16 = det16.score_batch(x_norm, nap=True)
+    # same worst-case-degenerate-fit ceiling as the guard above
+    assert np.mean(np.abs(n16 - n32) / (np.abs(n32) + 1e-6)) < 0.15
 
 
 def test_exported_scorer_roundtrip(tmp_path):
