@@ -190,25 +190,14 @@ class StreamingDetector:
             else jnp.float32
         )
         if self._dtype == jnp.bfloat16:
-            from icra2021_multimodal_ad_tpu.ops.serving import (
-                NAP_VAR_FLOOR_REL_BF16,
-                cast_floats,
-            )
-            from icra2021_multimodal_ad_tpu.ops.scoring import (
-                nap_effective_stats,
-            )
+            from icra2021_multimodal_ad_tpu.ops.serving import cast_floats
 
             self._serve_params = cast_floats(params, jnp.bfloat16)
-            # bf16 NAP must score against floored whitening — un-floored
-            # near-null directions amplify bf16 rounding by up to 1/std
-            # (ops/scoring.nap_effective_stats)
-            self._nap_stats_serve = (
-                nap_effective_stats(nap_stats, NAP_VAR_FLOOR_REL_BF16)
-                if nap_stats is not None else None
-            )
         else:
             self._serve_params = params
-            self._nap_stats_serve = nap_stats
+        # serving bundle for the bf16 NAP branch, built lazily and re-built
+        # if the caller swaps self.nap_stats after construction
+        self._nap_serving_cache = None
 
         model_ = model
 
@@ -223,23 +212,31 @@ class StreamingDetector:
 
         self._base_score = _base_score
 
+    def _nap_serving(self):
+        """The bf16 NAP scorer is the EXACT ServingModel path the deploy
+        guard (ops/serving.nap_accuracy_guard) certifies — mixed-precision
+        diffs + bf16 whitening against variance-floored stats.  Cached on
+        the identity of self.nap_stats so post-construction stats swaps
+        take effect."""
+        from icra2021_multimodal_ad_tpu.ops.serving import make_serving
+
+        if (self._nap_serving_cache is None
+                or self._nap_serving_cache[0] is not self.nap_stats):
+            bundle = make_serving(self.config, self.model,
+                                  self._serve_params, self.state,
+                                  nap_stats=self.nap_stats)
+            self._nap_serving_cache = (self.nap_stats, bundle)
+        return self._nap_serving_cache[1]
+
     def score_batch(self, x: jax.Array, nap: bool = False) -> np.ndarray:
         if nap:
             if self.nap_stats is None:
                 raise ValueError("NAP streaming needs persisted NapStats")
             if self._dtype == jnp.bfloat16:
-                from icra2021_multimodal_ad_tpu.ops.serving import (
-                    serving_diffs_batch,
-                )
-
-                diffs = serving_diffs_batch(
-                    self.model, self._serve_params, self.state,
-                    x.astype(self._dtype)
-                )
-            else:
-                diffs = diffs_batch(self.model, self.params, self.state, x)
+                return np.asarray(self._nap_serving().score_nap_windows(x))
+            diffs = diffs_batch(self.model, self.params, self.state, x)
             cat = jnp.concatenate(diffs, axis=-1)
-            return np.asarray(nap_score_device(self._nap_stats_serve, cat))
+            return np.asarray(nap_score_device(self.nap_stats, cat))
         return np.asarray(
             self._base_score(self._serve_params, self.state,
                              x.astype(self._dtype))

@@ -35,6 +35,9 @@ from icra2021_multimodal_ad_tpu.ops.rapp import get_diffs  # noqa: F401
 from icra2021_multimodal_ad_tpu.ops.serving import (  # noqa: F401
     make_serving,
     serving_ae_forward,
+    serving_diffs_batch,
+    bf16_accuracy_guard,
+    nap_accuracy_guard,
     export_base_scorer,
     export_nap_scorer,
     load_scorer,

@@ -39,10 +39,16 @@ def _nap_kernel(x_ref, v_ref, offset_ref, inv_std_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    # HIGHEST: fp32 operands would otherwise take a single-pass bf16 MXU
-    # route; the (rot - offset) subtraction is cancellation-sensitive.
+    # fp32 operands take HIGHEST (default-precision fp32 would decompose to
+    # single-pass bf16 and the (rot - offset) subtraction is cancellation-
+    # sensitive); bf16 operands must NOT request the fp32 contract —
+    # Mosaic rejects contract_precision<fp32> with a bf16 lhs ("Bad lhs
+    # type" at AOT compile), and the native single-pass MXU route with an
+    # fp32 accumulator is exactly the bf16 configuration we want.
+    prec = (jax.lax.Precision.HIGHEST
+            if x_ref.dtype == jnp.float32 else None)
     rot = jnp.dot(x_ref[:], v_ref[:], preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)
+                  precision=prec)
     t = (rot - offset_ref[:]) * inv_std_ref[:]
     out_ref[:] += jnp.sum(t * t, axis=1, keepdims=True)
 

@@ -47,7 +47,16 @@ def cast_floats(tree, dtype):
 
 
 class ServingModel(NamedTuple):
-    """Pre-cast parameters plus jitted scorers.  Build via make_serving."""
+    """Pre-cast parameters plus jitted scorers.  Build via make_serving.
+
+    With `mesh` (a 1-D window-axis jax.sharding.Mesh), every scorer shards
+    its batch over the mesh — multi-chip serving the reference's
+    single-GPU torch loop never had.  Rows are padded to device-count
+    divisibility and the padding is sliced off the scores (eval-mode BN has
+    no cross-row coupling, so padding cannot perturb real rows).  The NAP
+    score then takes the XLA matmul path (nap_score_device), which XLA
+    partitions over the mesh; the Pallas kernel stays the single-chip peak
+    configuration."""
 
     model: AutoEncoder
     params: dict
@@ -56,11 +65,25 @@ class ServingModel(NamedTuple):
     nap_stats: Optional[NapStats]
     compute_dtype: object
     nap_pre: Optional[tuple] = None  # (offset, inv_std), folded at build
+    mesh: Optional[object] = None
+
+    def _shard(self, x: jax.Array):
+        """Pad + shard the leading axis; returns (x, n_real_rows)."""
+        if self.mesh is None:
+            return x, x.shape[0]
+        from icra2021_multimodal_ad_tpu.parallel.mesh import (
+            pad_to_multiple,
+            shard_batch,
+        )
+
+        n = x.shape[0]
+        xp, _ = pad_to_multiple(x, self.mesh.devices.size)
+        return shard_batch(self.mesh, xp), n
 
     def score_fused(self, x: jax.Array) -> jax.Array:
         """BASE score on already-fused (B, input) windows."""
-        return _score_fused(self.model, self.params, self.state,
-                            x.astype(self.compute_dtype))
+        x, n = self._shard(x.astype(self.compute_dtype))
+        return _score_fused(self.model, self.params, self.state, x)[:n]
 
     def score_raw(self, **mods) -> jax.Array:
         """Fusion convs + AE forward + BASE score on raw modality tensors
@@ -68,14 +91,26 @@ class ServingModel(NamedTuple):
         if self.fusion_params is None:
             raise ValueError("score_raw needs fusion_params")
         mods = {k: v.astype(self.compute_dtype) for k, v in mods.items()}
+        n = next(iter(mods.values())).shape[0]
+        if self.mesh is not None:
+            mods = {k: self._shard(v)[0] for k, v in mods.items()}
         return _score_raw(self.model, self.params, self.state,
-                          self.fusion_params, tuple(sorted(mods)), mods)
+                          self.fusion_params, tuple(sorted(mods)), mods)[:n]
 
     def score_nap(self, x_cat: jax.Array) -> jax.Array:
-        """Fused NAP score (Pallas kernel) of concat diffs; bf16 streams the
-        matrix at half bandwidth, accumulation and score stay fp32."""
+        """Fused NAP score of concat diffs; bf16 streams the matrix at half
+        bandwidth, accumulation and score stay fp32.  Single-chip takes the
+        Pallas kernel; mesh serving takes the XLA matmul (shardable)."""
         if self.nap_stats is None:
             raise ValueError("score_nap needs nap_stats")
+        if self.mesh is not None:
+            offset, inv_std = (self.nap_pre if self.nap_pre is not None
+                               else nap_precompute(self.nap_stats))
+            v = self.nap_stats.rotater.v.astype(self.compute_dtype)
+            x_cat, n = self._shard(x_cat.astype(self.compute_dtype))
+            prec = (jax.lax.Precision.HIGHEST
+                    if self.compute_dtype == jnp.float32 else None)
+            return _nap_score_xla(v, offset, inv_std, x_cat, prec)[:n]
         return nap_score_pallas(self.nap_stats, x_cat,
                                 dtype=self.compute_dtype,
                                 precomputed=self.nap_pre)
@@ -87,12 +122,12 @@ class ServingModel(NamedTuple):
         from icra2021_multimodal_ad_tpu.ops.rapp import diffs_batch
 
         if self.compute_dtype == jnp.float32:
-            d = diffs_batch(self.model, self.params, self.state,
-                            x.astype(jnp.float32))
+            x, n = self._shard(x.astype(jnp.float32))
+            d = diffs_batch(self.model, self.params, self.state, x)
         else:
-            d = serving_diffs_batch(self.model, self.params, self.state,
-                                    x.astype(self.compute_dtype))
-        return jnp.concatenate(d, axis=-1)
+            x, n = self._shard(x.astype(self.compute_dtype))
+            d = serving_diffs_batch(self.model, self.params, self.state, x)
+        return jnp.concatenate(d, axis=-1)[:n]
 
     def score_nap_windows(self, x: jax.Array) -> jax.Array:
         """Full NAP path on fused windows: diff extraction + whitened score,
@@ -127,7 +162,7 @@ NAP_VAR_FLOOR_REL_BF16 = 1e-6
 def make_serving(config, model: AutoEncoder, params, state,
                  fusion_params: Optional[FusionParams] = None,
                  nap_stats: Optional[NapStats] = None,
-                 nap_var_floor_rel="auto") -> ServingModel:
+                 nap_var_floor_rel="auto", mesh=None) -> ServingModel:
     """Build the serving bundle; `config.compute_dtype` ('float32' |
     'bfloat16') selects the operand dtype — the previously-dormant knob.
 
@@ -135,7 +170,10 @@ def make_serving(config, model: AutoEncoder, params, state,
     ops/scoring.nap_effective_stats).  "auto" = NAP_VAR_FLOOR_REL_BF16 for
     bf16 (where un-floored near-null directions amplify rounding into
     garbage scores), no floor for fp32 (exact eval parity).  Pass a float to
-    override, or None/0 to disable."""
+    override, or None/0 to disable.
+
+    `mesh`: a 1-D window-axis Mesh — every scorer then shards its batch
+    over the mesh (multi-chip serving; see ServingModel docstring)."""
     from icra2021_multimodal_ad_tpu.ops.scoring import nap_effective_stats
 
     dtype = _DTYPES[getattr(config, "compute_dtype", "float32")]
@@ -155,6 +193,7 @@ def make_serving(config, model: AutoEncoder, params, state,
         # fold the two whitening means once at build time — score_nap calls
         # must not re-dispatch the mu @ V GEMV per tick
         nap_pre=(nap_precompute(nap_stats) if nap_stats is not None else None),
+        mesh=mesh,
     )
 
 
@@ -167,13 +206,19 @@ def _module_taps_mixed(spec, params_mod, state_mod, y, dtype):
     accumulation; bias + activation + eval-mode BN affine stay fp32; the tap
     is the fp32 per-layer output (the quantity diffs_batch records on the
     exact path); only the operand fed to the NEXT matmul is cast back down.
-    Returns (taps, stream) — `stream` is the dtype-cast last tap."""
+    Returns (taps, stream) — `stream` is the dtype-cast last tap.
+
+    With fp32 operands the matmuls take HIGHEST precision (on TPU, default-
+    precision fp32 decomposes to bf16 passes — CLAUDE.md invariant), so the
+    fp32 configuration reproduces the exact path; bf16 operands take the
+    native single-pass MXU route."""
     from icra2021_multimodal_ad_tpu.models.layers import BN_EPS, activation
 
+    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
     taps = []
     for lspec, p, s in zip(spec.layers, params_mod, state_mod):
         acc = jnp.dot(y, p["w"].astype(dtype),
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32, precision=prec)
         acc = acc + p["b"].astype(jnp.float32)
         acc = activation(lspec.act, acc)
         if lspec.bn:
@@ -250,6 +295,16 @@ def _forward(model, params, state, x):
         x_hat, _ = ae_forward(model, params, state, x, train=False)
         return x_hat
     return serving_ae_forward(model, params, state, x)
+
+
+@partial(jax.jit, static_argnames=("prec",))
+def _nap_score_xla(v, offset, inv_std, x, prec):
+    """Folded-offset NAP score as one XLA matmul + epilogue — the mesh-
+    shardable serving path (XLA partitions the rows x V matmul over the
+    window axis; the Pallas kernel cannot be auto-partitioned)."""
+    rot = jnp.dot(x, v, preferred_element_type=jnp.float32, precision=prec)
+    t = (rot - offset) * inv_std
+    return jnp.mean(t * t, axis=-1)
 
 
 @partial(jax.jit, static_argnames=("model",))

@@ -49,8 +49,10 @@ def main():
                    help="save the live score plot headlessly to this file")
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
-                   help="bfloat16 = the serving fast path for the BASE "
-                        "scorer (NAP stays fp32)")
+                   help="bfloat16 = the serving fast path for BOTH scorers;"
+                        " with --nap it scores against variance-floored "
+                        "effective-rank whitening (ops/serving.py), so "
+                        "scores can differ from fp32 NAP on degenerate fits")
     p.add_argument("--connection_timeout_s", type=float, default=None,
                    help="raise if a sensor queue is silent this long "
                         "(reference default 10 s, realtime_tester.py:52-57)")

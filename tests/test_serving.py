@@ -249,6 +249,52 @@ def test_bf16_nap_serving_on_trained_model():
     assert np.mean(np.abs(n16 - n32) / (np.abs(n32) + 1e-6)) < 0.15
 
 
+def test_mesh_sharded_serving_matches_single_device():
+    """make_serving(mesh=...) shards every scorer over the window axis; the
+    scores must match the unsharded bundle (fp32 exactly-ish, bf16 within
+    the usual tolerance), including non-divisible batches (padding)."""
+    from icra2021_multimodal_ad_tpu.ops.scoring import nap_fit
+    from icra2021_multimodal_ad_tpu.parallel.mesh import get_mesh
+
+    cfg, model, params, state = _setup()
+    mesh = get_mesh(8)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(37, 1728)), jnp.float32)  # 37 % 8 != 0
+
+    # well-conditioned whitening fit on plain diffs
+    from icra2021_multimodal_ad_tpu.ops.rapp import diffs_batch
+
+    fit_x = jnp.asarray(rng.normal(size=(96, 1728)), jnp.float32)
+    cat = jnp.concatenate(diffs_batch(model, params, state, fit_x), axis=-1)
+    stats = nap_fit(cat)
+
+    for dtype, rtol in (("float32", 2e-4), ("bfloat16", 8e-2)):
+        c = cfg.replace(compute_dtype=dtype)
+        single = make_serving(c, model, params, state, nap_stats=stats)
+        sharded = make_serving(c, model, params, state, nap_stats=stats,
+                               mesh=mesh)
+        s_base_1 = np.asarray(single.score_fused(x))
+        s_base_m = np.asarray(sharded.score_fused(x))
+        assert s_base_m.shape == (37,)
+        np.testing.assert_allclose(s_base_m, s_base_1, rtol=rtol, atol=1e-5)
+
+        d1 = np.asarray(single.nap_diffs(x))
+        dm = np.asarray(sharded.nap_diffs(x))
+        np.testing.assert_allclose(dm, d1, rtol=rtol, atol=1e-4)
+
+        n1 = np.asarray(single.score_nap_windows(x))
+        nm = np.asarray(sharded.score_nap_windows(x))
+        assert nm.shape == (37,)
+        # Pallas kernel (single) vs XLA matmul (mesh): same math, different
+        # tiling — compare at the dtype's tolerance
+        rel = np.mean(np.abs(nm - n1) / (np.abs(n1) + 1e-6))
+        assert rel < (1e-3 if dtype == "float32" else 8e-2), rel
+
+        sap_m = np.asarray(sharded.score_sap_windows(x))
+        sap_1 = np.asarray(single.score_sap_windows(x))
+        np.testing.assert_allclose(sap_m, sap_1, rtol=rtol, atol=1e-5)
+
+
 def test_exported_scorer_roundtrip(tmp_path):
     """jax.export artifact: serialize the fused BASE scorer with weights
     baked in, deserialize, and match the live path exactly."""
