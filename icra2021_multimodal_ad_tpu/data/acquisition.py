@@ -128,9 +128,14 @@ class EpisodeRecorder:
             d = os.path.join(self.root, "img", sub)
             os.makedirs(d, exist_ok=True)
             for i, frame in enumerate(frames, start=1):
-                Image.fromarray(frame.astype(np.uint8)).save(
-                    os.path.join(d, f"{i}.png")
-                )
+                arr = np.asarray(frame)
+                if arr.dtype == np.uint16:
+                    # millimeter depth from the 16UC1/mono16 decode path:
+                    # persist as a true 16-bit PNG (uint8 would wrap mod 256)
+                    img = Image.fromarray(arr)
+                else:
+                    img = Image.fromarray(arr.astype(np.uint8))
+                img.save(os.path.join(d, f"{i}.png"))
         if self.drop_start is not None:
             pd.DataFrame(
                 [{"drop_end": self.drop_end, "drop_start": self.drop_start}]

@@ -157,7 +157,14 @@ def hsr_preprocess(data_dir: str, out_dir: str,
                    n_lidar: int = 963,
                    resume: bool = True) -> List[str]:
     """Full ETL with sharding + crash-resume journal
-    (concatdata_maker.py:108-217).  Returns the shard paths written."""
+    (concatdata_maker.py:108-217).  Returns the shard paths written.
+
+    Crash-safety contract: each episode is APPENDED to its shard CSV first,
+    then journaled to last_folder.csv.  A crash between the two leaves the
+    episode in the shard but not in the journal; on resume the current shard
+    is reconciled by dropping rows whose `data_dir` the journal never
+    recorded, so no episode is ever duplicated.  Appends (rather than the
+    reference's full rewrite per episode) keep I/O linear in the data."""
     os.makedirs(out_dir, exist_ok=True)
     journal_path = os.path.join(out_dir, "last_folder.csv")
     if episodes is None:
@@ -165,37 +172,56 @@ def hsr_preprocess(data_dir: str, out_dir: str,
 
     done: List[str] = []
     df_count = 0
-    origin: Optional[pd.DataFrame] = None
+    start_row = 0  # next row index within the current shard
     if resume and os.path.exists(journal_path):
-        done = pd.read_csv(journal_path)["name"].astype(str).tolist()
-        episodes = [e for e in episodes if e not in set(done)]
+        # dtype=str: numeric episode dir names ('0001') must round-trip
+        # verbatim or the resume filter below matches nothing
+        done = pd.read_csv(journal_path, dtype=str)["name"].tolist()
+        done_set = set(done)
+        episodes = [e for e in episodes if e not in done_set]
         df_count = len(done) // episodes_per_shard
         shard_path = os.path.join(out_dir, f"data_sum{df_count}.csv")
         if os.path.exists(shard_path):
-            origin = pd.read_csv(shard_path)
+            # data_dir as str: numeric episode names must match the journal
+            origin = pd.read_csv(shard_path, index_col=0,
+                                 dtype={"data_dir": str})
+            # reconcile: drop rows of episodes the crash left unjournaled
+            kept = origin["data_dir"].isin(done_set)
+            if not kept.all():
+                origin = origin[kept]
+                origin.index = pd.RangeIndex(len(origin))
+                origin.to_csv(shard_path, index_label="id")
+            start_row = len(origin)
+    elif os.path.exists(journal_path):
+        os.remove(journal_path)  # fresh run: discard the stale journal
 
     written = []
     item_count = len(done) % episodes_per_shard
+    shard_path = os.path.join(out_dir, f"data_sum{df_count}.csv")
     for name in episodes:
         ep = process_episode(os.path.join(data_dir, name, "data"), name,
                              n_lidar=n_lidar)
-        origin = ep if origin is None else pd.concat(
-            [origin, ep], ignore_index=True
-        )
-        item_count += 1
-
-        shard_path = os.path.join(out_dir, f"data_sum{df_count}.csv")
-        origin.to_csv(shard_path, index_label="id")
+        ep.index = pd.RangeIndex(start_row, start_row + len(ep))
+        first = start_row == 0
+        ep.to_csv(shard_path, mode="w" if first else "a", header=first,
+                  index_label="id")
+        start_row += len(ep)
         if shard_path not in written:
             written.append(shard_path)
 
+        item_count += 1
         if item_count >= episodes_per_shard:
             item_count = 0
             df_count += 1
-            origin = None
+            shard_path = os.path.join(out_dir, f"data_sum{df_count}.csv")
+            start_row = 0
 
+        # journal AFTER the shard write (see crash-safety contract above)
+        new_journal = not os.path.exists(journal_path)
+        pd.DataFrame({"name": [name]}).to_csv(
+            journal_path, mode="w" if new_journal else "a",
+            header=new_journal, index=False)
         done.append(name)
-        pd.DataFrame({"name": done}).to_csv(journal_path, index=False)
 
     return written
 

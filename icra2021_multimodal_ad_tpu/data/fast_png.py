@@ -15,60 +15,38 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
-import threading
 from typing import Optional
 
 import numpy as np
 
-_SRC = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native", "fast_png.cpp",
+from icra2021_multimodal_ad_tpu.data.native_lib import (
+    NativeLib,
+    repo_native_src,
 )
-_LIB_PATH = os.path.join(os.path.dirname(_SRC), "libfastpng.so")
-_lock = threading.Lock()
-_lib: Optional[ctypes.CDLL] = None
-_lib_failed = False
+
+_SRC = repo_native_src("fast_png.cpp")
 
 
-def _build() -> bool:
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-             _SRC, "-lpng", "-o", _LIB_PATH],
-            check=True, capture_output=True, timeout=120,
-        )
-        return True
-    except Exception:
-        return False
+def _configure(lib: ctypes.CDLL) -> None:
+    intp = ctypes.POINTER(ctypes.c_int)
+    lib.fast_png_dims.argtypes = [ctypes.c_char_p, intp, intp, intp]
+    lib.fast_png_dims.restype = ctypes.c_int
+    lib.fast_png_decode.argtypes = [
+        ctypes.c_char_p,
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ctypes.c_long, intp, intp, intp,
+    ]
+    lib.fast_png_decode.restype = ctypes.c_int
+
+
+_loader = NativeLib(
+    _SRC, os.path.join(os.path.dirname(_SRC), "libfastpng.so"),
+    ["-lpng"], _configure,
+)
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
-    global _lib, _lib_failed
-    with _lock:
-        if _lib is not None or _lib_failed:
-            return _lib
-        try:
-            stale = (not os.path.exists(_LIB_PATH)) or (
-                os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)
-            )
-            if stale and not _build():
-                _lib_failed = True
-                return None
-            lib = ctypes.CDLL(_LIB_PATH)
-            intp = ctypes.POINTER(ctypes.c_int)
-            lib.fast_png_dims.argtypes = [ctypes.c_char_p, intp, intp, intp]
-            lib.fast_png_dims.restype = ctypes.c_int
-            lib.fast_png_decode.argtypes = [
-                ctypes.c_char_p,
-                np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
-                ctypes.c_long, intp, intp, intp,
-            ]
-            lib.fast_png_decode.restype = ctypes.c_int
-            _lib = lib
-        except Exception:
-            _lib_failed = True
-    return _lib
+    return _loader.get()
 
 
 def decode(path: str) -> Optional[np.ndarray]:

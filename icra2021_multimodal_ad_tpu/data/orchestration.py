@@ -129,7 +129,7 @@ class ReconnectingCamera:
             except Exception:  # noqa: BLE001 — any device failure -> cycle
                 pass
             self._idx = (self._idx + 1) % len(self._candidates)
-            self._dev = None
+            self._close()  # release the failed device before cycling on
             self.reconnects += 1
         raise CameraUnavailable(
             f"all {len(self._candidates)} camera candidates failed "
@@ -205,46 +205,39 @@ def run_episode(transport, script: PickPlaceScript, seed: int = 0,
     Sensor rates mirror the robot stack: wrist force ~50 Hz, cameras and
     LiDAR ~10 Hz, mic 1024-frame stereo int16 chunks at sr/1024 Hz
     (microphone_send.py:14-24)."""
+    from icra2021_multimodal_ad_tpu.data.synthetic import (
+        drop_burst_audio,
+        jittered_clock,
+    )
+
     rng = np.random.default_rng(seed)
     rates = dict({"force": 50.0, "hand": 10.0, "depth": 10.0,
                   "lidar": 10.0}, **(rates or {}))
     duration = script.duration_s
     drop_t = script.drop_time()
 
-    def jittered_clock(hz, start):
-        t = start + np.cumsum(
-            rng.uniform(0.70 / hz, 0.95 / hz, int(duration * hz * 1.6))
-        )
-        return t[t < duration]
-
     # wrist force: baseline first (the recorder's weight is ||dF|| from the
     # first message, acquisition.compute_weight_grams)
     base = np.array([1.2, -0.4, -33.0])
-    for t in jittered_clock(rates["force"], 0.02):
+    for t in jittered_clock(rng, rates["force"], 0.02, duration):
         w = script.weight_grams(t) + rng.normal(0.0, 1.0)
         f = base + np.array([0.0, 0.0, -max(w, 0.0) * GRAVITY / 1000.0])
         transport.publish(TOPICS["force"], (f[0], f[1], f[2], t))
 
     for kind, topic, shape in (("hand", TOPICS["hand"], (24, 32, 3)),
                                ("depth", TOPICS["depth"], (24, 32))):
-        for t in jittered_clock(rates[kind], 0.05):
+        for t in jittered_clock(rng, rates[kind], 0.05, duration):
             bright = 180 if (drop_t is not None and t >= drop_t) else 120
             frame = np.clip(rng.normal(bright, 25, shape), 0, 255)
             transport.publish(topic, (frame.astype(np.uint8), t))
 
-    for t in jittered_clock(rates["lidar"], 0.08):
+    for t in jittered_clock(rng, rates["lidar"], 0.08, duration):
         transport.publish(TOPICS["lidar"],
                           (rng.uniform(0.2, 5.0, n_lidar), t))
 
     # mic: contiguous audio, burst at the drop, chunked like pyaudio
     n = int(duration * sr)
-    audio = rng.normal(0, 300, n)
-    if drop_t is not None:
-        d0 = int(drop_t * sr)
-        audio[d0: d0 + sr // 10] += rng.normal(0, 8000,
-                                               min(sr // 10, n - d0))
-    mono = np.clip(audio, -32768, 32767).astype(np.int16)
-    stereo = np.repeat(mono[:, None], 2, axis=1)
+    stereo = drop_burst_audio(rng, duration, sr, drop_t)
     chunk = 1024
     for i in range(0, n - chunk + 1, chunk):
         t = i / sr

@@ -252,17 +252,40 @@ class StreamingDetector:
         With connection_timeout_s, every tick checks sensor liveness and
         raises SensorTimeout when any queue has been silent too long — the
         reference's per-subscriber connection checks
-        (realtime_tester.py:52-57, which sys.exit(1))."""
+        (realtime_tester.py:52-57, which sys.exit(1)).
+
+        Cold start: ticks are only scored once `source.ready()` — partially
+        filled ring buffers would otherwise produce mismatched batch dims
+        (the reference spins on its deque lengths before scoring).  The
+        warm-up wait is bounded by connection_timeout_s (default
+        CONNECTION_TIMEOUT_S) and raises SensorTimeout when exceeded."""
+        from icra2021_multimodal_ad_tpu.data.acquisition import (
+            CONNECTION_TIMEOUT_S,
+        )
         from icra2021_multimodal_ad_tpu.data.orchestration import SensorTimeout
 
+        warmup_budget = (connection_timeout_s if connection_timeout_s
+                         is not None else CONNECTION_TIMEOUT_S)
+        warmup_start = time.monotonic()
+
         traces = []
-        for i in range(n_ticks):
+        i = 0
+        while i < n_ticks:
             if tick_hook is not None:
                 tick_hook(i)  # simulator advance / rate limiting
             if connection_timeout_s is not None:
                 dead = source.stale_topics(connection_timeout_s)
                 if dead:
                     raise SensorTimeout.for_topics(dead, connection_timeout_s)
+            if not source.ready():
+                if time.monotonic() - warmup_start > warmup_budget:
+                    raise SensorTimeout(
+                        "sensor buffers never filled within %.1f s — please "
+                        "check the sensor connection" % warmup_budget
+                    )
+                if tick_hook is None:
+                    time.sleep(0.01)  # live source: poll, don't spin
+                continue
             start = time.perf_counter()
             x = get_realtime_dataloader(
                 self.config, self.fusion_params,
@@ -275,6 +298,7 @@ class StreamingDetector:
             traces.append(scores)
             if on_tick is not None:
                 on_tick(i, scores)
+            i += 1
         return np.stack(traces)
 
     def latency_stats(self) -> dict:

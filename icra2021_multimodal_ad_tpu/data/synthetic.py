@@ -43,6 +43,33 @@ def _write_png(path: str, arr: np.ndarray) -> None:
     Image.fromarray(arr.astype(np.uint8)).save(path)
 
 
+def jittered_clock(rng: np.random.Generator, hz: float, start: float,
+                   duration_s: float) -> np.ndarray:
+    """Jittered sensor timestamps: uniform intervals in [0.70/hz, 0.95/hz],
+    so inter-sample gaps stay strictly under the 0.1 s ETL alignment window
+    (every 10 Hz grid step is guaranteed a sample).  Shared by the raw-episode
+    generator and the scripted pick-place driver so the two fake-robot
+    backends emit the same clock distribution."""
+    t = start + np.cumsum(
+        rng.uniform(0.70 / hz, 0.95 / hz, int(duration_s * hz * 1.6))
+    )
+    return t[t < duration_s]
+
+
+def drop_burst_audio(rng: np.random.Generator, duration_s: float, sr: int,
+                     drop_t: float | None = None) -> np.ndarray:
+    """Stereo int16 audio: N(0, 300) noise floor with a 0.1 s N(0, 8000)
+    burst at the drop instant — the audible signature the MFCC path must
+    detect.  Returns an (n, 2) int16 array."""
+    n = int(duration_s * sr)
+    audio = rng.normal(0, 300, n)
+    if drop_t is not None:
+        d0 = int(drop_t * sr)
+        audio[d0: d0 + sr // 10] += rng.normal(0, 8000, min(sr // 10, n - d0))
+    mono = np.clip(audio, -32768, 32767).astype(np.int16)
+    return np.repeat(mono[:, None], 2, axis=1)
+
+
 def generate_data_sum_shards(
     root: str,
     n_episodes: int = 8,
@@ -140,14 +167,10 @@ def generate_raw_episodes(
         drop_start = round(duration_s - 1.0, 1)
         drop_end = round(drop_start + 0.5, 1)
 
-        # jittered sensor clocks; intervals stay < the 0.1 s alignment
-        # window so every grid step finds a sample (the reference ETL, like
-        # this one, fails the episode otherwise)
+        # jittered sensor clocks (see jittered_clock: intervals < the 0.1 s
+        # alignment window so every grid step finds a sample)
         def clock(hz, start):
-            t = start + np.cumsum(
-                rng.uniform(0.70 / hz, 0.95 / hz, int(duration_s * hz * 1.6))
-            )
-            return t[t < duration_s]
+            return jittered_clock(rng, hz, start, duration_s)
 
         # depth / hand cameras ~ 10 Hz with frame ids
         for sub, stream in (("d", "depth"), ("hand", "hand")):
@@ -196,13 +219,7 @@ def generate_raw_episodes(
         ).to_csv(os.path.join(ep_dir, "drop_time.csv"))
 
         # stereo int16 wav with a burst at the drop
-        n = int(duration_s * sr)
-        audio = rng.normal(0, 300, n)
-        d0 = int(drop_start * sr)
-        audio[d0 : d0 + sr // 10] += rng.normal(0, 8000, min(sr // 10, n - d0))
-        stereo = np.repeat(
-            np.clip(audio, -32768, 32767).astype(np.int16)[:, None], 2, axis=1
-        )
+        stereo = drop_burst_audio(rng, duration_s, sr, drop_start)
         with wave.open(os.path.join(ep_dir, "sound", "output.wav"), "wb") as f:
             f.setnchannels(2)
             f.setsampwidth(2)

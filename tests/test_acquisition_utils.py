@@ -71,6 +71,25 @@ def test_episode_recording_feeds_etl(tmp_path):
     assert w[lab == 1].mean() > w[lab == 0].mean() + 50
 
 
+def test_recorder_preserves_uint16_depth_frames(tmp_path):
+    """Millimeter depth from the ROS 16UC1 decode path must survive save()
+    as a true 16-bit PNG — a uint8 cast would wrap values mod 256."""
+    from PIL import Image
+
+    from icra2021_multimodal_ad_tpu.data.acquisition import EpisodeRecorder
+
+    rec = EpisodeRecorder(str(tmp_path), "ep0", start_time=0.0)
+    depth_mm = np.arange(500, 500 + 24 * 32, dtype=np.uint16).reshape(24, 32)
+    rec.on_image("depth", depth_mm, t=0.1)
+    rec.on_image("hand", np.full((24, 32, 3), 120, dtype=np.uint8), t=0.1)
+    root = rec.save()
+
+    back = np.asarray(Image.open(os.path.join(root, "img", "d", "1.png")))
+    np.testing.assert_array_equal(back.astype(np.uint16), depth_mm)
+    hand = np.asarray(Image.open(os.path.join(root, "img", "hand", "1.png")))
+    assert hand.dtype == np.uint8 and hand.shape == (24, 32, 3)
+
+
 def test_expand_grid_and_convert():
     grid = {"lr": [1e-3, 1e-4], "n_layers": [3, 5], "sensor": "All"}
     configs = expand_grid(grid, shuffle=False)
@@ -100,6 +119,47 @@ def test_reporter_export(tmp_path):
     lines = open(path).read().splitlines()
     assert lines[0] == "lr,auroc"
     assert len(lines) == 3
+
+    # key EQUALITY enforced at add time — a same-size dict with different
+    # keys would silently build ragged columns that crash export()
+    with pytest.raises(AssertionError):
+        r.add({"btl": 4}, {"auroc": 0.7})
+    with pytest.raises(AssertionError):
+        r.add({"lr": 1e-5}, {"f1": 0.7})
+
+
+def test_checkpoint_digit_key_dicts_roundtrip(tmp_path):
+    """Digit-string dict keys must not crash the load (only exact '0..N-1'
+    key sets convert to lists); '.' in keys is rejected at save time."""
+    import pytest
+
+    from icra2021_multimodal_ad_tpu.utils.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, {"w": np.ones(2)}, {},
+                    extra={"per_epoch": {"5": 0.9, "10": 0.95}})
+    _, _, meta = load_checkpoint(path)
+    per = meta["extra"]["per_epoch"]
+    assert isinstance(per, dict)
+    assert float(per["5"]) == 0.9 and float(per["10"]) == 0.95
+
+    with pytest.raises(ValueError, match="'.'"):
+        save_checkpoint(str(tmp_path / "bad"), {"a.b": np.ones(1)}, {})
+
+
+def test_checkpoint_refuses_unrelated_existing_directory(tmp_path):
+    import pytest
+
+    from icra2021_multimodal_ad_tpu.utils.checkpoint import save_checkpoint
+
+    d = tmp_path / "notackpt"
+    d.mkdir()
+    (d / "something.txt").write_text("hi")
+    with pytest.raises(ValueError, match="existing non-checkpoint"):
+        save_checkpoint(str(d), {"w": np.ones(1)}, {})
 
 
 def test_vib_modes():

@@ -82,6 +82,50 @@ def test_hsr_preprocess_shards_and_resume(raw_root, tmp_path):
     assert open(os.path.join(out1, "data_sum0.csv")).read() == before
 
 
+def test_resume_reconciles_unjournaled_shard_rows(raw_root, tmp_path):
+    """Crash between the shard append and the journal write leaves the
+    in-flight episode's rows in the shard but not in the journal; resume
+    must drop and reprocess them exactly once (no duplication, no second
+    'id' column from the index round-trip)."""
+    out = str(tmp_path / "o")
+    etl.hsr_preprocess(
+        os.path.join(raw_root, "data"), out, episodes_per_shard=10, n_lidar=50
+    )
+    fresh = pd.read_csv(os.path.join(out, "data_sum0.csv"))
+    # simulate the crash window: journal loses its last entry while the
+    # shard keeps that episode's rows
+    j = pd.read_csv(os.path.join(out, "last_folder.csv"))
+    j[:-1].to_csv(os.path.join(out, "last_folder.csv"), index=False)
+    etl.hsr_preprocess(
+        os.path.join(raw_root, "data"), out, episodes_per_shard=10, n_lidar=50
+    )
+    resumed = pd.read_csv(os.path.join(out, "data_sum0.csv"))
+    assert list(resumed.columns).count("id") == 1
+    assert not any(c.startswith("id.") for c in resumed.columns)
+    pd.testing.assert_frame_equal(resumed, fresh)
+
+
+def test_resume_with_numeric_episode_names(tmp_path):
+    """Numeric episode dir names ('0000') must round-trip through the
+    journal verbatim — a non-str read turns them into '0'/'1', defeating
+    the resume filter and reprocessing every episode."""
+    root = str(tmp_path / "raw")
+    generate_raw_episodes(root, n_episodes=2, duration_s=2.0, n_lidar=20,
+                          seed=3)
+    for ep in sorted(os.listdir(os.path.join(root, "data"))):
+        os.rename(os.path.join(root, "data", ep),
+                  os.path.join(root, "data", ep.replace("ep", "")))
+    out = str(tmp_path / "o")
+    etl.hsr_preprocess(os.path.join(root, "data"), out,
+                       episodes_per_shard=10, n_lidar=20)
+    before = open(os.path.join(out, "data_sum0.csv")).read()
+    etl.hsr_preprocess(os.path.join(root, "data"), out,
+                       episodes_per_shard=10, n_lidar=20)
+    assert open(os.path.join(out, "data_sum0.csv")).read() == before
+    journal = pd.read_csv(os.path.join(out, "last_folder.csv"), dtype=str)
+    assert journal["name"].tolist() == ["0000", "0001"]
+
+
 def test_etl_output_feeds_dataset_loader(raw_root, tmp_path):
     """The ETL output must be directly consumable by the training pipeline
     (mic + force sensors; images stay in the episode tree)."""

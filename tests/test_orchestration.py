@@ -112,6 +112,17 @@ def test_camera_unavailable_after_full_cycles():
     assert cam.reconnects == 4
 
 
+def test_camera_releases_failed_device_before_cycling():
+    """hand_camera_send.py:28-44: the reference RELEASES the failed device
+    before retrying the next id — dropping the handle without release would
+    keep /dev/videoN busy when the cascade wraps back."""
+    dead = _FakeCam([], fail_after=0)
+    live = _FakeCam(["frame"])
+    cam = ReconnectingCamera([lambda: dead, lambda: live])
+    assert cam.read() == "frame"
+    assert dead.released
+
+
 # ---------------------------------------------------------------------------
 # scripted episodes -> capture tree -> ETL -> shards
 # ---------------------------------------------------------------------------

@@ -126,6 +126,33 @@ def test_streaming_detector_trained_model_anomaly_raises_score():
     assert trace_nap[-5:].mean() > 2.0 * trace_nap[2:anomaly_after].mean()
 
 
+def test_run_waits_for_cold_buffers_then_scores():
+    """A cold source (empty ring buffers) must not be scored — run() waits
+    for source.ready() while tick_hook fills the buffers, then scores
+    exactly n_ticks batches (the reference spins on its deque lengths
+    before the loop, realtime_tester.py:236-244)."""
+    cfg = _cfg()
+    model, params, state = get_model(cfg)
+    det = StreamingDetector(cfg, model, params, state,
+                            fusion_init(jax.random.PRNGKey(0)))
+    src = SimulatedSensors(batch_size=10, seed=5)  # NOT filled
+    trace = det.run(src, n_ticks=3, tick_hook=lambda i: src.tick())
+    assert trace.shape == (3, 10)
+    assert np.isfinite(trace).all()
+
+
+def test_run_raises_when_buffers_never_fill():
+    from icra2021_multimodal_ad_tpu.data.orchestration import SensorTimeout
+
+    cfg = _cfg()
+    model, params, state = get_model(cfg)
+    det = StreamingDetector(cfg, model, params, state,
+                            fusion_init(jax.random.PRNGKey(0)))
+    src = SimulatedSensors(batch_size=10, seed=5)  # never filled
+    with pytest.raises(SensorTimeout):
+        det.run(src, n_ticks=1, connection_timeout_s=0.05)
+
+
 def test_streaming_nap_path():
     from icra2021_multimodal_ad_tpu.ops.rapp import get_diffs
     from icra2021_multimodal_ad_tpu.ops.scoring import concat_diffs, nap_fit
