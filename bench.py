@@ -39,42 +39,15 @@ N_ITERS = 20
 
 
 from icra2021_multimodal_ad_tpu.ops.serving import cast_floats as _cast  # noqa: E402
-
-
-def _retry(f, attempts=3, wait_s=20):
-    """The remote-compile tunnel occasionally drops a response mid-body
-    (transient INTERNAL errors); retrying after a pause succeeds and the
-    compile cache makes retries cheap.  Sections must not die to a blip."""
-    last = None
-    for i in range(attempts):
-        try:
-            return f()
-        except Exception as e:  # noqa: BLE001 — re-raised after attempts
-            last = e
-            if i + 1 < attempts:
-                time.sleep(wait_s)
-    raise last
+from icra2021_multimodal_ad_tpu.utils.profiling import (  # noqa: E402
+    retry as _retry,
+    timed_loop as _timed_loop,
+)
 
 
 def timed_loop(make_body, n_iters=N_ITERS):
-    """Wall time per iteration of an on-device fori_loop with carried
-    dependency; compile + fixed overhead excluded via 1-iter baseline."""
-
-    @partial(jax.jit, static_argnames=("n",))
-    def run(n):
-        body = make_body()
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-    def measure(n):
-        t0 = time.perf_counter()
-        float(run(n))
-        return time.perf_counter() - t0
-
-    _retry(lambda: float(run(1)))  # compile n=1
-    t1 = _retry(lambda: measure(1))
-    _retry(lambda: float(run(n_iters + 1)))  # compile n=n_iters+1
-    tn = _retry(lambda: measure(n_iters + 1))
-    return max((tn - t1) / n_iters, 1e-9)
+    """On-device fori_loop timing (see utils/profiling.timed_loop)."""
+    return _timed_loop(make_body, n_iters=n_iters)
 
 
 def main():

@@ -85,11 +85,14 @@ class FusionParams(NamedTuple):
     lid3: dict
     lid4: dict
     lid5: dict
-    mic1: dict
-    mic2: dict
 
 
 def fusion_init(key: jax.Array) -> FusionParams:
+    # 13 streams kept for draw-stability: the reference's Multisensory_module
+    # also constructs dedicated mic convs (utils/data_loaders.py:620-626)
+    # that its forward never uses — the mic path drives the lid convs.  We
+    # don't carry those dead weights (ks[11:13] are simply never drawn), but
+    # the split count stays 13 so existing seeds reproduce identical params.
     ks = jax.random.split(key, 13)
     return FusionParams(
         rgb1=_init_conv(ks[0], 16, 3, 2, 2),
@@ -103,8 +106,6 @@ def fusion_init(key: jax.Array) -> FusionParams:
         lid3=_init_conv(ks[8], 32, 16, 2),
         lid4=_init_conv(ks[9], 16, 32, 3),
         lid5=_init_conv(ks[10], 32, 16, 2),
-        mic1=_init_conv(ks[11], 12, 1, 2),
-        mic2=_init_conv(ks[12], 8, 12, 2),
     )
 
 

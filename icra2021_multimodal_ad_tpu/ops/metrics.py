@@ -135,20 +135,31 @@ def get_f1_score(valid_score, test_score, test_label, f1_quantiles=(0.99,),
 
     The reference unconditionally overrides the quantile to 0.90
     (utils/metric.py:120); pass `quantile_override=None` to honor
-    `f1_quantiles` instead.
+    `f1_quantiles` instead.  With one quantile the return is the reference's
+    scalar (f1, threshold) pair; with several, parallel lists (the
+    reference's un-overridden multi-quantile path never worked — its
+    array threshold cannot broadcast against the score vector).
     """
-    q = quantile_override if quantile_override is not None else f1_quantiles
+    qs = ([quantile_override] if quantile_override is not None
+          else [float(q) for q in np.atleast_1d(f1_quantiles)])
     valid_score = np.asarray(valid_score)
     test_score = np.asarray(test_score)
     test_label = np.asarray(test_label).astype(bool)
-    threshold = np.quantile(valid_score, q)
-    predictions = test_score > threshold
-    denom_p = float(predictions.sum())
-    denom_r = float(test_label.sum())
-    p = (predictions & test_label).sum() / denom_p if denom_p else float("nan")
-    r = (predictions & test_label).sum() / denom_r if denom_r else float("nan")
-    f1 = p * r * 2 / (p + r) if (p + r) else float("nan")
-    return f1, threshold
+    f1s, thresholds = [], []
+    for q in qs:
+        threshold = float(np.quantile(valid_score, q))
+        predictions = test_score > threshold
+        denom_p = float(predictions.sum())
+        denom_r = float(test_label.sum())
+        p = ((predictions & test_label).sum() / denom_p if denom_p
+             else float("nan"))
+        r = ((predictions & test_label).sum() / denom_r if denom_r
+             else float("nan"))
+        f1s.append(p * r * 2 / (p + r) if (p + r) else float("nan"))
+        thresholds.append(threshold)
+    if len(qs) == 1:
+        return f1s[0], thresholds[0]
+    return f1s, thresholds
 
 
 def get_confusion_matrix(score, test_label, threshold, verbose: bool = False):

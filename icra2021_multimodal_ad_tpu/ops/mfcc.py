@@ -111,7 +111,9 @@ def melspectrogram(y: jax.Array, n_fft: int = 4410, hop: int = 4410,
     pad = n_fft // 2
     # right pad covers the last centered frame even for odd n_fft
     y_p = jnp.pad(y, (pad, n_fft - pad), mode="reflect")
-    n_frames = 1 + y.shape[0] // hop
+    # librosa's centered frame count: 1 + (len + 2*(n_fft//2) - n_fft)//hop
+    # (for odd n_fft this is one FEWER than 1 + len//hop when hop | len)
+    n_frames = 1 + (y.shape[0] + 2 * pad - n_fft) // hop
     frames = y_p[: n_frames * n_fft].reshape(n_frames, n_fft)
     window = jnp.asarray(_hann_periodic(n_fft))
     spec = jnp.fft.rfft(frames * window, axis=-1)

@@ -18,6 +18,7 @@ a single matmul with a scale-shift-square-reduce epilogue.
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +26,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from icra2021_multimodal_ad_tpu.models.layers import LEAKY_SLOPE
 from icra2021_multimodal_ad_tpu.ops.scoring import NapStats
 
 
@@ -102,6 +104,34 @@ def nap_precompute(stats: NapStats):
     return offset, inv_std
 
 
+class NapPallasPack(NamedTuple):
+    """Padded, cast kernel operands built once at fit/deploy time — the
+    per-call path then only pads x.  Without this, every scoring call pays
+    an eager O(K*J) pad+cast of the rotation matrix (tens of MB per
+    streaming tick at canonical scale)."""
+
+    v_p: jax.Array        # (Kp, Jp) padded rotation, kernel dtype
+    offset_p: jax.Array   # (1, Jp) fp32
+    inv_std_p: jax.Array  # (1, Jp) fp32, 0 on padded lanes
+    k: int                # real diff dim
+    j: int                # real rotated dim
+
+
+def nap_pallas_pack(stats: NapStats, dtype=jnp.float32, tj: int = 256,
+                    precomputed=None) -> NapPallasPack:
+    """Build the padded kernel operands for nap_score_pallas."""
+    offset, inv_std = (precomputed if precomputed is not None
+                       else nap_precompute(stats))
+    v = stats.rotater.v
+    k, j = v.shape
+    kp = _round_up(k, 256)
+    jp = _round_up(j, tj)
+    v_p = jnp.zeros((kp, jp), dtype).at[:k, :j].set(v.astype(dtype))
+    offset_p = jnp.zeros((1, jp), jnp.float32).at[0, :j].set(offset)
+    inv_std_p = jnp.zeros((1, jp), jnp.float32).at[0, :j].set(inv_std)
+    return NapPallasPack(v_p, offset_p, inv_std_p, k, j)
+
+
 def nap_score_pallas(stats: NapStats, x: jax.Array,
                      tb: int = 256, tj: int = 256,
                      dtype=jnp.float32,
@@ -109,25 +139,29 @@ def nap_score_pallas(stats: NapStats, x: jax.Array,
     """Fused NAP score of (B, K) concat diffs -> (B,) scores.
 
     `dtype=jnp.bfloat16` streams x and V at half bandwidth (MXU accumulates
-    fp32); scores stay fp32.  Pass `precomputed = nap_precompute(stats)` to
-    amortize the fold across calls.
+    fp32); scores stay fp32.  `precomputed` amortizes per-call setup:
+    pass `nap_pallas_pack(stats, ...)` (full amortization — the hot-path
+    form) or `nap_precompute(stats)` (means folded, V still padded per
+    call).
     """
-    offset, inv_std = precomputed if precomputed is not None else nap_precompute(stats)
-    v = stats.rotater.v
+    if isinstance(precomputed, NapPallasPack):
+        pack = precomputed
+        dtype = pack.v_p.dtype  # the pack's dtype governs the kernel
+    else:
+        pack = nap_pallas_pack(stats, dtype=dtype, tj=tj,
+                               precomputed=precomputed)
     b, k = x.shape
-    j = v.shape[1]
-
-    kp = _round_up(k, 256)
-    jp = _round_up(j, tj)
+    if k != pack.k:
+        raise ValueError(f"x has {k} diff dims, stats were fit on {pack.k}")
     bp = _round_up(b, tb)
-
-    x_p = jnp.zeros((bp, kp), dtype).at[:b, :k].set(x.astype(dtype))
-    v_p = jnp.zeros((kp, jp), dtype).at[:k, :j].set(v.astype(dtype))
-    offset_p = jnp.zeros((1, jp), jnp.float32).at[0, :j].set(offset)
-    inv_std_p = jnp.zeros((1, jp), jnp.float32).at[0, :j].set(inv_std)
-
-    scores = _nap_score_padded(x_p, v_p, offset_p, inv_std_p, tb, tj)
-    return scores[:b] / j
+    x_p = jnp.zeros((bp, pack.v_p.shape[0]), dtype).at[:b, :k].set(
+        x.astype(dtype))
+    if pack.v_p.shape[1] % tj != 0:
+        raise ValueError(f"pack was built with an incompatible tj "
+                         f"(jp={pack.v_p.shape[1]} not divisible by {tj})")
+    scores = _nap_score_padded(x_p, pack.v_p, pack.offset_p, pack.inv_std_p,
+                               tb, tj)
+    return scores[:b] / pack.j
 
 
 def nap_score_pallas_check(stats: NapStats, x: jax.Array,
@@ -170,16 +204,22 @@ def _make_mlp_kernel(acts):
     def kernel(*refs):
         x_ref = refs[0]
         out_ref = refs[-1]
+        # same dtype dispatch as _nap_kernel: fp32 operands need HIGHEST
+        # (Mosaic default-precision fp32 decomposes to single-pass bf16);
+        # bf16 operands must not request the fp32 contract
+        prec = (jax.lax.Precision.HIGHEST
+                if x_ref.dtype == jnp.float32 else None)
         y = x_ref[:]
         for l in range(n_layers):
             w = refs[1 + 4 * l][:]
             b = refs[2 + 4 * l][:]
             s = refs[3 + 4 * l][:]
             t = refs[4 + 4 * l][:]
-            acc = jnp.dot(y, w, preferred_element_type=jnp.float32)
+            acc = jnp.dot(y, w, preferred_element_type=jnp.float32,
+                          precision=prec)
             acc = acc + b
             if acts[l]:
-                acc = jnp.where(acc >= 0, acc, 0.2 * acc)  # leakyrelu(0.2)
+                acc = jnp.where(acc >= 0, acc, LEAKY_SLOPE * acc)
             acc = acc * s + t
             y = acc.astype(x_ref.dtype)
         out_ref[:] = y
@@ -197,6 +237,12 @@ def pack_module_layers(spec, params_mod, state_mod, dtype=jnp.bfloat16):
     layers = []
     acts = []
     for lspec, p, s in zip(spec.layers, params_mod, state_mod):
+        if lspec.act not in (None, "leakyrelu"):
+            raise NotImplementedError(
+                f"fused MLP kernel only implements leakyrelu/identity "
+                f"activations, got {lspec.act!r} — use the layer-by-layer "
+                f"forward for other registry activations"
+            )
         din, dout = p["w"].shape
         dinp, doutp = _round128(din), _round128(dout)
         w = jnp.zeros((dinp, doutp), dtype).at[:din, :dout].set(

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from icra2021_multimodal_ad_tpu.models.autoencoder import AutoEncoder, ae_forward
 from icra2021_multimodal_ad_tpu.ops.fusion import FusionParams, fuse
 from icra2021_multimodal_ad_tpu.ops.pallas_kernels import (
+    nap_pallas_pack,
     nap_precompute,
     nap_score_pallas,
 )
@@ -66,6 +67,8 @@ class ServingModel(NamedTuple):
     compute_dtype: object
     nap_pre: Optional[tuple] = None  # (offset, inv_std), folded at build
     mesh: Optional[object] = None
+    nap_pack: Optional[object] = None  # padded Pallas operands (single-chip)
+    nap_v: Optional[jax.Array] = None  # dtype-cast V (mesh XLA path)
 
     def _shard(self, x: jax.Array):
         """Pad + shard the leading axis; returns (x, n_real_rows)."""
@@ -106,14 +109,17 @@ class ServingModel(NamedTuple):
         if self.mesh is not None:
             offset, inv_std = (self.nap_pre if self.nap_pre is not None
                                else nap_precompute(self.nap_stats))
-            v = self.nap_stats.rotater.v.astype(self.compute_dtype)
+            v = (self.nap_v if self.nap_v is not None
+                 else self.nap_stats.rotater.v.astype(self.compute_dtype))
             x_cat, n = self._shard(x_cat.astype(self.compute_dtype))
             prec = (jax.lax.Precision.HIGHEST
                     if self.compute_dtype == jnp.float32 else None)
             return _nap_score_xla(v, offset, inv_std, x_cat, prec)[:n]
         return nap_score_pallas(self.nap_stats, x_cat,
                                 dtype=self.compute_dtype,
-                                precomputed=self.nap_pre)
+                                precomputed=(self.nap_pack
+                                             if self.nap_pack is not None
+                                             else self.nap_pre))
 
     def nap_diffs(self, x: jax.Array) -> jax.Array:
         """Concat RaPP diffs of fused (B, input) windows at the serving
@@ -182,6 +188,10 @@ def make_serving(config, model: AutoEncoder, params, state,
                              if dtype == jnp.bfloat16 else None)
     if nap_stats is not None and nap_var_floor_rel:
         nap_stats = nap_effective_stats(nap_stats, nap_var_floor_rel)
+    # fold the whitening means + pad/cast the rotation matrix ONCE at build
+    # time — score_nap calls must not re-dispatch the mu @ V GEMV or the
+    # O(K*J) pad of V per streaming tick
+    nap_pre = nap_precompute(nap_stats) if nap_stats is not None else None
     return ServingModel(
         model=model,
         params=cast_floats(params, dtype),
@@ -190,10 +200,12 @@ def make_serving(config, model: AutoEncoder, params, state,
                        if fusion_params is not None else None),
         nap_stats=nap_stats,
         compute_dtype=dtype,
-        # fold the two whitening means once at build time — score_nap calls
-        # must not re-dispatch the mu @ V GEMV per tick
-        nap_pre=(nap_precompute(nap_stats) if nap_stats is not None else None),
+        nap_pre=nap_pre,
         mesh=mesh,
+        nap_pack=(nap_pallas_pack(nap_stats, dtype=dtype, precomputed=nap_pre)
+                  if nap_stats is not None and mesh is None else None),
+        nap_v=(nap_stats.rotater.v.astype(dtype)
+               if nap_stats is not None and mesh is not None else None),
     )
 
 

@@ -20,10 +20,17 @@ DATA_AXIS = "data"
 
 
 def get_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
-    """1-D mesh over the window/batch axis."""
+    """1-D mesh over the window/batch axis.  Asking for more devices than
+    exist is an error — silently truncating would report n-way parallelism
+    while executing on fewer chips."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"mesh_shape wants {n_devices} devices but only "
+                f"{len(devices)} are available"
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 

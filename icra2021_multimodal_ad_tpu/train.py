@@ -86,7 +86,9 @@ def load_train_checkpoint(path: str, optimizer):
 
     params, state, meta = load_checkpoint(path)
     extra = meta["extra"]
-    template = optimizer.init(params)
+    # eval_shape: only the tree STRUCTURE is needed — don't allocate a full
+    # device-resident Adam state just to graft the saved leaves onto it
+    template = jax.eval_shape(optimizer.init, params)
     opt_state = jax.tree.unflatten(
         jax.tree.structure(template),
         [jnp.asarray(x) for x in extra["opt_leaves"]],
@@ -107,6 +109,19 @@ def load_train_checkpoint(path: str, optimizer):
     }
 
 
+#: disjoint-stream tag for the VIB sampler keys (see _vib_epoch_key)
+_VIB_STREAM_TAG = 0x5649_4221  # "VIB!"
+
+
+def _vib_epoch_key(rng, epoch):
+    """Per-epoch key for the VIB reparameterization sampler.  The stream is
+    a constant-tag fold (NOT fold_in(rng, n_epochs + epoch)) so it is
+    disjoint from the shuffle stream fold_in(rng, epoch) AND independent of
+    the epoch budget — checkpoint-resume with an extended n_epochs replays
+    the identical noise and stays bit-exact."""
+    return jax.random.fold_in(jax.random.fold_in(rng, _VIB_STREAM_TAG), epoch)
+
+
 @lru_cache(maxsize=None)
 def _adam(lr: float):
     """One optimizer object per learning rate.  optax.adam returns a fresh
@@ -119,12 +134,14 @@ def _adam(lr: float):
 
 
 @partial(jax.jit, static_argnames=("model", "optimizer"), donate_argnums=(1, 2, 3))
-def train_step(model: AutoEncoder, params, state, opt_state, x, optimizer):
+def train_step(model: AutoEncoder, params, state, opt_state, x, optimizer,
+               rng=None):
     """One SGD step: train-mode BN, MSE-sum loss, Adam update
-    (auto_encoder.py:57-77)."""
+    (auto_encoder.py:57-77).  `rng` feeds the VIB reparameterization sampler
+    — required for distribution='normal' models, ignored by identity mode."""
 
     def loss_of(p):
-        loss, new_state = ae_loss(model, p, state, x, train=True)
+        loss, new_state = ae_loss(model, p, state, x, train=True, rng=rng)
         return loss, new_state
 
     (loss, new_state), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
@@ -135,7 +152,12 @@ def train_step(model: AutoEncoder, params, state, opt_state, x, optimizer):
 
 @partial(jax.jit, static_argnames=("model",))
 def eval_step(model: AutoEncoder, params, state, x):
-    """Validation loss in eval mode (auto_encoder.py:80-90)."""
+    """Validation loss in eval mode (auto_encoder.py:80-90).  VIB models
+    evaluate deterministically (z = mu) like eval_epoch, with k collapsed to
+    1 — the k mu-broadcast copies are identical, so decoding one is
+    equivalent and k-times cheaper."""
+    if model.distribution is not None:
+        model = model._replace(stochastic_inference=False, k=1)
     loss, _ = ae_loss(model, params, state, x, train=False)
     return loss
 
@@ -189,7 +211,19 @@ def train_epoch(model: AutoEncoder, params, state, opt_state, train_x, perm,
         rng = jax.random.PRNGKey(0)
     keys = jax.random.split(rng, n_full + 1)
 
-    carry = (params, state, opt_state)
+    carry, total = _run_epoch_batches(
+        body, (params, state, opt_state), shuffled, keys, batch
+    )
+    params, state, opt_state = carry
+    return params, state, opt_state, total
+
+
+def _run_epoch_batches(body, carry, shuffled, keys, batch: int):
+    """Shared full-batches-then-tail scaffolding of the two training loops —
+    ONE op sequence by construction, which is what makes the per-epoch and
+    fused modes numerically identical."""
+    n = shuffled.shape[0]
+    n_full = n // batch
     total = jnp.float32(0.0)
     if n_full:
         full = shuffled[: n_full * batch].reshape(n_full, batch, -1)
@@ -198,16 +232,16 @@ def train_epoch(model: AutoEncoder, params, state, opt_state, train_x, perm,
     if n - n_full * batch:
         carry, tail_loss = body(carry, (shuffled[n_full * batch:], keys[-1]))
         total = total + tail_loss
-    params, state, opt_state = carry
-    return params, state, opt_state, total
+    return carry, total
 
 
 @partial(jax.jit, static_argnames=("model", "batch"))
 def eval_epoch(model: AutoEncoder, params, state, x, batch: int):
     """Eval-mode loss sum over all rows, scanned on device in one program.
-    VIB models validate deterministically (z = mu) so best-model selection
-    is stable."""
-    model = model._replace(stochastic_inference=False)
+    VIB models validate deterministically (z = mu, k collapsed to 1 — the k
+    mu-broadcast copies are identical) so best-model selection is stable."""
+    if model.distribution is not None:
+        model = model._replace(stochastic_inference=False, k=1)
     n = x.shape[0]
     n_full = n // batch
 
@@ -245,7 +279,6 @@ def train_all_epochs(model: AutoEncoder, params, state, opt_state,
     n = train_x.shape[0]
     n_valid = valid_x.shape[0]
     n_full = n // batch
-    tail = n - n_full * batch
     body = _sgd_body(model, optimizer, data_sharding)
 
     def epoch(carry, e):
@@ -253,22 +286,12 @@ def train_all_epochs(model: AutoEncoder, params, state, opt_state,
         perm = jax.random.permutation(jax.random.fold_in(rng, e), n)
         shuffled = jnp.take(train_x, perm, axis=0)
         # independent key stream for the VIB sampler (ignored by identity-
-        # mode models); mirrors the per-epoch loop's fold_in(rng, n_epochs+e)
-        keys = jax.random.split(
-            jax.random.fold_in(rng, n_epochs + e), n_full + 1
-        )
+        # mode models); same stream as the per-epoch loop (_vib_epoch_key)
+        keys = jax.random.split(_vib_epoch_key(rng, e), n_full + 1)
 
-        inner = (params, state, opt_state)
-        total = jnp.float32(0.0)
-        if n_full:
-            full = shuffled[: n_full * batch].reshape(n_full, batch, -1)
-            inner, losses = jax.lax.scan(body, inner, (full, keys[:n_full]))
-            total = total + jnp.sum(losses)
-        if tail:
-            inner, tail_loss = body(
-                inner, (shuffled[n_full * batch:], keys[-1])
-            )
-            total = total + tail_loss
+        inner, total = _run_epoch_batches(
+            body, (params, state, opt_state), shuffled, keys, batch
+        )
         params, state, opt_state = inner
 
         valid_total = eval_epoch(model, params, state, valid_x, batch)
@@ -351,16 +374,24 @@ class NoveltyDetecter:
             valid_x = self._put(valid_x)
             if batch % n_dev == 0:
                 data_sharding = batch_sharding(self.mesh)
-        # params may be None when resuming purely from a checkpoint
-        opt_state = optimizer.init(params) if params is not None else None
-
         checkpointing = bool(checkpoint_path) and (checkpoint_every > 0
                                                    or resume)
+        # params may be None only when resuming purely from a checkpoint
+        if params is None and not (resume and checkpoint_path):
+            raise ValueError(
+                "no params: pass (params, state) or resume=True with an "
+                "existing checkpoint_path"
+            )
+        # optimizer state is built lazily: the resume path supplies its own
+        # (initializing here would allocate a full Adam tree just to discard)
+        opt_state = None
+
         if fused is None:
             fused = cfg.verbose < 1 and not checkpointing
         if checkpointing:
             fused = False  # mid-run checkpoints need the per-epoch loop
         if fused:
+            opt_state = optimizer.init(params)
             best_params, best_state, tr, va = train_all_epochs(
                 model, params, state, opt_state, train_x, valid_x, rng,
                 optimizer, batch, cfg.n_epochs, data_sharding,
@@ -407,6 +438,13 @@ class NoveltyDetecter:
                 train_history = loaded["train_history"]
                 valid_history = loaded["valid_history"]
                 start_epoch = loaded["epoch"]
+                if self.mesh is not None:
+                    # loaded trees are host arrays — re-replicate onto the
+                    # mesh like the fresh-start path, or the first epoch
+                    # runs with GSPMD-chosen layouts and reshards on entry
+                    params = replicate(self.mesh, params)
+                    state = replicate(self.mesh, state)
+                    opt_state = replicate(self.mesh, opt_state)
                 if cfg.verbose >= 1:
                     print(f"resumed from {ckpt} at epoch {start_epoch}")
 
@@ -415,13 +453,15 @@ class NoveltyDetecter:
                 "no params: pass (params, state) or resume=True with an "
                 "existing checkpoint_path"
             )
+        if opt_state is None:
+            opt_state = optimizer.init(params)
 
         for epoch in range(start_epoch, cfg.n_epochs):
             perm = jax.random.permutation(jax.random.fold_in(rng, epoch), n)
             params, state, opt_state, total = train_epoch(
                 model, params, state, opt_state, train_x, perm,
                 optimizer, batch, data_sharding,
-                rng=jax.random.fold_in(rng, cfg.n_epochs + epoch),
+                rng=_vib_epoch_key(rng, epoch),
             )
             train_loss = float(total) / max(n, 1)
             train_history.append(train_loss)
@@ -488,12 +528,7 @@ class NoveltyDetecter:
         """
         cfg = self.config
         mesh = self.mesh
-        test_y = np.asarray(test_y)
-        target = _coerce_like(cfg.target_class, test_y)
-        if cfg.unimodal_normal:
-            label = ~np.isin(test_y, [target])
-        else:
-            label = np.isin(test_y, [target])
+        label = binarize_labels(cfg, test_y)
 
         if mesh is not None:
             params = replicate(mesh, params)
@@ -521,6 +556,17 @@ class NoveltyDetecter:
             mesh=mesh,
         )
         return base, sap, nap
+
+
+def binarize_labels(config: Config, test_y) -> np.ndarray:
+    """Anomaly-label binarization (novelty_detection.py:31-34): positive
+    where the label equals target_class, inverted under unimodal_normal.
+    The single source of truth — NoveltyDetecter.test and the plotting
+    paths must agree on it."""
+    test_y = np.asarray(test_y)
+    target = _coerce_like(config.target_class, test_y)
+    label = np.isin(test_y, [target])
+    return ~label if config.unimodal_normal else label
 
 
 def _coerce_like(target, labels: np.ndarray):

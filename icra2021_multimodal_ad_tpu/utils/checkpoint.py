@@ -25,6 +25,13 @@ def _flatten(tree, prefix=""):
     if isinstance(tree, dict):
         if not tree:
             return {f"{prefix}{_EMPTY}": np.asarray(0)}
+        for k in tree:
+            # '.' is the path separator of the flat format; a key containing
+            # it would silently split into nested nodes on load
+            if "." in k:
+                raise ValueError(
+                    f"checkpoint dict keys must not contain '.': {k!r}"
+                )
         items = tree.items()
     elif isinstance(tree, (list, tuple)):
         if not tree:
@@ -54,7 +61,12 @@ def _listify(node):
     if list(node.keys()) == [_EMPTY]:
         return {}
     keys = list(node.keys())
-    if keys and all(k.isdigit() for k in keys):
+    # lists flatten to keys '0'..'N-1'; only EXACTLY that key set converts
+    # back (a dict with non-contiguous digit keys like {'5','10'} stays a
+    # dict instead of crashing; a dict with keys '0'..'N-1' is inherently
+    # ambiguous with a list in this flat format and comes back as a list)
+    if (keys and all(k.isdigit() for k in keys)
+            and sorted(int(k) for k in keys) == list(range(len(keys)))):
         return [_listify(node[str(i)]) for i in range(len(keys))]
     return {k: _listify(v) for k, v in node.items()}
 
@@ -67,11 +79,24 @@ def save_checkpoint(path: str, params, state, config=None,
                     extra: Optional[dict] = None) -> str:
     """Persist (params, state) to `<path>.npz` (suffix added if missing).
 
-    A DIRECTORY path (trailing separator, or an existing directory) routes
-    to Orbax instead — async-friendly, sharding-aware storage for large
-    runs; the flat-npz format stays the default for single-file artifacts.
+    A DIRECTORY path (trailing separator, or an existing Orbax checkpoint
+    directory) routes to Orbax instead — async-friendly, sharding-aware
+    storage for large runs; the flat-npz format stays the default for
+    single-file artifacts.  An existing directory that is NOT an Orbax
+    checkpoint (and not empty) raises instead of silently switching
+    formats based on filesystem state.
     """
-    if _is_dir_path(path):
+    if path.endswith(os.sep):
+        return _save_orbax(path, params, state, config, extra)
+    if os.path.isdir(path):
+        looks_orbax = (os.path.isdir(os.path.join(path, "tree"))
+                       or not os.listdir(path))
+        if not looks_orbax:
+            raise ValueError(
+                f"{path!r} is an existing non-checkpoint directory — add a "
+                f"trailing '{os.sep}' to save an Orbax checkpoint there, or "
+                f"pick another name for a .npz checkpoint"
+            )
         return _save_orbax(path, params, state, config, extra)
     if not path.endswith(".npz"):
         path = path + ".npz"

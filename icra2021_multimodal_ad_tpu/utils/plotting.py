@@ -38,7 +38,9 @@ def _finish(plt, fig, save_path: Optional[str], show: bool):
         fig.savefig(save_path, dpi=110, bbox_inches="tight")
     if show and os.environ.get("DISPLAY"):
         plt.show()
-    if not show:
+    else:
+        # close unconditionally when nothing displays — show=True on a
+        # headless host would otherwise leak one open figure per call
         plt.close(fig)
     return save_path
 
@@ -94,8 +96,15 @@ class LiveScorePlotter:
             self._plt.pause(self.pause_time)
 
     def save(self, save_path: str) -> str:
+        """Snapshot the current figure to a file.  The figure stays LIVE —
+        _finish would close it, which would leave subsequent update() calls
+        drawing into a dead figure — so save renders directly and keeps the
+        interactive session going."""
         self._ensure_figure()
-        return _finish(self._plt, self._fig, save_path, show=False)
+        os.makedirs(os.path.dirname(os.path.abspath(save_path)),
+                    exist_ok=True)
+        self._fig.savefig(save_path, dpi=110, bbox_inches="tight")
+        return save_path
 
     def close(self) -> None:
         if self._fig is not None:

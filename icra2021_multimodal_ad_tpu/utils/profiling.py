@@ -49,22 +49,83 @@ class Timer:
 
 
 def timed(fn, *args, warmup: int = 1, iters: int = 10, **kw):
-    """Mean wall time of fn(*args) with compile excluded and results synced."""
+    """Mean wall time of fn(*args): compile excluded, the final result
+    FETCHED to host so the span covers real execution, not dispatch.
+
+    Adequate on local backends (the device executes its stream in order, so
+    fetching the last result bounds all prior work).  On a high-RTT tunneled
+    device the per-dispatch overhead dominates short spans — use
+    `timed_loop`, which runs the iterations inside ONE on-device fori_loop
+    with a carried data dependency (the repo's bench methodology)."""
     for _ in range(max(warmup, 0)):
         jax.block_until_ready(fn(*args, **kw))
     t0 = time.perf_counter()
     out = None
     for _ in range(iters):
         out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    jax.device_get(out)
     return (time.perf_counter() - t0) / iters
+
+
+def retry(f, attempts: int = 3, wait_s: float = 20.0):
+    """Retry a thunk across transient device/tunnel errors (the remote-
+    compile tunnel occasionally drops a response mid-body; the compile cache
+    makes retries cheap)."""
+    last = None
+    for i in range(attempts):
+        try:
+            return f()
+        except Exception as e:  # noqa: BLE001 — re-raised after attempts
+            last = e
+            if i + 1 < attempts:
+                time.sleep(wait_s)
+    raise last
+
+
+def timed_loop(make_body, n_iters: int = 20):
+    """Wall time per iteration of an on-device `lax.fori_loop` whose
+    iterations carry a data dependency, with the final scalar fetched —
+    execution cannot be elided or pipelined away.  Compile time and fixed
+    dispatch overhead are excluded by differencing a 1-iteration run.  This
+    is the ONLY reliable timing on the tunneled device (see bench.py)."""
+    from functools import partial
+
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=("n",))
+    def run(n):
+        body = make_body()
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    def measure(n):
+        t0 = time.perf_counter()
+        float(run(n))
+        return time.perf_counter() - t0
+
+    retry(lambda: float(run(1)))  # compile n=1
+    t1 = retry(lambda: measure(1))
+    retry(lambda: float(run(n_iters + 1)))  # compile n=n_iters+1
+    tn = retry(lambda: measure(n_iters + 1))
+    return max((tn - t1) / n_iters, 1e-9)
 
 
 @contextlib.contextmanager
 def trace(log_dir: str = "/tmp/jax-trace",
           host_tracer_level: Optional[int] = None):
-    """jax.profiler trace context -> xprof dump under log_dir."""
-    jax.profiler.start_trace(log_dir)
+    """jax.profiler trace context -> xprof dump under log_dir.
+    `host_tracer_level` maps to ProfileOptions.host_tracer_level when the
+    installed jax exposes it (older versions: ignored)."""
+    options = None
+    if host_tracer_level is not None:
+        try:
+            options = jax.profiler.ProfileOptions()
+            options.host_tracer_level = host_tracer_level
+        except (AttributeError, TypeError):
+            options = None
+    if options is not None:
+        jax.profiler.start_trace(log_dir, profiler_options=options)
+    else:
+        jax.profiler.start_trace(log_dir)
     try:
         yield log_dir
     finally:

@@ -14,8 +14,13 @@ class Reporter:
 
     def add(self, config: dict, result: dict) -> None:
         assert isinstance(config, dict) and isinstance(result, dict)
-        assert not self.config_d or len(self.config_d) == len(config)
-        assert not self.result_d or len(self.result_d) == len(result)
+        # key EQUALITY, not just length: same-size dicts with different keys
+        # would build ragged columns that crash export() after the whole
+        # sweep has run
+        assert not self.config_d or set(self.config_d) == set(config), (
+            sorted(self.config_d), sorted(config))
+        assert not self.result_d or set(self.result_d) == set(result), (
+            sorted(self.result_d), sorted(result))
         for k, v in config.items():
             self.config_d.setdefault(k, []).append(v)
         for k, v in result.items():

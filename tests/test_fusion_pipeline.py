@@ -195,6 +195,18 @@ def test_mfcc_from_wave_contract():
     assert np.all(np.isfinite(m))
 
 
+def test_mfcc_frame_count_matches_librosa_for_odd_nfft():
+    """The ETL path (sr=22050, 0.1 s windows) has an ODD n_fft (2205):
+    librosa's centered frame count is 1 + (len + 2*(n_fft//2) - n_fft)//hop,
+    one fewer than 1 + len//hop when hop divides len."""
+    y = np.zeros(22050, dtype=np.float32)
+    m = A.mfcc_from_wave(y, sr=22050)
+    assert m.shape == (10, 13)  # librosa gives 10 frames here, not 11
+    # even n_fft (the realtime 44.1k path) is unchanged
+    m44 = A.mfcc_from_wave(np.zeros(44100, dtype=np.float32), sr=44100)
+    assert m44.shape == (11, 13)
+
+
 def test_mfcc_realtime_chunks_trim():
     class Cfg:
         batch_size = 10

@@ -86,6 +86,24 @@ def test_f1_quantile_override():
     assert f1 == pytest.approx(2 * p * r / (p + r))
 
 
+def test_f1_multi_quantile_escape_hatch():
+    """quantile_override=None honors f1_quantiles — one scalar pair for a
+    single quantile, parallel lists for several."""
+    rng = np.random.default_rng(4)
+    valid = rng.normal(size=1000)
+    test = rng.normal(size=500) + 0.5
+    label = rng.integers(0, 2, 500).astype(bool)
+    f1, thr = M.get_f1_score(valid, test, label, f1_quantiles=(0.99,),
+                             quantile_override=None)
+    assert np.isscalar(thr) and thr == pytest.approx(np.quantile(valid, 0.99))
+    f1s, thrs = M.get_f1_score(valid, test, label,
+                               f1_quantiles=(0.90, 0.99),
+                               quantile_override=None)
+    assert len(f1s) == len(thrs) == 2
+    assert thrs[0] == pytest.approx(np.quantile(valid, 0.90))
+    assert thrs[1] == pytest.approx(np.quantile(valid, 0.99))
+
+
 def test_confusion_matrix_matches_sklearn():
     rng = np.random.default_rng(3)
     s = rng.normal(size=300)

@@ -37,6 +37,38 @@ def test_nap_pallas_precomputed_offset():
     np.testing.assert_allclose(ours, ref, rtol=5e-3, atol=1e-5)
 
 
+def test_nap_pallas_pack_matches_unpacked():
+    """The build-time padded pack (the streaming hot-path form) must score
+    identically to the per-call padding path."""
+    from icra2021_multimodal_ad_tpu.ops.pallas_kernels import nap_pallas_pack
+
+    stats, x = _stats_and_data(seed=3)
+    pack = nap_pallas_pack(stats, dtype=jnp.float32, tj=128)
+    ours = np.asarray(nap_score_pallas(stats, x, tb=16, tj=128,
+                                       precomputed=pack))
+    ref = np.asarray(nap_score_pallas(stats, x, tb=16, tj=128))
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-7)
+
+
+def test_fused_mlp_rejects_unsupported_activation():
+    """pack_module_layers must refuse activations the kernel doesn't
+    implement rather than silently computing leakyrelu."""
+    import pytest
+
+    from icra2021_multimodal_ad_tpu.models.fc_module import (
+        fc_module_init,
+        fc_module_spec,
+    )
+    from icra2021_multimodal_ad_tpu.ops.pallas_kernels import (
+        pack_module_layers,
+    )
+
+    spec = fc_module_spec(16, 8, [12], act="tanh")
+    params, state = fc_module_init(jax.random.PRNGKey(0), spec)
+    with pytest.raises(NotImplementedError, match="tanh"):
+        pack_module_layers(spec, params, state)
+
+
 def test_nap_pallas_identity_whitening():
     # with identity rotation and unit variance, score == mean(x^2)
     k = 128

@@ -199,3 +199,59 @@ def test_vib_end_to_end_train_and_score(tmp_path):
 
     diffs = get_diffs(test_x, model, res.params, res.state)
     assert diffs[-1].shape[-1] == 2 * cfg.btl_size
+
+
+def test_vib_checkpoint_resume_extended_epochs_bit_exact(tmp_path):
+    """The VIB sampler key stream must be independent of the epoch BUDGET:
+    resume a 3-epoch stochastic run to 6 epochs and match the uninterrupted
+    6-epoch run exactly (a fold_in(rng, n_epochs + e) stream would replay
+    different noise and silently diverge)."""
+    import jax.numpy as jnp
+
+    from icra2021_multimodal_ad_tpu.train import NoveltyDetecter
+
+    cfg = _vib_config().replace(batch_size=16, verbose=0)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(48, cfg.input_size)), jnp.float32)
+    xv = jnp.asarray(rng.normal(size=(16, cfg.input_size)), jnp.float32)
+
+    model, p0, s0 = get_model(cfg)
+    full = NoveltyDetecter(cfg.replace(n_epochs=6)).train(
+        model, p0, s0, x, xv, fused=False)
+
+    ckpt = str(tmp_path / "mid")
+    model, p1, s1 = get_model(cfg)
+    NoveltyDetecter(cfg.replace(n_epochs=3)).train(
+        model, p1, s1, x, xv, checkpoint_path=ckpt, checkpoint_every=3)
+    resumed = NoveltyDetecter(cfg.replace(n_epochs=6)).train(
+        model, None, None, x, xv, checkpoint_path=ckpt, resume=True)
+
+    np.testing.assert_array_equal(full.valid_history, resumed.valid_history)
+    for a, b in zip(jax.tree.leaves(full.params),
+                    jax.tree.leaves(resumed.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_step_accepts_vib_rng():
+    """The public single-step API must be able to train a VIB model (it
+    previously had no rng parameter and crashed at trace time)."""
+    import jax.numpy as jnp
+    import optax
+
+    from icra2021_multimodal_ad_tpu.train import eval_step, train_step
+
+    cfg = _vib_config()
+    model, params, state = get_model(cfg)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    x = jnp.asarray(np.random.default_rng(2).normal(
+        size=(8, cfg.input_size)), jnp.float32)
+    params, state, opt_state, loss = train_step(
+        model, params, state, opt_state, x, opt,
+        rng=jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    # eval_step evaluates VIB models deterministically (stochastic model,
+    # no key — would crash without the z=mu fallback)
+    vloss = eval_step(model._replace(stochastic_inference=True),
+                      params, state, x)
+    assert np.isfinite(float(vloss))
