@@ -50,11 +50,15 @@ def main():
             DataCollector,
             make_ros_transport,
         )
+        from icra2021_multimodal_ad_tpu.data.orchestration import (
+            next_episode_index,
+        )
 
         transport, _spin = make_ros_transport()
         import rospy
 
-        for ep in range(args.episodes):
+        start = next_episode_index(os.path.join(args.out_dir, "data"))
+        for ep in range(start, start + args.episodes):
             name = f"ep{ep:04d}"
             # episode clock must be the ROS clock: row times come from
             # message header stamps (sim time under /use_sim_time)

@@ -14,7 +14,11 @@ import time
 import numpy as np
 import pandas as pd
 
-from icra2021_multimodal_ad_tpu.config import Config, get_input_size
+from icra2021_multimodal_ad_tpu.config import (
+    Config,
+    get_input_size,
+    reconcile_model_config,
+)
 from icra2021_multimodal_ad_tpu.models.builder import build_autoencoder
 from icra2021_multimodal_ad_tpu.ops.rapp import get_diffs
 from icra2021_multimodal_ad_tpu.ops.scoring import (
@@ -35,8 +39,13 @@ def run_full_test(config: Config, fixture_path: str, plot: bool = False,
     show_mode / slip_plot_path render the per-window reconstruction-loss
     trace over the label trace (FullTest.py:54-98 show_detect_slip,
     headless-capable)."""
+    params, state, meta = load_checkpoint(config.saved_name)
+    # adopt the checkpoint's model-shape fields (n_layers/btl/distribution/
+    # seed/...) — flag mismatches would otherwise crash obscurely, and a
+    # seed mismatch would fuse the fixture with different random projection
+    # weights than training used
+    config = reconcile_model_config(config, meta)
     model = build_autoencoder(config)
-    params, state, _ = load_checkpoint(config.saved_name)
     params, state = to_device(params), to_device(state)
     stats = load_nap_stats(config.train_diffs)
 
@@ -58,13 +67,14 @@ def run_full_test(config: Config, fixture_path: str, plot: bool = False,
 
     if show_mode or slip_plot_path:
         from icra2021_multimodal_ad_tpu.utils.plotting import (
-            per_window_recon_loss,
             show_detect_slip,
         )
 
         labels = (df["label"].to_numpy() if "label" in df.columns
                   else np.zeros(len(df), dtype=int))
-        loss = per_window_recon_loss(model, params, state, x)
+        # diffs[0] IS x_hat - x — derive the per-window MSE-sum from it
+        # instead of dispatching a second full forward pass
+        loss = np.asarray(np.sum(np.asarray(diffs[0]) ** 2, axis=-1))
         out = show_detect_slip(loss, labels, save_path=slip_plot_path,
                                show=show_mode, verbose=show_mode)
         if out:
@@ -97,6 +107,9 @@ def main():
     p.add_argument("--sensor", type=str, default="All")
     p.add_argument("--n_layers", type=int, default=5)
     p.add_argument("--btl_size", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0,
+                   help="fusion-projection seed; must match training "
+                        "(checkpoints with a saved config override this)")
     p.add_argument("--plot", action="store_true")
     p.add_argument("--show_mode", action="store_true",
                    help="per-window loss/label visualizer "
@@ -108,6 +121,7 @@ def main():
     cfg = Config(
         sensor=args.sensor, n_layers=args.n_layers, btl_size=args.btl_size,
         saved_name=args.saved_name, train_diffs=args.train_diffs,
+        seed=args.seed,
     )
     cfg = cfg.replace(input_size=get_input_size(cfg))
     scores, df = run_full_test(cfg, args.fixture, plot=args.plot,

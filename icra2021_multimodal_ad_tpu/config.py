@@ -154,10 +154,38 @@ def get_config(argv: Optional[Sequence[str]] = None, **overrides) -> Config:
     if kw.get("distribution") in ("none", "None"):
         kw["distribution"] = None
     cfg = Config(**kw)
-    if cfg.file_name != "data_sum":
-        cfg = cfg.replace(slicing_size=7000)
     if overrides:
         cfg = cfg.replace(**overrides)
+    # fixup AFTER overrides so get_config(file_name=...) and the equivalent
+    # CLI flag produce the same config
+    if cfg.file_name != "data_sum":
+        cfg = cfg.replace(slicing_size=7000)
+    return cfg
+
+
+#: fields that determine the model architecture / feature pipeline a
+#: checkpoint was built with — eval CLIs adopt the checkpoint's values when
+#: they differ from the flags (a mismatch would otherwise surface as an
+#: opaque shape error, or worse, silently mismatched fusion features)
+CHECKPOINT_MODEL_FIELDS = (
+    "sensor", "input_size", "n_layers", "btl_size", "models",
+    "distribution", "k", "seed",
+)
+
+
+def reconcile_model_config(cfg: Config, meta: Optional[dict],
+                           verbose: bool = True) -> Config:
+    """Overlay the model-shape fields recorded in a checkpoint's saved
+    config (utils/checkpoint.save_checkpoint(config=...)) onto `cfg`.
+    Checkpoints without a saved config are returned unchanged — the flags
+    must then match the training run, as in the reference."""
+    saved = (meta or {}).get("config") or {}
+    updates = {f: saved[f] for f in CHECKPOINT_MODEL_FIELDS
+               if f in saved and saved[f] != getattr(cfg, f)}
+    if updates:
+        if verbose:
+            print("checkpoint config overrides flags:", updates)
+        cfg = cfg.replace(**updates)
     return cfg
 
 

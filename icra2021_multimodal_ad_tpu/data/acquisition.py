@@ -273,3 +273,67 @@ def make_ros_transport():  # pragma: no cover — requires a live ROS master
     rospy.Subscriber(topics["lidar"], LaserScan, on_lidar)
     rospy.Subscriber(topics["mic"], String, on_mic)
     return transport, rospy.spin
+
+
+def make_ros_publisher_transport():  # pragma: no cover — requires ROS
+    """OUTBOUND rospy bridge — the sensor-bridge publisher side
+    (microphone_send.py:7-36 and hand_camera_send.py:11-26 publish String /
+    Image onto the graph; make_ros_transport above is the inbound
+    subscriber side).  publish(topic, payload) maps this package's payload
+    shapes onto real ROS messages:
+
+      mic:  (bytes, t)  -> std_msgs/String (latin-1, the inverse of
+                           make_ros_transport's on_mic decode)
+      hand/depth: (ndarray, t) -> sensor_msgs/Image (rgb8 for (H, W, 3)
+                           uint8, 16UC1 for uint16, mono8 otherwise)
+    """
+    import rospy
+    from sensor_msgs.msg import Image
+    from std_msgs.msg import String
+
+    if not rospy.core.is_initialized():
+        rospy.init_node("icra_tpu_sensor_bridge", anonymous=True)
+
+    topics = DataCollector.TOPICS
+    pubs = {
+        topics["mic"]: rospy.Publisher(topics["mic"], String, queue_size=10),
+        topics["hand"]: rospy.Publisher(topics["hand"], Image, queue_size=5),
+        topics["depth"]: rospy.Publisher(topics["depth"], Image,
+                                         queue_size=5),
+    }
+
+    def _img_msg(arr: np.ndarray, t: float) -> "Image":
+        arr = np.ascontiguousarray(arr)
+        msg = Image()
+        msg.header.stamp = rospy.Time.from_sec(t)
+        msg.height, msg.width = arr.shape[0], arr.shape[1]
+        if arr.ndim == 3 and arr.shape[2] == 3:
+            msg.encoding = "rgb8"
+            arr = arr.astype(np.uint8)
+            msg.step = msg.width * 3
+        elif arr.dtype == np.uint16:
+            msg.encoding = "16UC1"
+            msg.step = msg.width * 2
+        else:
+            msg.encoding = "mono8"
+            arr = arr.astype(np.uint8)
+            msg.step = msg.width
+        msg.is_bigendian = 0
+        msg.data = arr.tobytes()
+        return msg
+
+    class _PublisherTransport:
+        def publish(self, topic: str, payload) -> None:
+            pub = pubs.get(topic)
+            if pub is None:
+                raise ValueError(f"no ROS publisher for topic {topic!r}")
+            if topic == topics["mic"]:
+                chunk, _t = payload
+                if isinstance(chunk, (bytes, bytearray)):
+                    chunk = bytes(chunk).decode("latin-1")
+                pub.publish(String(data=chunk))
+            else:
+                frame, t = payload
+                pub.publish(_img_msg(np.asarray(frame), float(t)))
+
+    return _PublisherTransport()

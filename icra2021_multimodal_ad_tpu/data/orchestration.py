@@ -246,6 +246,20 @@ def run_episode(transport, script: PickPlaceScript, seed: int = 0,
     return drop_t
 
 
+def next_episode_index(ep_root: str) -> int:
+    """First unused epNNNN index under `ep_root` — re-collecting into the
+    same tree continues the numbering instead of overwriting prior episodes
+    (which would also desynchronize the ETL's resume journal)."""
+    import os
+    import re
+
+    if not os.path.isdir(ep_root):
+        return 0
+    taken = [int(m.group(1)) for m in
+             (re.fullmatch(r"ep(\d+)", n) for n in os.listdir(ep_root)) if m]
+    return max(taken) + 1 if taken else 0
+
+
 def run_collection(out_dir: str, n_episodes: int = 3,
                    script: Optional[PickPlaceScript] = None,
                    seed: int = 0, n_lidar: int = 50,
@@ -253,13 +267,17 @@ def run_collection(out_dir: str, n_episodes: int = 3,
     """Drive N simulated pick-place episodes through LocalTransport ->
     DataCollector -> EpisodeRecorder, writing the exact capture tree the ETL
     consumes (episodes under `<out_dir>/data/<name>/data/`, the reference
-    layout).  Returns the episode names."""
+    layout).  Returns the episode names.  Numbering (and the per-episode
+    seed) continues from any episodes already present, so repeated
+    collections into one tree accumulate distinct data."""
     import os
 
     script = script or PickPlaceScript()
     ep_root = os.path.join(out_dir, "data")
+    start = next_episode_index(ep_root)
     names = []
-    for ep in range(n_episodes):
+    for i in range(n_episodes):
+        ep = start + i
         name = f"ep{ep:04d}"
         transport = LocalTransport()
         collector = DataCollector(transport, ep_root, name, start_time=0.0)

@@ -219,6 +219,10 @@ def get_d_norm_loss(train_diffs, valid_diffs, test_diffs, test_label,
         train_cat = concat_diffs(train_diffs, start_layer_index,
                                  end_layer_index)
         stats = nap_fit(train_cat, method=method)
+    # save_stats_path: None -> fall back to config.train_diffs (the
+    # reference persisted its train diffs there, utils/metric.py:205);
+    # False -> do not persist (sweeps: parallel grid points would race-
+    # overwrite the shared default path); a string -> that path.
     if save_stats_path is None and config is not None:
         save_stats_path = getattr(config, "train_diffs", None)
     if save_stats_path:

@@ -12,7 +12,6 @@ import os
 import time
 
 import jax
-import numpy as np
 
 from icra2021_multimodal_ad_tpu.config import get_config, get_input_size
 from icra2021_multimodal_ad_tpu.data.dataset import get_loaders
@@ -65,14 +64,10 @@ def main(config):
     if config.roc_plot_path or config.pr_plot_path:
         # NAP ROC/PR curve plots (utils/metric.py:49-60,102-113 `show`
         # options, rendered headlessly to files)
-        from icra2021_multimodal_ad_tpu.train import _coerce_like
+        from icra2021_multimodal_ad_tpu.train import binarize_labels
         from icra2021_multimodal_ad_tpu.utils.plotting import plot_pr, plot_roc
 
-        label = np.isin(np.asarray(test_y),
-                        [_coerce_like(config.target_class,
-                                      np.asarray(test_y))])
-        if config.unimodal_normal:
-            label = ~label
+        label = binarize_labels(config, test_y)
         if config.roc_plot_path:
             print("roc plot:", plot_roc(nap.score, label,
                                         save_path=config.roc_plot_path))

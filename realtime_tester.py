@@ -17,7 +17,11 @@ import argparse
 
 import jax
 
-from icra2021_multimodal_ad_tpu.config import Config, get_input_size
+from icra2021_multimodal_ad_tpu.config import (
+    Config,
+    get_input_size,
+    reconcile_model_config,
+)
 from icra2021_multimodal_ad_tpu.data.streaming import (
     SimulatedSensors,
     StreamingDetector,
@@ -66,8 +70,12 @@ def main():
     )
     cfg = cfg.replace(input_size=get_input_size(cfg))
 
+    params, state, meta = load_checkpoint(cfg.saved_name)
+    # adopt the checkpoint's model-shape fields (n_layers/btl/distribution/
+    # seed/...) so flag mismatches can't crash obscurely or silently fuse
+    # with the wrong projection weights
+    cfg = reconcile_model_config(cfg, meta)
     model = build_autoencoder(cfg)
-    params, state, _ = load_checkpoint(cfg.saved_name)
     params, state = to_device(params), to_device(state)
     fusion_params = fusion_init(jax.random.PRNGKey(cfg.seed))
     nap_stats = load_nap_stats(cfg.train_diffs) if args.nap else None
@@ -99,10 +107,17 @@ def main():
                          connection_timeout_s=args.connection_timeout_s)
     stats = detector.latency_stats()
     print("latency:", stats)
-    pre = trace[: args.anomaly_after].mean()
-    post_rows = trace[min(args.anomaly_after + cfg.batch_size, len(trace) - 1):]
-    post = post_rows.mean() if post_rows.size else float("nan")
-    print(f"mean score before anomaly: {pre:.4f}  after: {post:.4f}")
+    # the anomaly takes one full ring-buffer turnover (batch_size ticks) to
+    # dominate every window of a batch; the post-anomaly mean is only
+    # meaningful once the run reaches that point
+    pre = trace[: min(args.anomaly_after, len(trace))].mean()
+    settled = args.anomaly_after + cfg.batch_size
+    if settled < len(trace):
+        print(f"mean score before anomaly: {pre:.4f}  "
+              f"after: {trace[settled:].mean():.4f}")
+    else:
+        print(f"mean score (no settled anomaly window in {len(trace)} "
+              f"ticks): {pre:.4f}")
 
     if live is not None and args.plot_path:
         print("live plot saved:", live.save(args.plot_path))

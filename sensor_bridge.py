@@ -87,20 +87,26 @@ def iter_wav_chunks(path: str, chunk_frames: int = CHUNK_FRAMES):
             yield data
 
 
+def wav_framerate(path: str) -> int:
+    with wave.open(path, "rb") as f:
+        return f.getframerate()
+
+
 def run_mic(transport, ticks: Optional[int] = None,
             wav_path: Optional[str] = None, sleep=time.sleep) -> int:
     """Publish int16 chunks; live pyaudio when available, wav replay
     otherwise (microphone_send.py:14-36 loop).  Replay paces at the wav's
-    real-time rate (one chunk per CHUNK_FRAMES/SAMPLE_RATE) so recorded
+    OWN framerate (one chunk per CHUNK_FRAMES/framerate) so recorded
     timegaps match the audio duration; pass sleep=lambda s: None in tests."""
     sent = 0
     if wav_path is not None:
+        chunk_period = CHUNK_FRAMES / wav_framerate(wav_path)
         for chunk in iter_wav_chunks(wav_path):
             transport.publish(MIC_TOPIC, (chunk, time.time()))
             sent += 1
             if ticks is not None and sent >= ticks:
                 break
-            sleep(CHUNK_FRAMES / SAMPLE_RATE)
+            sleep(chunk_period)
         return sent
 
     import pyaudio  # robot host only; import guarded deliberately
@@ -133,11 +139,14 @@ def main():
     args = p.parse_args()
 
     if args.transport == "ros":
+        # publisher side: map payloads onto real rospy Publishers (the
+        # subscriber-side make_ros_transport would publish only into an
+        # in-process bus and never reach the ROS graph)
         from icra2021_multimodal_ad_tpu.data.acquisition import (
-            make_ros_transport,
+            make_ros_publisher_transport,
         )
 
-        transport, _ = make_ros_transport()
+        transport = make_ros_publisher_transport()
     else:
         transport = LocalTransport()
         transport.subscribe(

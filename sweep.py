@@ -41,10 +41,14 @@ def run_one(overrides: dict) -> dict:
 
     det = NoveltyDetecter(cfg)
     res = det.train(model, params, state, train_x, valid_x)
+    # save_stats_path=False: grid points must not overwrite the shared
+    # default NAP-stats file (config.train_diffs) that full_test /
+    # realtime_tester load — parallel workers would also race-write it
     base_r, sap_r, nap_r = det.test(
-        model, res.params, res.state, train_x, valid_x, test_x, test_y
+        model, res.params, res.state, train_x, valid_x, test_x, test_y,
+        save_stats_path=False,
     )
-    cfg_row = {k: v for k, v in overrides.items() if k != "progress"}
+    cfg_row = dict(overrides)  # progress already popped above
     print(f"[{progress}] {cfg_row} -> "
           f"nap_auroc={nap_r.auroc:.4f}", flush=True)  # streams per point
     return {

@@ -76,6 +76,66 @@ def test_multihost_init_is_noop_on_single_host(monkeypatch):
     assert initialize_multihost() is False
 
 
+def test_reconcile_model_config_adopts_checkpoint_fields():
+    """Eval CLIs must score with the checkpoint's architecture/seed, not the
+    possibly-mismatched flags (a wrong --seed would silently fuse features
+    with different projection weights than training used)."""
+    from icra2021_multimodal_ad_tpu.config import (
+        Config,
+        reconcile_model_config,
+    )
+
+    cfg = Config(n_layers=5, btl_size=100, seed=0)
+    meta = {"config": {"n_layers": 3, "btl_size": 16, "seed": 7,
+                       "distribution": "normal", "k": 2,
+                       "lr": 0.123}}  # lr is NOT a model-shape field
+    out = reconcile_model_config(cfg, meta, verbose=False)
+    assert (out.n_layers, out.btl_size, out.seed) == (3, 16, 7)
+    assert out.distribution == "normal" and out.k == 2
+    assert out.lr == cfg.lr  # non-shape fields keep the CLI values
+    # checkpoints without a saved config pass through unchanged
+    assert reconcile_model_config(cfg, {}, verbose=False) is cfg
+
+
+def test_cli_override_matches_flag_for_fixup_fields():
+    """get_config(file_name=...) must produce the SAME config as the
+    equivalent CLI flag — the slicing_size fixup runs after overrides."""
+    assert get_config([], file_name="other_sum").slicing_size == 7000
+
+
+def test_multihost_init_autodetects_cloud_tpu_pod(monkeypatch):
+    """On a Cloud TPU pod (worker env vars present, no explicit
+    coordinates), jax.distributed.initialize() runs with no args."""
+    import jax
+
+    from icra2021_multimodal_ad_tpu.parallel.distributed import (
+        initialize_multihost,
+    )
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **kw: calls.append((a, kw)))
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "w0,w1")
+    assert initialize_multihost() is True
+    assert calls == [((), {})]
+    # single-worker runtimes also export the var (one entry) — still a no-op
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert initialize_multihost() is False
+
+
+def test_get_mesh_rejects_oversubscription():
+    import pytest
+
+    from icra2021_multimodal_ad_tpu.parallel.mesh import get_mesh
+
+    n = len(jax.devices())
+    with pytest.raises(ValueError, match="devices"):
+        get_mesh(n + 1)
+
+
 def test_multihost_init_passes_env_coordinates(monkeypatch):
     import jax
 

@@ -159,6 +159,28 @@ def test_run_collection_writes_etl_ready_tree(tmp_path):
     assert after["weight"].mean() < 80
 
 
+def test_run_collection_continues_numbering(tmp_path):
+    """Re-collecting into the same tree must append new episodes (distinct
+    seeds), not overwrite ep0000.. and desynchronize the ETL journal."""
+    from icra2021_multimodal_ad_tpu.data.orchestration import run_collection
+
+    out = str(tmp_path)
+    first = run_collection(out, n_episodes=2, n_lidar=10)
+    second = run_collection(out, n_episodes=2, n_lidar=10)
+    assert first == ["ep0000", "ep0001"]
+    assert second == ["ep0002", "ep0003"]
+    import os
+
+    eps = sorted(os.listdir(os.path.join(out, "data")))
+    assert eps == ["ep0000", "ep0001", "ep0002", "ep0003"]
+    # distinct seeds -> distinct data
+    w0 = open(os.path.join(out, "data", "ep0000", "data",
+                           "hand_weight.csv")).read()
+    w2 = open(os.path.join(out, "data", "ep0002", "data",
+                           "hand_weight.csv")).read()
+    assert w0 != w2
+
+
 def test_collect_and_build_one_command(tmp_path):
     out = str(tmp_path / "robot")
     shards = collect_and_build(out, n_episodes=2, seed=1, n_lidar=12,
@@ -210,6 +232,34 @@ def test_sensor_bridge_camera_publishes_with_cascade(tmp_path):
     assert sent == 3 and len(got) == 3
     assert cam.reconnects == 1  # cascaded off the dead device once
     assert got[0][0].shape == (4, 4, 3)
+
+
+def test_sensor_bridge_wav_replay_paces_at_file_rate(tmp_path):
+    """Replay pacing must follow the wav's OWN framerate — a 16 kHz file
+    paced at the 44.1 kHz constant would publish ~2.8x too fast, shrinking
+    every recorded timegap."""
+    import sys
+    import wave
+
+    sys.path.insert(0,
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import sensor_bridge
+    from icra2021_multimodal_ad_tpu.data.acquisition import LocalTransport
+
+    path = str(tmp_path / "b.wav")
+    n = sensor_bridge.CHUNK_FRAMES * 3
+    audio = np.zeros((n, 1), dtype=np.int16)
+    with wave.open(path, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(16000)
+        f.writeframes(audio.tobytes())
+
+    sleeps = []
+    sensor_bridge.run_mic(LocalTransport(), wav_path=path,
+                          sleep=sleeps.append)
+    assert sleeps and all(
+        abs(s - sensor_bridge.CHUNK_FRAMES / 16000) < 1e-9 for s in sleeps)
 
 
 def test_sensor_bridge_mic_wav_replay(tmp_path):

@@ -58,6 +58,10 @@ def test_parallel_sweep_matches_sequential(tmp_path, monkeypatch, n_workers):
         ])
         sweep.main()
 
+    stats_default = "datasets/All_train_diffs.npz"
+    if os.path.exists(stats_default):
+        os.remove(stats_default)
+
     seq_csv = str(tmp_path / "seq.csv")
     par_csv = str(tmp_path / "par.csv")
     run(seq_csv, 1)
@@ -67,6 +71,9 @@ def test_parallel_sweep_matches_sequential(tmp_path, monkeypatch, n_workers):
     par = open(par_csv).read()
     assert seq == par
     assert len(seq.splitlines()) == 1 + 4  # header + 4 grid points
+    # grid points must NOT persist NAP stats to the shared default path —
+    # full_test/realtime load from there, and parallel workers would race
+    assert not os.path.exists(stats_default)
 
 
 def test_parallel_workers_pinned_to_distinct_devices():
