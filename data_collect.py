@@ -29,6 +29,10 @@ def main():
     p.add_argument("--episode_s", type=float, default=10.0,
                    help="wall-clock seconds to record per episode "
                         "(ros transport)")
+    p.add_argument("--motion", action="store_true",
+                   help="drive the robot through the scripted pick-place "
+                        "routine while recording (ros transport; "
+                        "main_for_data_collect.py:260-336 loop)")
     args = p.parse_args()
 
     from icra2021_multimodal_ad_tpu.data.orchestration import (
@@ -57,6 +61,14 @@ def main():
         transport, _spin = make_ros_transport()
         import rospy
 
+        motion_backend = None
+        if args.motion:
+            from icra2021_multimodal_ad_tpu.data.hsr_motion import (
+                RosMotionBackend,
+            )
+
+            motion_backend = RosMotionBackend()
+
         start = next_episode_index(os.path.join(args.out_dir, "data"))
         for ep in range(start, start + args.episodes):
             name = f"ep{ep:04d}"
@@ -66,8 +78,16 @@ def main():
                 transport, os.path.join(args.out_dir, "data"), name,
                 start_time=rospy.get_time(),
             )
-            print(f"recording {name} for {args.episode_s:.1f} s ...")
-            _time.sleep(args.episode_s)
+            if motion_backend is not None:
+                from icra2021_multimodal_ad_tpu.data.hsr_motion import (
+                    run_robot_episode,
+                )
+
+                print(f"recording {name} (scripted pick-place) ...")
+                run_robot_episode(motion_backend, carry_s=args.episode_s)
+            else:
+                print(f"recording {name} for {args.episode_s:.1f} s ...")
+                _time.sleep(args.episode_s)
             collector.detach()
             path = collector.recorder.save()
             print(f"saved {path}")

@@ -68,7 +68,7 @@ class EpisodeRecorder:
         self.start = start_time if start_time is not None else time.time()
         self.rows: Dict[str, List[dict]] = {
             "depth": [], "hand": [], "LiDAR": [], "hand_weight": [],
-            "Microphone": [],
+            "Microphone": [], "gripper_degree": [],
         }
         self.frames: Dict[str, List[np.ndarray]] = {"hand": [], "d": []}
         self.audio_chunks: List[bytes] = []
@@ -108,6 +108,15 @@ class EpisodeRecorder:
             {"data": "[]", "time": self._t(t), "timegap": self._t(t)}
         )
 
+    def on_gripper(self, radians, t: Optional[float] = None):
+        """Gripper joint radians per message (the reference's
+        GripperDegreeController, main_for_data_collect.py:214-241 ->
+        gripper_degree.csv; diagnostic stream, not consumed by the ETL)."""
+        self.rows["gripper_degree"].append(
+            {"gripper_radian": list(map(float, radians)),
+             "datetime": self._t(t), "timegap": self._t(t)}
+        )
+
     def mark_drop(self, start_t: float, end_t: float):
         self.drop_start = self._t(start_t)
         self.drop_end = self._t(end_t)
@@ -123,6 +132,8 @@ class EpisodeRecorder:
 
         os.makedirs(os.path.join(self.root, "sound"), exist_ok=True)
         for stream, rows in self.rows.items():
+            if stream == "gripper_degree" and not rows:
+                continue  # diagnostic stream: only written when captured
             pd.DataFrame(rows).to_csv(os.path.join(self.root, f"{stream}.csv"))
         for sub, frames in self.frames.items():
             d = os.path.join(self.root, "img", sub)
@@ -161,6 +172,7 @@ class DataCollector:
         "depth": "/hsrb/head_rgbd_sensor/depth_registered/image_rect_raw",
         "lidar": "/hsrb/base_scan",
         "mic": "/snu/microphone_send",
+        "gripper": "/hsrb/robot_state/joint_states",
     }
 
     def __init__(self, transport, out_dir: str, episode: str,
@@ -177,6 +189,7 @@ class DataCollector:
              lambda p: self.recorder.on_image("depth", *p)),
             (self.TOPICS["lidar"], lambda p: self.recorder.on_lidar(*p)),
             (self.TOPICS["mic"], lambda p: self.recorder.on_mic_chunk(*p)),
+            (self.TOPICS["gripper"], lambda p: self.recorder.on_gripper(*p)),
         ]
         for topic, cb in self._subs:
             transport.subscribe(topic, cb)
@@ -267,11 +280,25 @@ def make_ros_transport():  # pragma: no cover — requires a live ROS master
             data = data.encode("latin-1")
         transport.publish(topics["mic"], (data, rospy.get_time()))
 
+    def on_joint_states(msg: "JointState"):
+        from icra2021_multimodal_ad_tpu.data.hsr_motion import (
+            gripper_radians_from_joint_state,
+        )
+
+        rad = gripper_radians_from_joint_state(msg.name, msg.position)
+        if rad:  # only gripper-bearing messages (the reference's filter)
+            transport.publish(
+                topics["gripper"], (rad, msg.header.stamp.to_sec())
+            )
+
+    from sensor_msgs.msg import JointState
+
     rospy.Subscriber(topics["force"], WrenchStamped, on_force)
     rospy.Subscriber(topics["hand"], Image, on_hand)
     rospy.Subscriber(topics["depth"], Image, on_depth)
     rospy.Subscriber(topics["lidar"], LaserScan, on_lidar)
     rospy.Subscriber(topics["mic"], String, on_mic)
+    rospy.Subscriber(topics["gripper"], JointState, on_joint_states)
     return transport, rospy.spin
 
 

@@ -128,6 +128,66 @@ def test_camera_releases_failed_device_before_cycling():
 # ---------------------------------------------------------------------------
 
 
+def test_robot_episode_motion_sequence():
+    """run_robot_episode must issue the reference's pick-place command
+    sequence (main_for_data_collect.py:273-336): initial -> open -> pick
+    (apply_force) -> head down -> carry pose -> carry dwell -> place ->
+    release -> retreat."""
+    from icra2021_multimodal_ad_tpu.data.hsr_motion import (
+        SimMotionBackend,
+        run_robot_episode,
+    )
+
+    b = SimMotionBackend()
+    assert run_robot_episode(b, carry_s=1.5) is True
+    moves = [c[1] for c in b.calls if c[0] == "move"]
+    assert moves == ["initial_position", "head_down_position",
+                     "go_to_position", "place_position", "go_to_position"]
+    assert ("apply_force", 1.0) in b.calls
+    assert [c for c in b.calls if c[0] == "grasp"] == [
+        ("grasp", 1.0), ("grasp", 1.0)]  # open before pick, release at place
+    assert ("sleep", 1.5) in b.calls  # the carry window
+
+    # confirm gate: aborting at pick stops before any grasp force
+    b2 = SimMotionBackend()
+    assert run_robot_episode(b2, confirm=lambda step: step != "pick") is False
+    assert ("apply_force", 1.0) not in b2.calls
+
+
+def test_gripper_degree_stream_recorded(tmp_path):
+    """The gripper joint-state stream persists as gripper_degree.csv
+    (main_for_data_collect.py:214-241), and the joint filter matches the
+    reference's name set."""
+    import pandas as pd
+
+    from icra2021_multimodal_ad_tpu.data.acquisition import (
+        DataCollector,
+        LocalTransport,
+    )
+    from icra2021_multimodal_ad_tpu.data.hsr_motion import (
+        gripper_radians_from_joint_state,
+    )
+
+    rad = gripper_radians_from_joint_state(
+        ["arm_flex_joint", "hand_l_proximal_joint", "hand_r_distal_joint"],
+        [0.5, 0.1, 0.2],
+    )
+    assert rad == [0.1, 0.2]
+
+    transport = LocalTransport()
+    col = DataCollector(transport, str(tmp_path), "ep0", start_time=0.0)
+    transport.publish(DataCollector.TOPICS["gripper"], ([0.1, 0.2], 1.0))
+    root = col.recorder.save()
+    df = pd.read_csv(os.path.join(root, "gripper_degree.csv"))
+    assert df["timegap"].tolist() == [1.0]
+    # episodes without gripper capture don't write the diagnostic file
+    col2 = DataCollector(transport, str(tmp_path), "ep1", start_time=0.0)
+    transport.unsubscribe = getattr(transport, "unsubscribe")
+    col.detach()
+    root2 = col2.recorder.save()
+    assert not os.path.exists(os.path.join(root2, "gripper_degree.csv"))
+
+
 def test_pick_place_weight_profile():
     s = PickPlaceScript(object_grams=200.0)
     assert s.weight_grams(0.1) == 0.0                      # approach
