@@ -49,26 +49,39 @@ def get_lib() -> Optional[ctypes.CDLL]:
     return _loader.get()
 
 
+#: scratch size covering the robot cameras' largest frames (640x480 RGB);
+#: images above this take one retry with an exact-size buffer
+_SCRATCH_BYTES = 640 * 480 * 3
+
+
 def decode(path: str) -> Optional[np.ndarray]:
     """Decode to a uint8 (H, W, 3) or (H, W) array, exactly like
-    np.asarray(PIL.Image.open(path)) for alpha-free PNGs.  Returns None when
-    the native path can't handle the file (caller falls back to PIL)."""
+    np.asarray(PIL.Image.open(path)) for plain 8-bit PNGs.  Returns None
+    when the native path can't handle the file (caller falls back to PIL).
+
+    One C call in the common case: decode straight into a typical-size
+    scratch buffer (the separate dims() probe would double the per-image
+    open+header-parse cost of the hot loop); fast_png_decode fills the dims
+    even on buffer-too-small, so oversized images retry exactly once."""
     lib = get_lib()
     if lib is None:
         return None
     h = ctypes.c_int()
     w = ctypes.c_int()
     c = ctypes.c_int()
-    if lib.fast_png_dims(path.encode(), ctypes.byref(h), ctypes.byref(w),
-                         ctypes.byref(c)) != 0:
-        return None
-    buf = np.empty(h.value * w.value * c.value, dtype=np.uint8)
+    buf = np.empty(_SCRATCH_BYTES, dtype=np.uint8)
     rc = lib.fast_png_decode(path.encode(), buf, buf.nbytes,
                              ctypes.byref(h), ctypes.byref(w),
                              ctypes.byref(c))
+    if rc == -3:  # larger than the scratch: dims are filled in, retry exact
+        buf = np.empty(h.value * w.value * c.value, dtype=np.uint8)
+        rc = lib.fast_png_decode(path.encode(), buf, buf.nbytes,
+                                 ctypes.byref(h), ctypes.byref(w),
+                                 ctypes.byref(c))
     if rc != 0:
         return None
-    arr = buf.reshape(h.value, w.value, c.value)
+    arr = buf[: h.value * w.value * c.value].reshape(
+        h.value, w.value, c.value)
     return arr[..., 0] if c.value == 1 else arr
 
 

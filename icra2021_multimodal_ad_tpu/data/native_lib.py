@@ -44,15 +44,31 @@ class NativeLib:
         self._failed = False
 
     def _build(self) -> bool:
+        # build to a per-process temp name, then rename atomically: the lock
+        # below is per-process, so concurrent processes (sweep workers) may
+        # build simultaneously — a shared output path would interleave
+        # writes and could leave a permanently corrupt .so with a fresh
+        # mtime that never self-heals
+        tmp = f"{self._lib_path}.build.{os.getpid()}"
         try:
             subprocess.run(
                 ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", self._src,
-                 *self._extra_args, "-o", self._lib_path],
+                 *self._extra_args, "-o", tmp],
                 check=True, capture_output=True, timeout=120,
             )
+            os.replace(tmp, self._lib_path)
             return True
         except Exception:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
             return False
+
+    def _load(self) -> ctypes.CDLL:
+        lib = ctypes.CDLL(self._lib_path)
+        self._configure(lib)
+        return lib
 
     def get(self) -> Optional[ctypes.CDLL]:
         with self._lock:
@@ -66,9 +82,15 @@ class NativeLib:
                 if stale and not self._build():
                     self._failed = True
                     return None
-                lib = ctypes.CDLL(self._lib_path)
-                self._configure(lib)
-                self._lib = lib
+                try:
+                    self._lib = self._load()
+                except Exception:
+                    # a present-but-unloadable .so (foreign arch, corrupt
+                    # file) must not latch the fallback while the toolchain
+                    # works — rebuild once and retry
+                    if not self._build():
+                        raise
+                    self._lib = self._load()
             except Exception:
                 self._failed = True
         return self._lib

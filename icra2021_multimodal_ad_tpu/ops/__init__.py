@@ -40,5 +40,6 @@ from icra2021_multimodal_ad_tpu.ops.serving import (  # noqa: F401
     nap_accuracy_guard,
     export_base_scorer,
     export_nap_scorer,
+    export_nap_window_scorer,
     load_scorer,
 )

@@ -441,6 +441,46 @@ def export_nap_scorer(serving: ServingModel, batch_size: int,
     return blob
 
 
+def export_nap_window_scorer(serving: ServingModel, batch_size: int,
+                             input_size: int,
+                             path: Optional[str] = None) -> bytes:
+    """Serialize the FULL streaming NAP pipeline — fused windows -> RaPP
+    diff extraction -> whitened score — with weights AND whitening stats
+    baked in.  This is the deployable form of score_nap_windows: a single
+    StableHLO artifact that scores (batch, input) windows with no model
+    code, the artifact a robot-side scorer actually ships."""
+    from jax import export as jexport
+
+    from icra2021_multimodal_ad_tpu.ops.rapp import diffs_batch
+    from icra2021_multimodal_ad_tpu.ops.scoring import nap_score_device
+
+    if serving.nap_stats is None:
+        raise ValueError("export_nap_window_scorer needs nap_stats")
+    model, params, state = serving.model, serving.params, serving.state
+    stats = serving.nap_stats
+    dtype = serving.compute_dtype
+
+    def fn(x):
+        if dtype == jnp.float32:
+            d = diffs_batch(model, params, state, x)
+            return nap_score_device(stats, jnp.concatenate(d, axis=-1))
+        d = serving_diffs_batch(model, params, state, x.astype(dtype))
+        cat = jnp.concatenate(d, axis=-1).astype(dtype)
+        offset, inv_std = (serving.nap_pre if serving.nap_pre is not None
+                           else nap_precompute(stats))
+        v = stats.rotater.v.astype(dtype)
+        return _nap_score_xla(v, offset, inv_std, cat, None)
+
+    exp = jexport.export(jax.jit(fn))(
+        jax.ShapeDtypeStruct((batch_size, input_size), jnp.float32)
+    )
+    blob = exp.serialize()
+    if path:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob
+
+
 def load_scorer(blob_or_path):
     """Deserialize an exported scorer; returns a callable(x) -> scores."""
     from jax import export as jexport

@@ -17,6 +17,7 @@
 #include <atomic>
 #include <cctype>
 #include <cerrno>
+#include <charconv>
 #include <cmath>
 #include <cstdint>
 #include <cstdlib>
@@ -86,10 +87,20 @@ size_t count_rows(const char* d, size_t size, size_t from) {
     size_t pos = from;
     while (pos < size) {
         size_t e = line_end(d, size, pos);
-        if (e > pos) ++rows;  // skip blank lines
+        size_t real_end = e;  // mirror the read path: '\r'-only lines are blank
+        if (real_end > pos && d[real_end - 1] == '\r') --real_end;
+        if (real_end > pos) ++rows;  // skip blank lines
         pos = e + 1;
     }
     return rows;
+}
+
+// Quotes anywhere in the file mean fields may hide commas or newlines from
+// the naive splitters (and the Python-side header split) — defer those
+// files to pandas wholesale.  The ETL never emits quoted cells, so this
+// rejects only foreign CSVs.
+bool has_quotes(const char* d, size_t size) {
+    return ::memchr(d, '"', size) != nullptr;
 }
 
 // parse one data line: write selected fields into out (n_sel floats)
@@ -108,14 +119,15 @@ void parse_line(const char* d, size_t begin, size_t end,
             quoted = !quoted;
         } else if (c == ',' && !quoted) {
             if (col < total_cols && sel_flag[col] >= 0) {
-                char buf[64];
                 size_t len = i - field_start;
-                if (len > 0 && len < sizeof(buf)) {
-                    std::memcpy(buf, d + field_start, len);
-                    buf[len] = 0;
-                    char* endp = nullptr;
-                    float v = std::strtof(buf, &endp);
-                    if (endp != buf) out[sel_slot[col]] = v;
+                if (len > 0) {
+                    // from_chars: locale-independent (strtof honors
+                    // LC_NUMERIC — a comma-decimal locale set by any
+                    // library in the process would silently mis-parse)
+                    float v = 0.0f;
+                    auto res = std::from_chars(d + field_start,
+                                               d + field_start + len, v);
+                    if (res.ec == std::errc()) out[sel_slot[col]] = v;
                 }
             }
             ++col;
@@ -129,10 +141,15 @@ void parse_line(const char* d, size_t begin, size_t end,
 
 extern "C" {
 
-// rows (excluding header) and column count; 0 on success
+// rows (excluding header) and column count; 0 on success,
+// -1 unreadable, -5 quoted cells present (caller must use pandas)
 int fast_csv_dims(const char* path, long* rows, int* cols) {
     Mapped m = map_file(path);
     if (!m.ok()) return -1;
+    if (has_quotes(m.data, m.size)) {
+        unmap(m);
+        return -5;
+    }
     size_t hdr_end = line_end(m.data, m.size, 0);
     *cols = count_columns(m.data, hdr_end);
     *rows = static_cast<long>(count_rows(m.data, m.size, hdr_end + 1));
@@ -146,13 +163,18 @@ long fast_csv_read_f32(const char* path, const int32_t* sel, int n_sel,
                        float* out, long max_rows) {
     Mapped m = map_file(path);
     if (!m.ok()) return -1;
+    if (has_quotes(m.data, m.size)) {
+        unmap(m);
+        return -5;
+    }
     size_t hdr_end = line_end(m.data, m.size, 0);
     int total_cols = count_columns(m.data, hdr_end);
 
-    // selection lookup tables
+    // selection lookup tables; duplicate selections would clobber the slot
+    // table (last wins, earlier column stuck at NaN) — reject them
     std::vector<int32_t> flag(total_cols, -1), slot(total_cols, -1);
     for (int k = 0; k < n_sel; ++k) {
-        if (sel[k] < 0 || sel[k] >= total_cols) {
+        if (sel[k] < 0 || sel[k] >= total_cols || slot[sel[k]] >= 0) {
             unmap(m);
             return -2;
         }

@@ -15,14 +15,36 @@
 // Build: g++ -O3 -std=c++17 -shared -fPIC native/fast_png.cpp -lpng -o
 //        native/libfastpng.so
 
+#include <cstdio>
 #include <cstring>
 #include <png.h>
+
+namespace {
+
+// IHDR bit depth straight from the file header (byte 24 after the 8-byte
+// signature + IHDR chunk header); -1 when unreadable / not a PNG.  The
+// simplified libpng API hides bit depth, but sub-8-bit grayscale must be
+// deferred to PIL (PIL yields bool/low-depth arrays where libpng would
+// expand to uint8 0/255 — different dtype and values).
+int ihdr_bit_depth(const char* path) {
+  unsigned char head[26];
+  std::FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  size_t n = std::fread(head, 1, sizeof head, f);
+  std::fclose(f);
+  static const unsigned char sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+  if (n < sizeof head || std::memcmp(head, sig, 8) != 0) return -1;
+  return head[24];
+}
+
+}  // namespace
 
 extern "C" {
 
 // Probe height/width/output-channels. Returns 0 on success, negative on
 // failure (unreadable, or alpha present -> caller falls back).
 int fast_png_dims(const char* path, int* h, int* w, int* c) {
+  if (ihdr_bit_depth(path) != 8) return -2;  // only plain 8-bit handled here
   png_image im;
   std::memset(&im, 0, sizeof im);
   im.version = PNG_IMAGE_VERSION;
@@ -47,9 +69,14 @@ int fast_png_dims(const char* path, int* h, int* w, int* c) {
 }
 
 // Decode into an 8-bit H*W*C buffer (C in {1,3}); returns 0 on success,
-// -1 unreadable, -2 alpha present, -3 buffer too small, -4 decode error.
+// -1 unreadable, -2 unsupported format (alpha/palette/non-8-bit),
+// -3 buffer too small, -4 decode error.  On -3 the dims ARE filled in, so
+// one probe-free call with a typical-size scratch buffer suffices for the
+// common case and the retry knows the exact size (halves the per-image
+// open+header-parse overhead of a separate dims() probe in the hot loop).
 int fast_png_decode(const char* path, unsigned char* out, long cap,
                     int* h, int* w, int* c) {
+  if (ihdr_bit_depth(path) != 8) return -2;
   png_image im;
   std::memset(&im, 0, sizeof im);
   im.version = PNG_IMAGE_VERSION;
@@ -64,6 +91,9 @@ int fast_png_decode(const char* path, unsigned char* out, long cap,
     return -2;
   }
   im.format = (ch >= 3) ? PNG_FORMAT_RGB : PNG_FORMAT_GRAY;
+  *h = static_cast<int>(im.height);
+  *w = static_cast<int>(im.width);
+  *c = (ch >= 3) ? 3 : 1;
   const long need = static_cast<long>(PNG_IMAGE_SIZE(im));
   if (need > cap) {
     png_image_free(&im);
@@ -73,10 +103,7 @@ int fast_png_decode(const char* path, unsigned char* out, long cap,
     png_image_free(&im);
     return -4;
   }
-  *h = static_cast<int>(im.height);
-  *w = static_cast<int>(im.width);
-  *c = (ch >= 3) ? 3 : 1;
-  return 0;
+  return 0;  // dims already filled in above
 }
 
 }  // extern "C"

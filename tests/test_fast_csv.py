@@ -70,6 +70,40 @@ def test_quoted_fields(tmp_path):
     np.testing.assert_allclose(out, [[1.5, 2.5], [3.0, 4.0]])
 
 
+def test_quoted_newline_defers_to_pandas(tmp_path):
+    """A quoted cell containing a newline would desync the native line
+    splitter from pandas — quoted files are rejected by the C reader (-5)
+    and read wholesale through the pandas fallback."""
+    p = str(tmp_path / "qn.csv")
+    with open(p, "w") as f:
+        f.write('a,s,b\n1.5,"line one\nline two",2.5\n3.0,plain,4.0\n')
+    out = fast_csv.read_columns(p, ["a", "b"])
+    np.testing.assert_allclose(out, [[1.5, 2.5], [3.0, 4.0]])
+    if fast_csv.get_lib() is not None:
+        with pytest.raises(IOError):
+            fast_csv.dims(p)  # native reader declines quoted files
+
+
+def test_duplicate_column_request(csv_path):
+    """Duplicate selections would clobber the native slot table (earlier
+    copy stuck at NaN); the C reader rejects them and pandas serves both."""
+    out = fast_csv.read_columns(csv_path, ["mfcc00", "mfcc00"])
+    assert out.shape == (500, 2)
+    np.testing.assert_allclose(out[:, 0], out[:, 1])
+    assert not np.isnan(out).any()
+
+
+def test_dims_matches_read_on_crlf_blank_lines(tmp_path):
+    if fast_csv.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    p = str(tmp_path / "crlf2.csv")
+    with open(p, "wb") as f:
+        f.write(b"a,b\r\n1,2\r\n3,4\r\n\r\n")  # trailing '\r'-only line
+    rows, _ = fast_csv.dims(p)
+    out = fast_csv.read_columns(p, ["a", "b"])
+    assert rows == len(out) == 2
+
+
 def test_crlf_and_trailing_newline(tmp_path):
     p = str(tmp_path / "crlf.csv")
     with open(p, "wb") as f:

@@ -132,3 +132,30 @@ def test_exotic_formats_fall_back_to_pil(tmp_path):
         fast_png.decode_resized(ppal, (8, 8)),
         np.asarray(Image.open(ppal).resize((8, 8))),
     )
+
+    # sub-8-bit grayscale: PIL yields a bool array for mode '1'; libpng
+    # would expand to uint8 0/255 — the native decoder must decline
+    p1 = str(tmp_path / "onebit.png")
+    Image.fromarray(
+        (rng.integers(0, 2, (20, 24)) * 255).astype(np.uint8)
+    ).convert("1").save(p1)
+    assert fast_png.decode(p1) is None
+    np.testing.assert_array_equal(
+        np.asarray(fast_png.decode_resized(p1, (8, 8))),
+        np.asarray(Image.open(p1).resize((8, 8))),
+    )
+
+
+def test_decode_larger_than_scratch_retries_exact(tmp_path):
+    """Images above the 640x480x3 scratch must decode via the -3-fills-dims
+    retry path, bit-identical to PIL."""
+    if fast_png.get_lib() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(3)
+    p = str(tmp_path / "big.png")
+    arr = rng.integers(0, 255, (700, 500, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(p)
+    out = fast_png.decode(p)
+    np.testing.assert_array_equal(out, arr)

@@ -337,6 +337,38 @@ def test_exported_scorer_roundtrip(tmp_path):
     )
 
 
+def test_exported_nap_window_scorer_matches_live_pipeline():
+    """The full windows->diffs->NAP artifact (the deployable streaming
+    scorer) must reproduce score_nap_windows, fp32 and bf16."""
+    from icra2021_multimodal_ad_tpu.ops.rapp import diffs_batch
+    from icra2021_multimodal_ad_tpu.ops.scoring import nap_fit
+    from icra2021_multimodal_ad_tpu.ops.serving import (
+        export_nap_window_scorer,
+        load_scorer,
+    )
+
+    cfg, model, params, state = _setup()
+    rng = np.random.default_rng(7)
+    x_fit = jnp.asarray(rng.normal(size=(64, 1728)), jnp.float32)
+    stats = nap_fit(jnp.concatenate(
+        diffs_batch(model, params, state, x_fit), axis=-1))
+    x = jnp.asarray(rng.normal(size=(16, 1728)), jnp.float32)
+
+    # tolerances: the artifact compiles the whole pipeline as ONE program
+    # (different fusion/accumulation tiling than the live path's separate
+    # programs) — ~1e-5 relative in fp32; bf16 additionally scores through
+    # the Pallas kernel live vs the XLA matmul in the artifact
+    for dtype_name, rtol in (("float32", 1e-4), ("bfloat16", 5e-3)):
+        serving = make_serving(cfg.replace(compute_dtype=dtype_name),
+                               model, params, state, nap_stats=stats)
+        scorer = load_scorer(export_nap_window_scorer(serving, 16, 1728))
+        np.testing.assert_allclose(
+            np.asarray(scorer(x)),
+            np.asarray(serving.score_nap_windows(x)),
+            rtol=rtol, atol=1e-6,
+        )
+
+
 def test_serving_forward_matches_exact_forward():
     """The mixed-precision serving forward must track the exact fp32
     forward closely (it trades ~0.4% reconstruction error for ~1.9x
