@@ -27,3 +27,16 @@ assert jax.local_device_count() == 8 and jax.devices()[0].platform == "cpu", (
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _seed_torch_rng():
+    """The parity oracles draw torch weights (nn.Linear/BatchNorm inits,
+    randn_like); unseeded draws would make any tolerance failure
+    irreproducible — against the repo's no-unseeded-randomness discipline.
+    Collection imports torch before fixtures run, so seeding via
+    sys.modules covers every test without force-importing torch here."""
+    if "torch" in sys.modules:
+        sys.modules["torch"].manual_seed(0)

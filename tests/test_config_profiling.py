@@ -49,10 +49,26 @@ def test_timer_spans_accumulate():
 
 
 def test_timed_excludes_compile():
+    """Falsifiable version: a fn whose FIRST call is slow (stand-in for the
+    20-120 s tunnel compile) must not leak into the reported mean — if the
+    warmup is dropped, dt jumps by the fake compile time and this fails."""
+    import time as _time
+
+    calls = {"n": 0}
+
+    def fn(x):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            _time.sleep(0.3)  # "compile"
+        return jnp.asarray(x) + 1
+
+    dt = timed(fn, jnp.ones(8), warmup=1, iters=5)
+    assert dt < 0.05, dt  # the slow first call was excluded by warmup
+    assert calls["n"] == 6
+
     f = jax.jit(lambda x: (x * x).sum())
-    x = jnp.ones((256, 256))
-    dt = timed(f, x, warmup=1, iters=3)
-    assert 0 < dt < 5.0
+    dt2 = timed(f, jnp.ones((256, 256)), warmup=1, iters=3)
+    assert 0 < dt2 < 5.0
 
 
 def test_trace_writes_profile(tmp_path):

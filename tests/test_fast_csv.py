@@ -29,10 +29,9 @@ def csv_path(tmp_path_factory):
 
 
 def test_native_lib_builds():
-    lib = fast_csv.get_lib()
-    if lib is None:
-        pytest.skip("g++ unavailable; pandas fallback covers functionality")
-    rows = None  # dims exercised below
+    # a build/ABI regression must FAIL here, not silently skip the whole
+    # native suite into the pandas fallback (g++ is part of the toolchain)
+    assert fast_csv.get_lib() is not None, "native CSV reader failed to build"
 
 
 def test_dims(csv_path):

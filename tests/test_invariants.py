@@ -1,0 +1,152 @@
+"""Guards for the CLAUDE.md invariants the functional tests cannot see.
+
+The CPU test mesh computes fp32 matmuls exactly regardless of the
+precision flag, so dropping `precision=HIGHEST` from the model path would
+pass every parity test here while silently degrading to bf16-decomposed
+matmuls on the real TPU (where the NAP SVD whitening amplifies the error).
+These tests inspect the LOWERED representation instead of the numerics.
+"""
+
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icra2021_multimodal_ad_tpu.config import Config, get_input_size
+from icra2021_multimodal_ad_tpu.models.builder import get_model
+
+
+def _cfg(**kw):
+    cfg = Config(sensor="force_torque", n_layers=3, btl_size=8, verbose=0,
+                 **kw)
+    return cfg.replace(input_size=get_input_size(cfg))
+
+
+def _dot_precisions(hlo_text: str):
+    """precision configs of every dot_general in a StableHLO dump."""
+    out = []
+    for line in hlo_text.splitlines():
+        if "dot_general" in line:
+            out.append("HIGHEST" if "HIGHEST" in line else "DEFAULT")
+    return out
+
+
+def test_model_forward_matmuls_are_highest_precision():
+    """CLAUDE.md: 'Model-path matmuls use precision=HIGHEST (fp32 exactness
+    feeds the NAP SVD)'.  Checked on the lowered HLO, which the CPU mesh
+    CAN observe."""
+    from icra2021_multimodal_ad_tpu.models.autoencoder import ae_forward
+
+    cfg = _cfg()
+    model, params, state = get_model(cfg)
+    x = jnp.zeros((4, cfg.input_size), jnp.float32)
+    txt = (
+        jax.jit(lambda p, s, xx: ae_forward(model, p, s, xx, train=False))
+        .lower(params, state, x)
+        .as_text()
+    )
+    precs = _dot_precisions(txt)
+    assert precs, "no dot_general found in the lowered forward"
+    assert all(p == "HIGHEST" for p in precs), precs
+
+
+def test_rapp_and_nap_matmuls_are_highest_precision():
+    from icra2021_multimodal_ad_tpu.ops.rapp import diffs_batch
+    from icra2021_multimodal_ad_tpu.ops.scoring import nap_fit, nap_score_device
+
+    cfg = _cfg()
+    model, params, state = get_model(cfg)
+    x = jnp.zeros((4, cfg.input_size), jnp.float32)
+    txt = (
+        jax.jit(lambda p, s, xx: diffs_batch(model, p, s, xx))
+        .lower(params, state, x)
+        .as_text()
+    )
+    precs = _dot_precisions(txt)
+    assert precs and all(p == "HIGHEST" for p in precs), precs
+
+    stats = nap_fit(jnp.asarray(
+        np.random.default_rng(0).normal(size=(32, 16)), jnp.float32))
+    txt_n = (
+        jax.jit(lambda s_, xx: nap_score_device(s_, xx))
+        .lower(stats, jnp.zeros((4, 16), jnp.float32))
+        .as_text()
+    )
+    precs_n = _dot_precisions(txt_n)
+    assert precs_n and all(p == "HIGHEST" for p in precs_n), precs_n
+
+
+def test_fusion_convs_are_highest_precision():
+    from icra2021_multimodal_ad_tpu.ops.fusion import fuse, fusion_init
+
+    fp = fusion_init(jax.random.PRNGKey(0))
+    mods = {
+        "r": jnp.zeros((2, 3, 32, 32)), "d": jnp.zeros((2, 1, 32, 32)),
+        "t": jnp.zeros((2, 1)), "m": jnp.zeros((2, 1, 13)),
+    }
+    txt = (
+        jax.jit(lambda p, **kw: fuse(p, sensor="All", **kw))
+        .lower(fp, **mods)
+        .as_text()
+    )
+    # convs lower to convolution ops; check their precision configs too
+    conv_lines = [ln for ln in txt.splitlines()
+                  if "convolution" in ln or "dot_general" in ln]
+    assert conv_lines
+    assert all("HIGHEST" in ln for ln in conv_lines), conv_lines[:3]
+
+
+def test_no_torch_on_the_compute_path():
+    """CLAUDE.md: 'No torch on the compute path'.  The suite itself imports
+    torch as a parity oracle, so this must probe a FRESH interpreter: import
+    every compute module and assert torch never entered sys.modules."""
+    code = (
+        "import sys\n"
+        "import icra2021_multimodal_ad_tpu.train\n"
+        "import icra2021_multimodal_ad_tpu.ops.scoring\n"
+        "import icra2021_multimodal_ad_tpu.ops.rapp\n"
+        "import icra2021_multimodal_ad_tpu.ops.fusion\n"
+        "import icra2021_multimodal_ad_tpu.ops.mfcc\n"
+        "import icra2021_multimodal_ad_tpu.ops.serving\n"
+        "import icra2021_multimodal_ad_tpu.ops.pallas_kernels\n"
+        "import icra2021_multimodal_ad_tpu.models.builder\n"
+        "import icra2021_multimodal_ad_tpu.data.dataset\n"
+        "import icra2021_multimodal_ad_tpu.data.etl\n"
+        "import icra2021_multimodal_ad_tpu.data.streaming\n"
+        "assert 'torch' not in sys.modules, 'torch leaked into compute path'\n"
+        "print('clean')\n"
+    )
+    import os
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    res = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0 and "clean" in res.stdout, (
+        res.stdout, res.stderr[-2000:])
+
+
+def test_training_run_compiles_one_epoch_program_with_ragged_tail():
+    """CLAUDE.md: 'two batch shapes max per training run (full batch +
+    tail)'.  The tail lives INSIDE the traced epoch program, so one run
+    must add at most ONE train_epoch cache entry even when batch does not
+    divide n."""
+    from icra2021_multimodal_ad_tpu.train import (
+        NoveltyDetecter,
+        eval_epoch,
+        train_epoch,
+    )
+
+    cfg = _cfg(n_epochs=3, batch_size=20, lr=3e-3)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(53, cfg.input_size)), jnp.float32)  # ragged
+    xv = jnp.asarray(rng.normal(size=(17, cfg.input_size)), jnp.float32)
+    model, params, state = get_model(cfg)
+
+    before_t = train_epoch._cache_size()
+    before_e = eval_epoch._cache_size()
+    NoveltyDetecter(cfg).train(model, params, state, x, xv, fused=False)
+    assert train_epoch._cache_size() - before_t <= 1
+    assert eval_epoch._cache_size() - before_e <= 1

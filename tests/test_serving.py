@@ -90,6 +90,17 @@ def test_serving_nap_kernel_path():
                              model, params, state, nap_stats=stats)
     s16 = np.asarray(serving16.score_nap(cat))
     assert s16.shape == ref.shape and np.isfinite(s16).all()
+    # ACCURACY bound on the bf16 kernel path: on a well-conditioned fit the
+    # documented achievable error is < 5e-2 relative — finite garbage
+    # (dropped whitening, wrong offset) must fail here.  bf16 serving
+    # applies the variance floor, so compare against the floored stats.
+    from icra2021_multimodal_ad_tpu.ops.scoring import nap_effective_stats
+    from icra2021_multimodal_ad_tpu.ops.serving import NAP_VAR_FLOOR_REL_BF16
+
+    ref_floored = np.asarray(nap_score_device(
+        nap_effective_stats(stats, NAP_VAR_FLOOR_REL_BF16), cat))
+    rel = np.abs(s16 - ref_floored) / (np.abs(ref_floored) + 1e-6)
+    assert rel.mean() < 5e-2, rel.mean()
 
 
 def test_streaming_detector_bf16_serving_mode():

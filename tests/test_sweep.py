@@ -58,9 +58,10 @@ def test_parallel_sweep_matches_sequential(tmp_path, monkeypatch, n_workers):
         ])
         sweep.main()
 
+    # run from a tmp cwd: the no-persist guard below checks the cwd-relative
+    # default stats path, and a real repo artifact must never be touched
+    monkeypatch.chdir(tmp_path)
     stats_default = "datasets/All_train_diffs.npz"
-    if os.path.exists(stats_default):
-        os.remove(stats_default)
 
     seq_csv = str(tmp_path / "seq.csv")
     par_csv = str(tmp_path / "par.csv")
@@ -87,6 +88,21 @@ def test_parallel_workers_pinned_to_distinct_devices():
     assert set(pins) <= {"0", "1"} and len(pins) >= 1
     # with 2 workers both pins appear unless one worker ran everything
     assert len(pairs) == 4
+
+    # the round-robin itself, deterministically: consecutive worker inits
+    # must take DISTINCT ids (a regression handing device_ids[0] to every
+    # worker is the exact contention the pinning exists to prevent)
+    import multiprocessing
+    import os
+
+    from icra2021_multimodal_ad_tpu.utils.repeater import _worker_init
+
+    counter = multiprocessing.get_context("spawn").Value("i", 0)
+    seen = []
+    for _ in range(3):
+        _worker_init([0, 1], counter, "FAKE_DEVICE_PIN2")
+        seen.append(os.environ.pop("FAKE_DEVICE_PIN2"))
+    assert seen == ["0", "1", "0"]
 
 
 def _read_pin(config):

@@ -193,7 +193,10 @@ def test_vib_end_to_end_train_and_score(tmp_path):
                               train_x, valid_x, test_x, test_y)
     for rep in (base, sap, nap):
         assert np.all(np.isfinite(rep.score))
-        assert 0.0 <= rep.auroc <= 1.0
+    # detection QUALITY, not just finiteness: the synthetic drop signature
+    # must be caught by NAP even on this short VIB run (measured 1.0;
+    # BASE/SAP stay unbounded — undertrained direction artifacts)
+    assert nap.auroc > 0.9, nap.auroc
     # the double-width head must show up in the RaPP taps
     from icra2021_multimodal_ad_tpu.ops.rapp import get_diffs
 
