@@ -51,6 +51,12 @@ def timed_loop(make_body, n_iters=N_ITERS):
 
 
 def main():
+    from icra2021_multimodal_ad_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()  # timing differences compiles out; wall time
+    # of the bench itself drops a lot on repeat runs over the tunnel
     cfg = Config(sensor="All", n_layers=5, btl_size=100, verbose=0, seed=0)
     cfg = cfg.replace(input_size=get_input_size(cfg))
     model, params, state = get_model(cfg)

@@ -13,6 +13,9 @@ from icra2021_multimodal_ad_tpu.data.etl import hsr_preprocess
 
 
 def main():
+    from icra2021_multimodal_ad_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # amortize the tunnel's 20-120 s first compiles
     p = argparse.ArgumentParser()
     p.add_argument("--data_dir", type=str, default="data/hsr_dropobject/data")
     p.add_argument("--out_dir", type=str, default="data/hsr_dropobject")

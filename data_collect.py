@@ -14,6 +14,9 @@ import argparse
 
 
 def main():
+    from icra2021_multimodal_ad_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # amortize the tunnel's 20-120 s first compiles
     p = argparse.ArgumentParser()
     p.add_argument("--out_dir", type=str, required=True)
     p.add_argument("--episodes", type=int, default=3)

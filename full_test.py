@@ -99,6 +99,9 @@ def run_full_test(config: Config, fixture_path: str, plot: bool = False,
 
 
 def main():
+    from icra2021_multimodal_ad_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # amortize the tunnel's 20-120 s first compiles
     p = argparse.ArgumentParser()
     p.add_argument("--fixture", type=str, default="datasets/caltime_test.csv")
     p.add_argument("--saved_name", type=str, default="datasets/All_100")

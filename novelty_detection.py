@@ -22,6 +22,9 @@ from icra2021_multimodal_ad_tpu.utils.checkpoint import save_checkpoint
 
 
 def main(config):
+    from icra2021_multimodal_ad_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # amortize the tunnel's 20-120 s first compiles
     # multi-host pods coordinate here; single host is a silent no-op
     from icra2021_multimodal_ad_tpu.parallel.distributed import (
         initialize_multihost,

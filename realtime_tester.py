@@ -33,6 +33,9 @@ from icra2021_multimodal_ad_tpu.utils.checkpoint import load_checkpoint, to_devi
 
 
 def main():
+    from icra2021_multimodal_ad_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # amortize the tunnel's 20-120 s first compiles
     p = argparse.ArgumentParser()
     p.add_argument("--batch_size", type=int, default=10)
     p.add_argument("--btl_size", type=int, default=100)

@@ -23,6 +23,11 @@ from icra2021_multimodal_ad_tpu.utils.reporter import Reporter
 
 def run_one(overrides: dict) -> dict:
     """One training+eval run; returns the result row."""
+    from icra2021_multimodal_ad_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()  # workers share the compiled-program cache
     overrides = dict(overrides)
     progress = overrides.pop("progress", "?")
     base = Config(verbose=0)

@@ -92,6 +92,26 @@ def test_multihost_init_is_noop_on_single_host(monkeypatch):
     assert initialize_multihost() is False
 
 
+def test_persistent_compile_cache_knob(tmp_path, monkeypatch):
+    """CLIs enable the persistent XLA compilation cache (tunnel compiles
+    cost 20-120 s per program per invocation without it); opt-out env wins."""
+    from icra2021_multimodal_ad_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    monkeypatch.setenv("ICRA_TPU_NO_COMPILE_CACHE", "1")
+    assert enable_persistent_cache() is None
+    monkeypatch.delenv("ICRA_TPU_NO_COMPILE_CACHE")
+
+    d = str(tmp_path / "cache")
+    try:
+        assert enable_persistent_cache(d) == d
+        assert jax.config.jax_compilation_cache_dir == d
+        assert os.path.isdir(d)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+
+
 def test_reconcile_model_config_adopts_checkpoint_fields():
     """Eval CLIs must score with the checkpoint's architecture/seed, not the
     possibly-mismatched flags (a wrong --seed would silently fuse features
