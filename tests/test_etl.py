@@ -221,6 +221,41 @@ def test_legacy_etl_variant_schema_and_labels(tmp_path):
     assert len(one) == len(ep0)
 
 
+def test_concatdata_cli_reaches_all_three_variants(tmp_path, monkeypatch):
+    """The ETL CLI exposes every reference time-sync generation:
+    data_preprocess.py via --variant legacy, the frame-driven prototype via
+    --variant frames (concatdata_maker.py is the default path, covered by
+    the resume tests)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import concatdata_maker
+
+    root = str(tmp_path / "legacy")
+    for i in range(2):
+        _write_legacy_episode(root, f"ep{i}", seed=i)
+
+    out1 = str(tmp_path / "out_legacy")
+    os.makedirs(out1)
+    monkeypatch.setattr(sys, "argv", [
+        "concatdata_maker.py", "--data_dir", root, "--out_dir", out1,
+        "--variant", "legacy", "--n_lidar", "15"])
+    concatdata_maker.main()
+    df = pd.read_csv(os.path.join(out1, "data_sum.csv"))
+    assert "Mic0000" in df.columns and "cur_rgb_id" in df.columns
+
+    out2 = str(tmp_path / "out_frames")
+    os.makedirs(out2)
+    monkeypatch.setattr(sys, "argv", [
+        "concatdata_maker.py",
+        "--data_dir", os.path.join(root, "ep0", "data"),
+        "--out_dir", out2, "--variant", "frames"])
+    concatdata_maker.main()
+    df2 = pd.read_csv(os.path.join(out2, "timesync.csv"))
+    assert "next_timegap" in df2.columns and len(df2) > 0
+
+
 def test_no_drop_episode_builds_label0_dataset(tmp_path):
     """Normal (label-0) episodes — the detector's TRAINING data — must flow
     through collection -> ETL even though they have no drop_time.csv
