@@ -167,6 +167,65 @@ def test_sharded_eval_matches_single_device(data_root):
         )
 
 
+def test_novelty_ratio_rebalance_matches_reference_semantics():
+    """get_balance (data_loaders.py:31-48): subsample the over-represented
+    side toward the target anomaly ratio, seeded."""
+    from icra2021_multimodal_ad_tpu.data.dataset import get_balance
+
+    seen = list(range(100))        # normals
+    unseen = list(range(100, 110))  # 10 anomalies -> current ratio ~0.09
+    s, u = get_balance(seen, unseen, novelty_ratio=0.5, seed=0)
+    assert u == unseen
+    assert len(s) == int(10 / 0.5 - 10) == 10  # seen subsampled to parity
+    assert set(s) <= set(seen)
+    # seeded: same call -> same subsample
+    s2, _ = get_balance(seen, unseen, novelty_ratio=0.5, seed=0)
+    assert s == s2
+
+    # over-represented anomalies: unseen side shrinks instead
+    s3, u3 = get_balance(list(range(10)), list(range(10, 110)),
+                         novelty_ratio=0.5, seed=0)
+    assert s3 == list(range(10)) and len(u3) == 10
+
+    # ratio 0 disables rebalancing (the CLI default)
+    assert get_balance(seen, unseen, 0.0) == (seen, unseen)
+
+
+def test_unimodal_normal_inverts_labels():
+    """--unimodal_normal flips the positive class (novelty_detection.py:
+    31-34: the target class becomes the NORMAL side)."""
+    from icra2021_multimodal_ad_tpu.config import Config
+    from icra2021_multimodal_ad_tpu.train import binarize_labels
+
+    y = np.array([0, 1, 1, 0])
+    cfg = Config(target_class=1)
+    np.testing.assert_array_equal(binarize_labels(cfg, y),
+                                  [False, True, True, False])
+    np.testing.assert_array_equal(
+        binarize_labels(cfg.replace(unimodal_normal=True), y),
+        [True, False, False, True])
+
+
+def test_layer_window_slicing_changes_sap_inputs():
+    """start/end_layer_index select a contiguous diff window
+    (utils/metric.py:150-156 slicing semantics): SAP over layers [1:3)
+    must equal SAP computed manually on just those diffs."""
+    import jax.numpy as jnp
+
+    from icra2021_multimodal_ad_tpu.ops.scoring import concat_diffs, get_d_loss
+
+    rng = np.random.default_rng(0)
+    diffs = tuple(jnp.asarray(rng.normal(size=(20, d)), jnp.float32)
+                  for d in (8, 6, 4, 2))
+    label = rng.integers(0, 2, 20).astype(bool)
+    rep = get_d_loss(diffs, diffs, diffs, label,
+                     start_layer_index=1, end_layer_index=3)
+    cat = np.asarray(concat_diffs(diffs, 1, 3))
+    assert cat.shape[1] == 6 + 4
+    manual = (cat ** 2).mean(axis=1)
+    np.testing.assert_allclose(np.asarray(rep.score), manual, rtol=1e-6)
+
+
 def test_object_select_mode_filters_episodes(data_root):
     """objectsplit.csv per-object-type episode filter
     (utils/data_loaders.py:261-276: keep rows whose data_dir is listed in
