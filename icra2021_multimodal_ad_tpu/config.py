@@ -157,8 +157,10 @@ def get_config(argv: Optional[Sequence[str]] = None, **overrides) -> Config:
     if overrides:
         cfg = cfg.replace(**overrides)
     # fixup AFTER overrides so get_config(file_name=...) and the equivalent
-    # CLI flag produce the same config
-    if cfg.file_name != "data_sum":
+    # CLI flag produce the same config — but an EXPLICIT slicing_size
+    # override wins over the downgrade (the fixup exists to correct the
+    # default, not to clobber a deliberate choice)
+    if cfg.file_name != "data_sum" and "slicing_size" not in overrides:
         cfg = cfg.replace(slicing_size=7000)
     return cfg
 

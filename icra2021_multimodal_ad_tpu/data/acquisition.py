@@ -302,7 +302,7 @@ def make_ros_transport():  # pragma: no cover — requires a live ROS master
     return transport, rospy.spin
 
 
-def make_ros_publisher_transport():  # pragma: no cover — requires ROS
+def make_ros_publisher_transport(color_encoding: str = "bgr8"):  # pragma: no cover — requires ROS
     """OUTBOUND rospy bridge — the sensor-bridge publisher side
     (microphone_send.py:7-36 and hand_camera_send.py:11-26 publish String /
     Image onto the graph; make_ros_transport above is the inbound
@@ -311,8 +311,14 @@ def make_ros_publisher_transport():  # pragma: no cover — requires ROS
 
       mic:  (bytes, t)  -> std_msgs/String (latin-1, the inverse of
                            make_ros_transport's on_mic decode)
-      hand/depth: (ndarray, t) -> sensor_msgs/Image (rgb8 for (H, W, 3)
-                           uint8, 16UC1 for uint16, mono8 otherwise)
+      hand/depth: (ndarray, t) -> sensor_msgs/Image (`color_encoding` for
+                           (H, W, 3) uint8, 16UC1 for uint16, mono8
+                           otherwise)
+
+    `color_encoding` defaults to 'bgr8' because the in-repo producer is the
+    cv2 camera adapter (OpenCV frames are BGR) — the subscriber side
+    (_img_array above) honors the declared encoding and flips bgr8 back to
+    RGB.  Pass 'rgb8' when publishing frames that are already RGB.
     """
     import rospy
     from sensor_msgs.msg import Image
@@ -335,7 +341,7 @@ def make_ros_publisher_transport():  # pragma: no cover — requires ROS
         msg.header.stamp = rospy.Time.from_sec(t)
         msg.height, msg.width = arr.shape[0], arr.shape[1]
         if arr.ndim == 3 and arr.shape[2] == 3:
-            msg.encoding = "rgb8"
+            msg.encoding = color_encoding
             arr = arr.astype(np.uint8)
             msg.step = msg.width * 3
         elif arr.dtype == np.uint16:

@@ -394,5 +394,6 @@ def make_timesync_frames(ep_dir: str, out_path: Optional[str] = None,
     for k, c in enumerate(_lidar_cols(lidar_rows.shape[1])):
         out[c] = lidar_rows[:, k]
     if out_path:
+        os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
         out.to_csv(out_path, index_label="id")
     return out

@@ -94,6 +94,8 @@ class RosMotionBackend:  # pragma: no cover — requires a live HSR
         from sensor_msgs.msg import JointState
         from tmc_msgs.srv import SafeJointChange, SafeJointChangeRequest
 
+        if not rospy.core.is_initialized():
+            rospy.init_node("icra_tpu_motion", anonymous=True)
         self._rospy = rospy
         self._traj_msgs = trajectory_msgs.msg
         self._JointState = JointState
@@ -145,7 +147,7 @@ class RosMotionBackend:  # pragma: no cover — requires a live HSR
         self._rospy.sleep(seconds)
 
 
-def run_robot_episode(backend, recorder=None,
+def run_robot_episode(backend,
                       confirm: Optional[Callable[[str], bool]] = None,
                       carry_s: float = 5.0) -> bool:
     """One pick-place collection episode on a (real or simulated) robot —
@@ -169,10 +171,8 @@ def run_robot_episode(backend, recorder=None,
         return False
     backend.sleep(carry_s)  # the carry window — where slips/drops happen
     backend.move_to_joint_positions("place_position")    # 5. place
-    backend.sleep(2.0)
-    if recorder is not None and hasattr(recorder, "save"):
-        pass  # persistence is the caller's episode boundary, not ours
-    backend.sleep(1.0)
+    backend.sleep(2.0)  # (the reference saves its CSVs in this dwell;
+    backend.sleep(1.0)  # here persistence is the caller's episode boundary)
     backend.grasp(1.0)                                   # release
     backend.move_to_joint_positions("go_to_position")    # 6. retreat
     return True

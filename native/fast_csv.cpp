@@ -119,14 +119,20 @@ void parse_line(const char* d, size_t begin, size_t end,
             quoted = !quoted;
         } else if (c == ',' && !quoted) {
             if (col < total_cols && sel_flag[col] >= 0) {
-                size_t len = i - field_start;
+                size_t fs = field_start;
+                size_t len = i - fs;
+                // from_chars rejects leading whitespace (strtof skipped
+                // it); tolerate space-padded fields explicitly
+                while (len > 0 && (d[fs] == ' ' || d[fs] == '\t')) {
+                    ++fs;
+                    --len;
+                }
                 if (len > 0) {
                     // from_chars: locale-independent (strtof honors
                     // LC_NUMERIC — a comma-decimal locale set by any
                     // library in the process would silently mis-parse)
                     float v = 0.0f;
-                    auto res = std::from_chars(d + field_start,
-                                               d + field_start + len, v);
+                    auto res = std::from_chars(d + fs, d + fs + len, v);
                     if (res.ec == std::errc()) out[sel_slot[col]] = v;
                 }
             }

@@ -135,8 +135,11 @@ def test_reconcile_model_config_adopts_checkpoint_fields():
 
 def test_cli_override_matches_flag_for_fixup_fields():
     """get_config(file_name=...) must produce the SAME config as the
-    equivalent CLI flag — the slicing_size fixup runs after overrides."""
+    equivalent CLI flag — the slicing_size fixup runs after overrides —
+    but an EXPLICIT slicing_size override survives the downgrade."""
     assert get_config([], file_name="other_sum").slicing_size == 7000
+    assert get_config([], file_name="other_sum",
+                      slicing_size=240).slicing_size == 240
 
 
 def test_multihost_init_autodetects_cloud_tpu_pod(monkeypatch):

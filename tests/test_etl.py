@@ -236,8 +236,7 @@ def test_concatdata_cli_reaches_all_three_variants(tmp_path, monkeypatch):
     for i in range(2):
         _write_legacy_episode(root, f"ep{i}", seed=i)
 
-    out1 = str(tmp_path / "out_legacy")
-    os.makedirs(out1)
+    out1 = str(tmp_path / "out_legacy")  # not pre-created: CLI must mkdir
     monkeypatch.setattr(sys, "argv", [
         "concatdata_maker.py", "--data_dir", root, "--out_dir", out1,
         "--variant", "legacy", "--n_lidar", "15"])
@@ -245,8 +244,7 @@ def test_concatdata_cli_reaches_all_three_variants(tmp_path, monkeypatch):
     df = pd.read_csv(os.path.join(out1, "data_sum.csv"))
     assert "Mic0000" in df.columns and "cur_rgb_id" in df.columns
 
-    out2 = str(tmp_path / "out_frames")
-    os.makedirs(out2)
+    out2 = str(tmp_path / "out_frames")  # not pre-created: CLI must mkdir
     monkeypatch.setattr(sys, "argv", [
         "concatdata_maker.py",
         "--data_dir", os.path.join(root, "ep0", "data"),

@@ -103,6 +103,17 @@ def test_dims_matches_read_on_crlf_blank_lines(tmp_path):
     assert rows == len(out) == 2
 
 
+def test_space_padded_fields_parse(tmp_path):
+    """strtof skipped leading whitespace; from_chars does not — the reader
+    must tolerate space-padded cells rather than silently yielding NaN."""
+    p = str(tmp_path / "ws.csv")
+    with open(p, "w") as f:
+        f.write("a,b\n 1.5,\t2.5\n3.0, 4.0\n")
+    out = fast_csv.read_columns(p, ["a", "b"])
+    np.testing.assert_allclose(out, [[1.5, 2.5], [3.0, 4.0]])
+    assert not np.isnan(out).any()
+
+
 def test_crlf_and_trailing_newline(tmp_path):
     p = str(tmp_path / "crlf.csv")
     with open(p, "wb") as f:
