@@ -28,8 +28,15 @@ def get_hidden_layer_sizes(start_size: int, end_size: int,
 
 
 def build_autoencoder(config: Config) -> AutoEncoder:
-    """model_builder.py:6-43 `ae_wrapper` equivalent."""
+    """model_builder.py:6-43 `ae_wrapper` equivalent.  `config.input_size`
+    defaults to None on the dataclass; resolve it from the sensor table
+    (get_input_size) instead of crashing on an unpacking TypeError when a
+    caller skips the cfg.replace(input_size=...) step."""
     input_size = config.input_size
+    if input_size is None:
+        from icra2021_multimodal_ad_tpu.config import get_input_size
+
+        input_size = get_input_size(config)
     if not isinstance(input_size, int):
         c, h, w = input_size
         input_size = c * h * w

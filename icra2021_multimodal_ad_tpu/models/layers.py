@@ -98,6 +98,17 @@ def fc_layer_apply(
         # over all leading axes, exactly like torch's view(-1, C) reshape.
         reduce_axes = tuple(range(y.ndim - 1))
         if train:
+            # torch.nn.BatchNorm1d (the bit-for-fp32 oracle) raises
+            # 'Expected more than 1 value per channel' here; a silent 1-row
+            # train batch would normalize by var=0 and drag the running
+            # stats toward garbage every epoch (pick a batch_size whose
+            # tail is never exactly 1 row)
+            if y.size // y.shape[-1] <= 1:
+                raise ValueError(
+                    "train-mode BatchNorm needs >1 row per channel "
+                    f"(got batch shape {y.shape}) — torch parity; adjust "
+                    "batch_size so no 1-row tail batch occurs"
+                )
             batch_mean = jnp.mean(y, axis=reduce_axes)
             batch_var = jnp.var(y, axis=reduce_axes)  # biased, used to normalize
             n = y.size // y.shape[-1]

@@ -77,44 +77,37 @@ def get_diffs(
     on the *sharded* side and sliced off the outputs; eval-mode BN has no
     cross-row coupling, so padding cannot perturb real rows.
     """
+    from icra2021_multimodal_ad_tpu.parallel.mesh import pad_to_multiple
+
     x = jnp.asarray(x)
     x = x.reshape(x.shape[0], -1)
     n = x.shape[0]
 
     if mesh is not None:
-        from icra2021_multimodal_ad_tpu.parallel.mesh import (
-            pad_to_multiple,
-            shard_batch,
-        )
+        from icra2021_multimodal_ad_tpu.parallel.mesh import shard_batch
 
+        place = lambda piece: shard_batch(mesh, piece)  # noqa: E731
         n_dev = mesh.devices.size
         if batch_size is None or batch_size >= n:
             xp, pad = pad_to_multiple(x, n_dev)
-            out = diffs_batch(model, params, state, shard_batch(mesh, xp))
+            out = diffs_batch(model, params, state, place(xp))
             return [o[:n] for o in out] if pad else list(out)
-        # chunked: round the chunk up to a divisible size, pad the tail
+        # chunked: round the chunk up to a divisible size
         chunk = batch_size + ((-batch_size) % n_dev)
-        parts = []
-        for start in range(0, n, chunk):
-            piece = x[start : start + chunk]
-            piece, pad = pad_to_multiple(piece, chunk)
-            out = diffs_batch(model, params, state, shard_batch(mesh, piece))
-            if pad:
-                out = tuple(o[: chunk - pad] for o in out)
-            parts.append(out)
-        return [jnp.concatenate(ps, axis=0) for ps in zip(*parts)]
+    else:
+        place = lambda piece: piece  # noqa: E731
+        if batch_size is None or batch_size >= n:
+            return [jnp.asarray(d)
+                    for d in diffs_batch(model, params, state, x)]
+        chunk = batch_size
 
-    if batch_size is None or batch_size >= n:
-        return [jnp.asarray(d) for d in diffs_batch(model, params, state, x)]
-
-    chunks = []
-    for start in range(0, n, batch_size):
-        piece = x[start : start + batch_size]
-        pad = batch_size - piece.shape[0]
+    # ONE chunk loop for both paths (compile-shape invariant: every chunk
+    # is padded to the same static size, the pad rows sliced off after)
+    parts = []
+    for start in range(0, n, chunk):
+        piece, pad = pad_to_multiple(x[start : start + chunk], chunk)
+        out = diffs_batch(model, params, state, place(piece))
         if pad:
-            piece = jnp.pad(piece, ((0, pad), (0, 0)))
-        out = diffs_batch(model, params, state, piece)
-        if pad:
-            out = tuple(o[:-pad] for o in out)
-        chunks.append(out)
-    return [jnp.concatenate(parts, axis=0) for parts in zip(*chunks)]
+            out = tuple(o[: chunk - pad] for o in out)
+        parts.append(out)
+    return [jnp.concatenate(ps, axis=0) for ps in zip(*parts)]

@@ -103,6 +103,15 @@ def get_recon_loss(valid_diff, test_diff, test_label,
     return _report(valid_score, test_score, test_label, f1_quantiles)
 
 
+def _reject_unknown_kwargs(fn_name: str, unknown: dict) -> None:
+    if unknown:
+        raise TypeError(
+            f"{fn_name}() got unexpected keyword argument(s) "
+            f"{sorted(unknown)} — only the reference's gpu_id is tolerated "
+            f"for signature parity"
+        )
+
+
 # ---------------------------------------------------------------------------
 # SAP
 # ---------------------------------------------------------------------------
@@ -113,11 +122,16 @@ def get_d_loss(train_diffs, valid_diffs, test_diffs, test_label,
                end_layer_index: Optional[int] = None,
                norm_type: int = 2,
                f1_quantiles=(0.90,),
-               **_ignored) -> ScoreReport:
+               gpu_id: int = -1,
+               **unknown) -> ScoreReport:
     """SAP score (utils/metric.py:145-181): mean of squares over concat
-    diffs.  `train_diffs` is accepted for signature parity but unused, as in
-    the reference."""
-    del train_diffs
+    diffs.  Signature-parity notes: `train_diffs` is accepted but unused,
+    `norm_type` is accepted but IGNORED (SAP is always mean-of-squares),
+    and `gpu_id` is tolerated — all exactly as in the reference
+    (metric.py:151-152,171).  Any OTHER unknown kwarg is rejected so typos
+    (e.g. method=) don't silently run the default path."""
+    _reject_unknown_kwargs("get_d_loss", unknown)
+    del train_diffs, gpu_id
     valid_cat = concat_diffs(valid_diffs, start_layer_index, end_layer_index)
     test_cat = concat_diffs(test_diffs, start_layer_index, end_layer_index)
     test_score = np.asarray(mean_square_rows(test_cat))
@@ -190,8 +204,13 @@ def get_d_norm_loss(train_diffs, valid_diffs, test_diffs, test_label,
                     save_stats_path: Optional[str] = None,
                     verbose: bool = False,
                     mesh=None,
-                    **_ignored) -> ScoreReport:
-    """NAP score (utils/metric.py:183-238).  With `mesh`, diffs may be
+                    gpu_id: int = -1,
+                    **unknown) -> ScoreReport:
+    """NAP score (utils/metric.py:183-238).  `gpu_id` is tolerated for
+    reference signature parity (novelty_detection.py:50-60 passes it);
+    other unknown kwargs are rejected — the fit-method knob is
+    `config.nap_fit_method`, and a stray `method=` must not silently run
+    the default.  With `mesh`, diffs may be
     batch-sharded: the fit all-gathers the train diffs before the SVD
     (SURVEY.md §5), and the valid/test matrices are gathered before the
     whitening transform.  Gathering the transform inputs is deliberate:
@@ -202,6 +221,8 @@ def get_d_norm_loss(train_diffs, valid_diffs, test_diffs, test_label,
     compute (three AE forward passes per window in get_diffs) stays
     sharded; callers who want a fully-sharded transform at scale can use
     nap_transform on the sharded cat directly."""
+    _reject_unknown_kwargs("get_d_norm_loss", unknown)
+    del gpu_id
     valid_cat = concat_diffs(valid_diffs, start_layer_index, end_layer_index)
     test_cat = concat_diffs(test_diffs, start_layer_index, end_layer_index)
 
@@ -261,7 +282,11 @@ def nap_effective_stats(stats: NapStats, var_floor_rel: float) -> NapStats:
     fit: floor 1e-6 keeps 99/160 directions, bf16-vs-fp32 score error 4.2%,
     anomaly separation unchanged (1.7e4x both)."""
     var = stats.standardizer.var
-    floor = var_floor_rel * jnp.max(var)
+    # floor relative to the max FINITE variance: already-floored stats carry
+    # +inf sentinels, and a floor of inf*rel would silently zero EVERY score
+    # on a re-floored bundle (idempotency: floor(floor(s)) == floor(s))
+    finite_max = jnp.max(jnp.where(jnp.isfinite(var), var, 0.0))
+    floor = var_floor_rel * finite_max
     var_f = jnp.where(var > floor, var, jnp.inf)
     return NapStats(
         rotater=stats.rotater,

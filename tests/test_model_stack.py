@@ -35,6 +35,36 @@ def _copy_linear_to_params(lin: nn.Linear, params: dict) -> dict:
     return params
 
 
+def test_builder_resolves_default_input_size():
+    """build_autoencoder on a bare Config (input_size None, the dataclass
+    default) resolves the sensor table instead of an opaque unpack crash."""
+    from icra2021_multimodal_ad_tpu.config import Config
+    from icra2021_multimodal_ad_tpu.models.builder import build_autoencoder
+
+    model = build_autoencoder(Config(sensor="force_torque", n_layers=2,
+                                     btl_size=4))
+    assert model.encoder.layers[0].in_size == 64  # force_torque input
+
+
+def test_train_bn_rejects_single_row_batch():
+    """torch.nn.BatchNorm1d raises on 1-row train batches; silently
+    normalizing by var=0 would pollute running stats every epoch."""
+    import pytest
+
+    from icra2021_multimodal_ad_tpu.models.layers import (
+        FCLayerSpec,
+        fc_layer_apply,
+        fc_layer_init,
+    )
+
+    spec = FCLayerSpec(4, 3, act="leakyrelu", bn=True, dropout_p=0.0)
+    params, state = fc_layer_init(jax.random.PRNGKey(0), spec)
+    with pytest.raises(ValueError, match=">1 row"):
+        fc_layer_apply(spec, params, state, jnp.ones((1, 4)), train=True)
+    # eval mode is fine with one row
+    fc_layer_apply(spec, params, state, jnp.ones((1, 4)), train=False)
+
+
 def test_hidden_layer_sizes_match_reference_formula():
     # canonical config: 1728 -> [1402, 1076, 751, 425] -> 100
     assert get_hidden_layer_sizes(1728, 100, 4) == [1402, 1076, 751, 425]

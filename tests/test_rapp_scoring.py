@@ -131,6 +131,51 @@ def test_layer_range_slicing(setup):
     )
 
 
+def test_nap_effective_stats_idempotent(setup):
+    """Re-flooring already-floored stats must be a no-op — the +inf
+    variance sentinels previously made floor=inf, silently collapsing
+    every score on a rebuilt serving bundle to 0.0."""
+    from icra2021_multimodal_ad_tpu.ops.scoring import (
+        nap_effective_stats,
+        nap_fit,
+        nap_score_device,
+    )
+
+    rng = np.random.default_rng(0)
+    # degenerate fit (rows < dims) so the floor actually zeroes directions
+    cat = jnp.asarray(rng.normal(size=(20, 64)), jnp.float32)
+    stats = nap_fit(cat)
+    once = nap_effective_stats(stats, 1e-6)
+    twice = nap_effective_stats(once, 1e-6)
+    np.testing.assert_array_equal(np.asarray(once.standardizer.var),
+                                  np.asarray(twice.standardizer.var))
+    s1 = np.asarray(nap_score_device(once, cat))
+    s2 = np.asarray(nap_score_device(twice, cat))
+    np.testing.assert_array_equal(s1, s2)
+    assert np.any(s1 != 0.0)
+
+
+def test_scoring_rejects_unknown_kwargs_but_tolerates_gpu_id(setup):
+    """The reference passes gpu_id (tolerated); any other stray kwarg —
+    e.g. method= instead of config.nap_fit_method — must raise instead of
+    silently running the default path."""
+    import pytest
+
+    from icra2021_multimodal_ad_tpu.ops.scoring import (
+        get_d_loss,
+        get_d_norm_loss,
+    )
+
+    diffs = tuple(jnp.asarray(np.random.default_rng(1).normal(size=(12, d)),
+                              jnp.float32) for d in (6, 4))
+    label = np.random.default_rng(2).integers(0, 2, 12).astype(bool)
+    get_d_loss(diffs, diffs, diffs, label, gpu_id=0)  # parity: tolerated
+    with pytest.raises(TypeError, match="method"):
+        get_d_norm_loss(diffs, diffs, diffs, label, method="gram")
+    with pytest.raises(TypeError, match="start_layer"):
+        get_d_loss(diffs, diffs, diffs, label, start_layer=1)
+
+
 def test_nap_stats_roundtrip(tmp_path, setup):
     cfg, model, params, state, x = setup
     diffs = get_diffs(x, model, params, state)
