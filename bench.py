@@ -57,6 +57,23 @@ def main():
 
     enable_persistent_cache()  # timing differences compiles out; wall time
     # of the bench itself drops a lot on repeat runs over the tunnel
+
+    # Progressive emission: the tunnel has pathological phases (a trivial
+    # jit measured at 225 s) where a wall-clock-budgeted bench gets killed
+    # mid-run.  Each completed section re-prints the accumulated JSON line
+    # (flushed), so the LAST line a killed run leaves behind still carries
+    # every number measured so far, marked "partial": true; the final print
+    # drops the marker.
+    res = {
+        "metric": "fused_inference_windows_per_sec",
+        "unit": "windows/s/chip",
+        "timing": "on-device fori_loop, compile-excluded, result-fetched",
+        "partial": True,
+    }
+
+    def emit():
+        print(json.dumps(res), flush=True)
+
     cfg = Config(sensor="All", n_layers=5, btl_size=100, verbose=0, seed=0)
     cfg = cfg.replace(input_size=get_input_size(cfg))
     model, params, state = get_model(cfg)
@@ -124,6 +141,16 @@ def main():
         except Exception as e:  # noqa: BLE001 — reason is recorded
             fp32_error = f"batch {b32}: {type(e).__name__}: {e}"[:300]
     headline = tput16 if rel < 5e-2 else (tput32 or tput16)
+    res.update({
+        "value": round(headline, 1),
+        "vs_baseline": round(headline / BASELINE_WINDOWS_PER_SEC, 3),
+        "fp32_windows_per_sec": round(tput32, 1) if tput32 else None,
+        "bf16_windows_per_sec": round(tput16, 1),
+        "bf16_score_rel_err": round(rel, 5),
+        "batch": B,
+        "device": str(jax.devices()[0]),
+    })
+    emit()
 
     # -- throughput: RaPP diffs + NAP scoring (offline eval hot path) ------
     x_all = fuse(fusion_params, sensor="All", **raw)
@@ -151,6 +178,8 @@ def main():
         nap_tput = Bn / t_nap
     except Exception as e:  # noqa: BLE001 — reason is recorded
         nap_error = f"{type(e).__name__}: {e}"[:300]
+    res["rapp_nap_windows_per_sec"] = round(nap_tput, 1) if nap_tput else None
+    emit()
 
     # -- throughput: bf16 serving NAP (mixed-precision diff extraction +
     # bf16 whitening matmul against floored stats — ops/serving.py
@@ -199,6 +228,9 @@ def main():
         s16n = _retry(lambda: _score16(small16))
         nap16_rel = float(jnp.mean(jnp.abs(s16n - s32n)
                                    / (jnp.abs(s32n) + 1e-6)))
+        res["rapp_nap_bf16_windows_per_sec"] = round(nap16_tput, 1)
+        res["nap_bf16_score_rel_err"] = round(nap16_rel, 5)
+        emit()
     except Exception as e:  # noqa: BLE001 — reason is recorded
         nap16_error = f"{type(e).__name__}: {e}"[:300]
 
@@ -234,6 +266,8 @@ def main():
         t0 = time.perf_counter(); float(train_loop(params, state, opt_state, 6))
         t6 = time.perf_counter() - t0
         train_tput = Bt / max((t6 - t1) / 5, 1e-9)
+        res["train_windows_per_sec"] = round(train_tput, 1)
+        emit()
     except Exception as e:  # noqa: BLE001 — reason is recorded
         train_error = f"{type(e).__name__}: {e}"[:300]
 
@@ -287,6 +321,8 @@ def main():
                 f"(t1={t1:.2f}s, t{span + 1}={tn:.2f}s)"
             )
         trainer_tput = (span * n_rows) / (tn - t1)
+        res["trainer_path_windows_per_sec"] = round(trainer_tput, 1)
+        emit()
     except Exception as e:  # noqa: BLE001 — reason is recorded
         trainer_error = f"{type(e).__name__}: {e}"[:300]
 
@@ -318,15 +354,10 @@ def main():
     except Exception as e:  # noqa: BLE001 — reason is recorded
         build_error = f"{type(e).__name__}: {e}"[:300]
 
-    out = {
-        "metric": "fused_inference_windows_per_sec",
-        "value": round(headline, 1),
-        "unit": "windows/s/chip",
-        "vs_baseline": round(headline / BASELINE_WINDOWS_PER_SEC, 3),
-        "fp32_windows_per_sec": round(tput32, 1) if tput32 else None,
-        "bf16_windows_per_sec": round(tput16, 1),
-        "bf16_score_rel_err": round(rel, 5),
-        "rapp_nap_windows_per_sec": round(nap_tput, 1) if nap_tput else None,
+    # final line: every field filled (None for failed sections, with
+    # reasons), the "partial" marker dropped
+    res.pop("partial", None)
+    res.update({
         "rapp_nap_bf16_windows_per_sec":
             round(nap16_tput, 1) if nap16_tput else None,
         "nap_bf16_score_rel_err":
@@ -336,10 +367,7 @@ def main():
             round(trainer_tput, 1) if trainer_tput else None,
         "dataset_build_rows_per_sec":
             round(build_rows_per_sec, 1) if build_rows_per_sec else None,
-        "batch": B,
-        "device": str(jax.devices()[0]),
-        "timing": "on-device fori_loop, compile-excluded, result-fetched",
-    }
+    })
     errors = {
         k: v for k, v in {
             "fp32_error": fp32_error, "nap_error": nap_error,
@@ -349,8 +377,8 @@ def main():
         }.items() if v
     }
     if errors:
-        out["section_errors"] = errors
-    print(json.dumps(out))
+        res["section_errors"] = errors
+    emit()
 
 
 if __name__ == "__main__":
