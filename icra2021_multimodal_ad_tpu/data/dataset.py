@@ -41,7 +41,6 @@ from icra2021_multimodal_ad_tpu.ops.image import (
 
 MFCC_COLS = [f"mfcc{i:02d}" for i in range(13)]
 LIDAR_COLS = [f"LiDAR{i:03d}" for i in range(963)]
-DROP_COLS = ["data_dir", "now_timegap", "label", "id"]
 
 
 LIGHT_COLS = MFCC_COLS + [
@@ -51,15 +50,21 @@ LIGHT_COLS = MFCC_COLS + [
 
 def _shard_paths(config: Config):
     paths = []
-    if config.file_name != "data_sum":
+    # the registry writes file_name WITH the extension ('data_sum.csv',
+    # data_config.json hsr_objectdrop) while the CLI default is the bare
+    # stem — normalize so both resolve to data_sum{N}.csv
+    file_name = config.file_name
+    if file_name.endswith(".csv"):
+        file_name = file_name[: -len(".csv")]
+    if file_name != "data_sum":
         paths.append(
-            os.path.join(config.data_folder_name, config.file_name + "0.csv")
+            os.path.join(config.data_folder_name, file_name + "0.csv")
         )
     else:
         i = 0
         while True:
             path = os.path.join(
-                config.data_folder_name, f"{config.file_name}{i}.csv"
+                config.data_folder_name, f"{file_name}{i}.csv"
             )
             if not os.path.exists(path) or i > 7:
                 break
@@ -67,7 +72,7 @@ def _shard_paths(config: Config):
             i += 1
     if not paths or not os.path.exists(paths[0]):
         raise FileNotFoundError(
-            f"no {config.file_name}*.csv shards under {config.data_folder_name}"
+            f"no {file_name}*.csv shards under {config.data_folder_name}"
         )
     return paths
 
@@ -269,7 +274,9 @@ class TabularDatasetManager:
         if ratios:
             assert abs(sum(ratios) - 1) < 1e-9
             if len(ratios) == 1:
-                return indexes
+                # list-of-lists like every other branch — a flat return
+                # would make get_loaders build one loader PER INDEX
+                return [indexes]
             cuts = (np.cumsum(ratios)[:-1] * len(indexes)).astype(int)
             return [list(part) for part in np.split(np.asarray(indexes), cuts)]
         return [indexes]
@@ -296,8 +303,18 @@ class TabularDatasetManager:
 def get_balance(seen_index_list, unseen_index_list, novelty_ratio: float = 0.5,
                 seed: int = 0):
     """Novelty-ratio rebalancing of the test split
-    (data_loaders.py:31-48), with seeded subsampling."""
+    (data_loaders.py:31-48), with seeded subsampling.
+
+    Degenerate inputs return unchanged rather than emptying the split:
+    with one side empty there is nothing to balance toward (the reference
+    silently produced an empty test set / ZeroDivisionError there), and
+    novelty_ratio >= 1 is rejected (the formula divides by 1 - ratio)."""
     if novelty_ratio <= 0.0:
+        return seen_index_list, unseen_index_list
+    if novelty_ratio >= 1.0:
+        raise ValueError("novelty_ratio must be < 1 (the rebalance keeps "
+                         "at least some normal rows)")
+    if not seen_index_list or not unseen_index_list:
         return seen_index_list, unseen_index_list
     rng = np.random.default_rng(seed)
     n_seen, n_unseen = len(seen_index_list), len(unseen_index_list)

@@ -45,16 +45,30 @@ def _placeholder_images(data_dirs, ids, shape) -> np.ndarray:
 
 
 def _images_or_placeholder(config, df, ids, subdir, shape):
+    """Real PNGs where present, deterministic placeholders where not —
+    decided PER ROW (a first-row-only probe would either crash on a later
+    missing frame or silently placeholder everything)."""
     data_dirs = df["data_dir"].to_numpy()
-    first = os.path.join(
-        config.data_folder_name, "data", str(data_dirs[0]), "data", "img",
-        subdir, f"{int(ids[0])}.png",
-    )
-    if os.path.exists(first):
+    paths = [
+        os.path.join(config.data_folder_name, "data", str(d), "data", "img",
+                     subdir, f"{int(i)}.png")
+        for d, i in zip(data_dirs, ids)
+    ]
+    present = np.asarray([os.path.exists(p) for p in paths])
+    if present.all():
         return _load_images(config.data_folder_name, data_dirs, ids, subdir)
-    print(f"fixture: {subdir} images not found under "
-          f"{config.data_folder_name}; using deterministic placeholders")
-    return _placeholder_images(data_dirs, ids, shape)
+    out = _placeholder_images(data_dirs, ids, shape)
+    if present.any():
+        real = _load_images(config.data_folder_name, data_dirs[present],
+                            np.asarray(ids)[present], subdir)
+        out[present] = real.reshape((present.sum(),) + out.shape[1:])
+        print(f"fixture: {int((~present).sum())}/{len(paths)} {subdir} "
+              f"images missing under {config.data_folder_name}; "
+              f"placeholders substituted for those rows")
+    else:
+        print(f"fixture: {subdir} images not found under "
+              f"{config.data_folder_name}; using deterministic placeholders")
+    return out
 
 
 def fixture_to_features(df: pd.DataFrame, config: Config,
@@ -90,4 +104,9 @@ def fixture_to_features(df: pd.DataFrame, config: Config,
             jnp.asarray(df[MFCC_COLS].to_numpy(), dtype=jnp.float32)
         )
         kw["m"] = m[:, None, :]
+    if sensor == "LiDAR":
+        from icra2021_multimodal_ad_tpu.data.dataset import LIDAR_COLS
+
+        lidar = df[LIDAR_COLS].to_numpy().astype(np.float32)
+        kw["l"] = norm_minmax_per_column(jnp.asarray(lidar))[:, None, :]
     return fuse(fusion_params, sensor=sensor, **kw)

@@ -41,8 +41,9 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 def main():
     os.makedirs(OUT, exist_ok=True)
     tmp = os.path.join(OUT, "_raw")
-    generate_data_sum_shards(tmp, n_episodes=8, steps_per_episode=30,
-                             n_shards=2, seed=7, write_images=False)
+    shard_paths = generate_data_sum_shards(
+        tmp, n_episodes=8, steps_per_episode=30,
+        n_shards=2, seed=7, write_images=False)
 
     cfg = Config(
         sensor="All", data_folder_name=tmp, slicing_size=240, batch_size=48,
@@ -55,8 +56,7 @@ def main():
     # features via the fixture path (placeholder images), so the golden test
     # replays the exact same pipeline
     df_all = pd.concat(
-        [pd.read_csv(os.path.join(tmp, f"data_sum{i}.csv")) for i in range(2)],
-        ignore_index=True,
+        [pd.read_csv(p) for p in shard_paths], ignore_index=True,
     )
     x = fixture_to_features(df_all, cfg)
     y = df_all["label"].to_numpy()
@@ -68,7 +68,12 @@ def main():
     train_diffs = get_diffs(x[normal[:150]], model, res.params, res.state)
     stats = nap_fit(concat_diffs(train_diffs))
 
-    # fixture rows: 10 windows, mixed normal/drop, like caltime_test.csv
+    # fixture rows: 10 windows, mixed normal/drop, like caltime_test.csv.
+    # NOTE on normalization: fixture_to_features min-max-normalizes over the
+    # 10 fixture rows only — exactly what the reference's FullTest did to
+    # caltime_test.csv (its local get_loaders normalized the 10-row batch,
+    # FullTest.py:144-203), so the golden scores pin the same per-batch
+    # normalization quirk rather than the 240-row training scaling.
     idx = list(np.where(y == 0)[0][:6]) + list(np.where(y == 1)[0][:4])
     fixture_df = df_all.iloc[idx].reset_index(drop=True)
     fx = fixture_to_features(fixture_df, cfg)

@@ -191,6 +191,43 @@ def test_novelty_ratio_rebalance_matches_reference_semantics():
     assert get_balance(seen, unseen, 0.0) == (seen, unseen)
 
 
+def test_registry_file_name_with_extension_resolves(data_root):
+    """The registry writes file_name='data_sum.csv' (data_config.json);
+    the shard resolver must not build 'data_sum.csv0.csv'."""
+    from icra2021_multimodal_ad_tpu.data.dataset import _shard_paths
+
+    cfg = Config(sensor="force_torque", data_folder_name=data_root,
+                 file_name="data_sum.csv")
+    paths = _shard_paths(cfg)
+    assert paths and all(p.endswith(".csv") for p in paths)
+    assert not any(".csv0.csv" in p for p in paths)
+
+
+def test_single_ratio_loaders_and_balance_guards(data_root):
+    """ratios=[1.0] yields ONE loader over everything (FullTest.py:179
+    semantics), and get_balance degenerate inputs don't empty the split."""
+    import pytest
+
+    from icra2021_multimodal_ad_tpu.data.dataset import (
+        TabularDatasetManager,
+        get_balance,
+    )
+
+    cfg = Config(sensor="force_torque", data_folder_name=data_root,
+                 slicing_size=100, seed=0)
+    cfg = cfg.replace(input_size=get_input_size(cfg))
+    mgr = TabularDatasetManager(cfg)
+    loaders = mgr.get_loaders(batch_size=32, ratios=[1.0])
+    assert len(loaders) == 1
+    x, y = mgr.get_transformed_data(loaders[0])
+    assert len(x) == mgr.total_size
+
+    assert get_balance([], [1, 2], 0.5) == ([], [1, 2])
+    assert get_balance([1, 2], [], 0.5) == ([1, 2], [])
+    with pytest.raises(ValueError, match="novelty_ratio"):
+        get_balance([1], [2], 1.0)
+
+
 def test_unimodal_normal_inverts_labels():
     """--unimodal_normal flips the positive class (novelty_detection.py:
     31-34: the target class becomes the NORMAL side)."""

@@ -17,6 +17,67 @@ GOLDEN = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))
     not os.path.exists(os.path.join(GOLDEN, "caltime_test.csv")),
     reason="golden fixture not generated",
 )
+def test_fixture_features_cover_lidar_sensor():
+    """sensor='LiDAR' fixtures must build (the LiDAR columns are in the
+    data_sum schema; the missing branch previously crashed inside fuse)."""
+    import pandas as pd
+
+    from icra2021_multimodal_ad_tpu.config import Config, get_input_size
+    from icra2021_multimodal_ad_tpu.data.fixture import fixture_to_features
+    from icra2021_multimodal_ad_tpu.data.synthetic import (
+        generate_data_sum_shards,
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as root:
+        paths = generate_data_sum_shards(root, n_episodes=2,
+                                         steps_per_episode=10, n_shards=1,
+                                         seed=0, write_images=False)
+        df = pd.read_csv(paths[0])
+    cfg = Config(sensor="LiDAR")
+    cfg = cfg.replace(input_size=get_input_size(cfg))
+    x = fixture_to_features(df, cfg)
+    assert x.shape == (len(df), cfg.input_size)
+    assert np.isfinite(np.asarray(x)).all()
+
+
+def test_fixture_mixed_image_presence(tmp_path):
+    """Rows with real PNGs decode; rows without get placeholders — decided
+    per row (first-row-only probing crashed or placeholdered everything)."""
+    import pandas as pd
+    from PIL import Image
+
+    from icra2021_multimodal_ad_tpu.config import Config, get_input_size
+    from icra2021_multimodal_ad_tpu.data.fixture import _images_or_placeholder
+
+    root = tmp_path / "dsroot"
+    img_dir = root / "data" / "ep0" / "data" / "img" / "hand"
+    img_dir.mkdir(parents=True)
+    # only frame 1 exists; frame 2 is missing
+    Image.fromarray(np.full((24, 32, 3), 7, np.uint8)).save(img_dir / "1.png")
+
+    cfg = Config(sensor="All", data_folder_name=str(root))
+    cfg = cfg.replace(input_size=get_input_size(cfg))
+    df = pd.DataFrame({"data_dir": ["ep0", "ep0"]})
+    out = _images_or_placeholder(cfg, df, np.asarray([1, 2]), "hand",
+                                 (24, 32, 3))
+    assert out.shape == (2, 24, 32, 3)
+    np.testing.assert_array_equal(np.asarray(out[0]), 7)  # real frame
+    assert not np.all(np.asarray(out[1]) == 7)            # placeholder
+
+
+def test_dryrun_child_requires_matching_nonce(monkeypatch):
+    """A stale _GRAFT_DRYRUN_CHILD env value must not divert the dryrun
+    into the parent process (the round-1 failure mode)."""
+    import pytest
+
+    import __graft_entry__ as g
+
+    monkeypatch.setenv(g._CHILD_ENV_FLAG, "stale")
+    with pytest.raises(RuntimeError, match="nonce"):
+        g._dryrun_child(2, "expected-token")
+
+
 def test_nap_scores_match_golden_column():
     from icra2021_multimodal_ad_tpu.config import Config, get_input_size
     from icra2021_multimodal_ad_tpu.data.fixture import fixture_to_features
