@@ -79,17 +79,27 @@ class SensorSource:
     (realtime_tester.py:48-49,104-111,169-175); the simulator below
     synthesizes the same payloads."""
 
+    #: MFCC window length in int16 samples (0.1 s at the 44.1 kHz realtime
+    #: rate; the raw interleaved stream is treated as one wave, exactly like
+    #: the reference's frombuffer at data_loaders.py:683)
+    _MIC_WINDOW_SAMPLES = 4410
+
     def __init__(self, batch_size: int):
+        self.batch_size = batch_size
         self.force_q = RingBuffer(batch_size)
         self.hand_q = RingBuffer(batch_size)
         self.depth_q = RingBuffer(batch_size)
         self.mic_q = RingBuffer(batch_size * 3)  # realtime_tester.py:176
 
     def ready(self) -> bool:
-        return (
-            self.force_q.full and self.hand_q.full
-            and self.depth_q.full and len(self.mic_q) >= 1
-        )
+        """All ring buffers hold a full batch — INCLUDING enough audio for
+        batch_size MFCC frames (one chunk is not enough: the fused batch
+        needs batch_size 0.1 s windows, and a short mic queue would produce
+        mismatched modality row counts)."""
+        if not (self.force_q.full and self.hand_q.full and self.depth_q.full):
+            return False
+        n_samples = sum(len(c) // 2 for c in self.mic_q.snapshot())
+        return n_samples >= self._MIC_WINDOW_SAMPLES * (self.batch_size + 1)
 
     def stale_topics(self, timeout_s: float, now: Optional[float] = None):
         """Queues silent for longer than timeout_s (the reference's per-
@@ -139,7 +149,16 @@ class SimulatedSensors(SensorSource):
 def hsr_window_batch(config: Config, fusion_params: FusionParams,
                      force_q, hand_q, depth_q, mic_frames) -> jax.Array:
     """Normalized + fused window batch (HsrDataset, data_loaders.py:714-731).
-    Fixed input ranges: images [0,255], force [0,400], mic global min-max."""
+    Fixed input ranges: images [0,255], force [0,400], mic global min-max.
+    Modality row counts must agree with config.batch_size — a short queue
+    would otherwise crash deep inside the fusion reshape."""
+    counts = {"force": len(force_q), "hand": len(hand_q),
+              "depth": len(depth_q), "mic": len(mic_frames)}
+    if any(c != config.batch_size for c in counts.values()):
+        raise ValueError(
+            f"modality row counts {counts} != batch_size "
+            f"{config.batch_size} — wait for source.ready() before scoring"
+        )
     r = jnp.asarray(np.stack(hand_q), dtype=jnp.float32)
     r = r.transpose(0, 3, 1, 2)  # HWC -> CHW
     d = jnp.asarray(np.stack(depth_q), dtype=jnp.float32)[:, None]
@@ -199,18 +218,14 @@ class StreamingDetector:
         # if the caller swaps self.nap_stats after construction
         self._nap_serving_cache = None
 
-        model_ = model
+        # BASE scoring reuses serving's module-level jitted program (static
+        # model arg -> the jit cache is shared across detector instances;
+        # a per-instance closure would recompile 20-120 s per construction
+        # over the tunnel)
+        from icra2021_multimodal_ad_tpu.ops.serving import _score_fused
 
-        @jax.jit
-        def _base_score(params, state, x):
-            # fp32 takes the exact path; bf16 the fast serving forward
-            from icra2021_multimodal_ad_tpu.ops.serving import _forward
-
-            x_hat = _forward(model_, params, state, x)
-            d = x_hat.astype(jnp.float32) - x.astype(jnp.float32)
-            return jnp.mean(d * d, axis=-1)
-
-        self._base_score = _base_score
+        self._base_score = lambda params, state, x: _score_fused(
+            model, params, state, x)
 
     def _nap_serving(self):
         """The bf16 NAP scorer is the EXACT ServingModel path the deploy
@@ -257,16 +272,18 @@ class StreamingDetector:
         Cold start: ticks are only scored once `source.ready()` — partially
         filled ring buffers would otherwise produce mismatched batch dims
         (the reference spins on its deque lengths before scoring).  The
-        warm-up wait is bounded by connection_timeout_s (default
-        CONNECTION_TIMEOUT_S) and raises SensorTimeout when exceeded."""
+        warm-up wait is bounded by SILENCE, not total fill time: a healthy
+        slow sensor legitimately needs batch_size * its period to fill, so
+        the abort condition is any queue going quiet for longer than
+        connection_timeout_s (default CONNECTION_TIMEOUT_S) — an appending
+        source always fills its ring eventually."""
         from icra2021_multimodal_ad_tpu.data.acquisition import (
             CONNECTION_TIMEOUT_S,
         )
         from icra2021_multimodal_ad_tpu.data.orchestration import SensorTimeout
 
-        warmup_budget = (connection_timeout_s if connection_timeout_s
-                         is not None else CONNECTION_TIMEOUT_S)
-        warmup_start = time.monotonic()
+        warmup_silence_s = (connection_timeout_s if connection_timeout_s
+                            is not None else CONNECTION_TIMEOUT_S)
 
         traces = []
         i = 0
@@ -278,11 +295,9 @@ class StreamingDetector:
                 if dead:
                     raise SensorTimeout.for_topics(dead, connection_timeout_s)
             if not source.ready():
-                if time.monotonic() - warmup_start > warmup_budget:
-                    raise SensorTimeout(
-                        "sensor buffers never filled within %.1f s — please "
-                        "check the sensor connection" % warmup_budget
-                    )
+                dead = source.stale_topics(warmup_silence_s)
+                if dead:
+                    raise SensorTimeout.for_topics(dead, warmup_silence_s)
                 if tick_hook is None:
                     time.sleep(0.01)  # live source: poll, don't spin
                 continue
@@ -299,9 +314,15 @@ class StreamingDetector:
             if on_tick is not None:
                 on_tick(i, scores)
             i += 1
+        if not traces:
+            return np.empty((0, 0))
         return np.stack(traces)
 
     def latency_stats(self) -> dict:
+        if not self.latencies_s:  # no tick scored (e.g. warm-up abort) —
+            # don't mask the real error with an IndexError from percentile
+            return {"p50_ms": float("nan"), "p95_ms": float("nan"),
+                    "mean_ms": float("nan"), "ticks": 0}
         lat = np.asarray(self.latencies_s[1:] or self.latencies_s)
         return {
             "p50_ms": float(np.percentile(lat, 50) * 1e3),

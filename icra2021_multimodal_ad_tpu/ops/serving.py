@@ -137,8 +137,32 @@ class ServingModel(NamedTuple):
 
     def score_nap_windows(self, x: jax.Array) -> jax.Array:
         """Full NAP path on fused windows: diff extraction + whitened score,
-        end to end at the serving precision (the streaming NAP hot path)."""
-        return self.score_nap(self.nap_diffs(x))
+        end to end at the serving precision (the streaming NAP hot path).
+
+        Mesh serving keeps the padded sharded concat-diff matrix on device
+        between the two stages and slices the scores once — routing through
+        nap_diffs + score_nap would slice, re-pad, and re-shard the full
+        (B, K) matrix per call."""
+        if self.mesh is None:
+            return self.score_nap(self.nap_diffs(x))
+        if self.nap_stats is None:
+            raise ValueError("score_nap_windows needs nap_stats")
+        from icra2021_multimodal_ad_tpu.ops.rapp import diffs_batch
+
+        if self.compute_dtype == jnp.float32:
+            xp, n = self._shard(x.astype(jnp.float32))
+            d = diffs_batch(self.model, self.params, self.state, xp)
+        else:
+            xp, n = self._shard(x.astype(self.compute_dtype))
+            d = serving_diffs_batch(self.model, self.params, self.state, xp)
+        cat = jnp.concatenate(d, axis=-1).astype(self.compute_dtype)
+        offset, inv_std = (self.nap_pre if self.nap_pre is not None
+                           else nap_precompute(self.nap_stats))
+        v = (self.nap_v if self.nap_v is not None
+             else self.nap_stats.rotater.v.astype(self.compute_dtype))
+        prec = (jax.lax.Precision.HIGHEST
+                if self.compute_dtype == jnp.float32 else None)
+        return _nap_score_xla(v, offset, inv_std, cat, prec)[:n]
 
     def score_sap_windows(self, x: jax.Array) -> jax.Array:
         """SAP score (mean square over concat diffs, utils/metric.py:145-181
@@ -402,8 +426,13 @@ def export_base_scorer(serving: ServingModel, batch_size: int,
     dtype = serving.compute_dtype
 
     def fn(x):
-        x_hat = _forward(model, params, state, x.astype(dtype))
-        d = x_hat.astype(jnp.float32) - x.astype(jnp.float32)
+        # diff against the DTYPE-ROUNDED input, exactly like the live
+        # score_fused path the accuracy guard certifies — diffing against
+        # the unrounded fp32 x would make the artifact's scores drift from
+        # the guarded ones as |x_hat - x| approaches the rounding magnitude
+        x_c = x.astype(dtype)
+        x_hat = _forward(model, params, state, x_c)
+        d = x_hat.astype(jnp.float32) - x_c.astype(jnp.float32)
         return jnp.mean(d * d, axis=-1)
 
     exp = jexport.export(jax.jit(fn))(

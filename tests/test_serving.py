@@ -335,6 +335,16 @@ def test_exported_scorer_roundtrip(tmp_path):
         rtol=1e-6,
     )
 
+    # bf16 artifact must reproduce the guard-certified live path (diff
+    # against the dtype-ROUNDED input, like score_fused)
+    serving16 = make_serving(cfg.replace(compute_dtype="bfloat16"),
+                             model, params, state)
+    scorer16 = load_scorer(export_base_scorer(serving16, 32, 1728))
+    np.testing.assert_allclose(
+        np.asarray(scorer16(x)), np.asarray(serving16.score_fused(x)),
+        rtol=1e-5,
+    )
+
     cat = jnp.asarray(
         np.random.default_rng(6).normal(size=(256, 128)), jnp.float32
     )

@@ -151,6 +151,56 @@ def test_run_raises_when_buffers_never_fill():
     src = SimulatedSensors(batch_size=10, seed=5)  # never filled
     with pytest.raises(SensorTimeout):
         det.run(src, n_ticks=1, connection_timeout_s=0.05)
+    # no tick was scored — stats must report that, not crash on an empty
+    # percentile (the real error would otherwise be masked)
+    assert det.latency_stats()["ticks"] == 0
+
+
+def test_warmup_tolerates_healthy_slow_fill():
+    """A source that keeps APPENDING but needs many periods to fill must
+    not be aborted by the warm-up (the abort condition is silence, not
+    total fill time)."""
+    cfg = _cfg()
+    model, params, state = get_model(cfg)
+    det = StreamingDetector(cfg, model, params, state,
+                            fusion_init(jax.random.PRNGKey(1)))
+    src = SimulatedSensors(batch_size=10, seed=6)  # cold
+    trace = det.run(src, n_ticks=2, connection_timeout_s=0.5,
+                    tick_hook=lambda i: src.tick())
+    assert trace.shape == (2, 10)
+
+
+def test_ready_requires_enough_audio_for_batch():
+    """Full image/force rings with a nearly-empty mic queue are NOT ready:
+    fewer than batch_size MFCC frames would produce mismatched modality
+    rows (the crash the gate exists to prevent)."""
+    from icra2021_multimodal_ad_tpu.data.streaming import SensorSource
+
+    src = SensorSource(batch_size=4)
+    rng = np.random.default_rng(0)
+    for _ in range(4):
+        src.force_q.append(210.0)
+        src.hand_q.append(np.zeros((32, 32, 3), np.uint8))
+        src.depth_q.append(np.zeros((32, 32), np.float32))
+    src.mic_q.append(rng.integers(-10, 10, 2048, dtype=np.int16).tobytes())
+    assert not src.ready()  # one chunk != 4 windows of audio
+    need = src._MIC_WINDOW_SAMPLES * 5  # (batch+1) windows, int16 samples
+    src.mic_q.append(np.zeros(need, dtype=np.int16).tobytes())
+    assert src.ready()
+
+
+def test_window_batch_rejects_mismatched_rows():
+    from icra2021_multimodal_ad_tpu.data.streaming import hsr_window_batch
+
+    cfg = _cfg()
+    with pytest.raises(ValueError, match="row counts"):
+        hsr_window_batch(
+            cfg, fusion_init(jax.random.PRNGKey(0)),
+            [1.0] * 10,
+            [np.zeros((32, 32, 3))] * 10,
+            [np.zeros((32, 32))] * 10,
+            np.zeros((3, 13)),  # mic short
+        )
 
 
 def test_streaming_nap_path():
