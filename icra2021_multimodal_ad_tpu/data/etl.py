@@ -126,9 +126,21 @@ def process_episode(ep_dir: str, data_dir_item: str,
                  & (grid <= drop_start + DROP_DURATION)).astype(int)
 
     # MFCC over the same 0.1 s grid (concatdata_maker.py:171-174): one frame
-    # per grid step, taken from the episode wav.
+    # per grid step, taken from the episode wav.  Computed on the CPU
+    # backend when one exists: the GEMMs are tiny (seconds of audio), but
+    # the program jit-specializes on the wav LENGTH — every episode differs
+    # by at least a sample, and one 20-120 s tunnel compile per episode
+    # would dominate a reference-scale ETL run.  CPU compiles are <1 s, so
+    # per-length specialization is harmless there; numerics are identical.
     y = load_wav_mono_22050(os.path.join(ep_dir, "sound", "output.wav"))
-    mfcc = mfcc_from_wave(y, sr=22050)
+    try:
+        import jax
+
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            mfcc = mfcc_from_wave(y, sr=22050)
+    except RuntimeError:  # no cpu backend registered: use the default
+        mfcc = mfcc_from_wave(y, sr=22050)
     mfcc = mfcc[: len(grid)]
     if len(mfcc) < len(grid):  # wav shorter than grid: pad with last frame
         pad = np.repeat(mfcc[-1:], len(grid) - len(mfcc), axis=0)

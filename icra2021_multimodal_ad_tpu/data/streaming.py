@@ -159,9 +159,18 @@ def hsr_window_batch(config: Config, fusion_params: FusionParams,
             f"modality row counts {counts} != batch_size "
             f"{config.batch_size} — wait for source.ready() before scoring"
         )
+    from icra2021_multimodal_ad_tpu.ops.image import resize_bilinear
+
     r = jnp.asarray(np.stack(hand_q), dtype=jnp.float32)
     r = r.transpose(0, 3, 1, 2)  # HWC -> CHW
+    if r.shape[-2:] != (32, 32):
+        # full-resolution camera frames (a real ROS source publishes
+        # 640x480) resize here, like the reference's subscriber-side
+        # cv2.resize (realtime_tester.py:121-130)
+        r = resize_bilinear(r, (32, 32))
     d = jnp.asarray(np.stack(depth_q), dtype=jnp.float32)[:, None]
+    if d.shape[-2:] != (32, 32):
+        d = resize_bilinear(d, (32, 32))
     t = jnp.asarray(np.asarray(force_q, dtype=np.float32))[:, None]
     m = jnp.asarray(mic_frames, dtype=jnp.float32)[:, None, :]
 

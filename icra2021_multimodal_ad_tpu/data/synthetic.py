@@ -60,12 +60,16 @@ def drop_burst_audio(rng: np.random.Generator, duration_s: float, sr: int,
                      drop_t: float | None = None) -> np.ndarray:
     """Stereo int16 audio: N(0, 300) noise floor with a 0.1 s N(0, 8000)
     burst at the drop instant — the audible signature the MFCC path must
-    detect.  Returns an (n, 2) int16 array."""
+    detect.  Returns an (n, 2) int16 array.  A drop instant outside the
+    clip is clamped into it (a negative/oversized index previously crashed
+    on mismatched broadcast shapes or silently wrapped)."""
     n = int(duration_s * sr)
     audio = rng.normal(0, 300, n)
     if drop_t is not None:
-        d0 = int(drop_t * sr)
-        audio[d0: d0 + sr // 10] += rng.normal(0, 8000, min(sr // 10, n - d0))
+        d0 = min(max(int(drop_t * sr), 0), max(n - sr // 10, 0))
+        burst = min(sr // 10, n - d0)
+        if burst > 0:
+            audio[d0: d0 + burst] += rng.normal(0, 8000, burst)
     mono = np.clip(audio, -32768, 32767).astype(np.int16)
     return np.repeat(mono[:, None], 2, axis=1)
 
@@ -157,6 +161,12 @@ def generate_raw_episodes(
 ) -> List[str]:
     """Write raw per-episode capture trees under `<root>/data/<episode>/data/`
     in the robot collector's layout, for driving the ETL end-to-end."""
+    if duration_s < 2.0:
+        raise ValueError(
+            "generate_raw_episodes needs duration_s >= 2.0 (the drop "
+            "window [duration-1, duration-0.5] must fit after the stream "
+            "start bound)"
+        )
     rng = np.random.default_rng(seed)
     episodes = []
     for ep in range(n_episodes):
@@ -172,19 +182,24 @@ def generate_raw_episodes(
         def clock(hz, start):
             return jittered_clock(rng, hz, start, duration_s)
 
-        # depth / hand cameras ~ 10 Hz with frame ids
+        # depth / hand cameras ~ 10 Hz with frame ids; frames after the
+        # drop brighten (the image-channel anomaly signature the module
+        # docstring promises — without it, image-sensor AUROC on this data
+        # would be coin-flip noise; same signature as orchestration's
+        # pick-place driver)
         for sub, stream in (("d", "depth"), ("hand", "hand")):
             t = clock(10, 0.05)
             ids = np.arange(1, len(t) + 1)
             pd.DataFrame(
                 {"time": t, "id": ids, "timegap": t}
             ).to_csv(os.path.join(ep_dir, f"{stream}.csv"))
-            for i in ids:
+            for i, ti in zip(ids, t):
                 h, w = image_hw
                 shape = (h, w, 3) if sub == "hand" else (h, w)
+                bright = 180 if ti >= drop_start else 120
                 _write_png(
                     os.path.join(ep_dir, "img", sub, f"{i}.png"),
-                    np.clip(rng.normal(120, 30, shape), 0, 255),
+                    np.clip(rng.normal(bright, 30, shape), 0, 255),
                 )
 
         # LiDAR ~ 10 Hz, data as a stringified float list

@@ -41,11 +41,22 @@ def convert(x, to=int, delimiter=","):
     return [x]
 
 
+#: marker key of a failed grid point's result row (see _invoke)
+ERROR_KEY = "__error__"
+
+
 def _invoke(f_and_config):
     """Module-level worker shim so ProcessPoolExecutor can pickle the call
-    (closures cannot cross the process boundary — the round-1 sweep bug)."""
+    (closures cannot cross the process boundary — the round-1 sweep bug).
+
+    Per-point failures return an {ERROR_KEY: reason} row instead of
+    raising: one bad grid point must not abort the pool and discard hours
+    of completed runs (pool.map re-raises the first worker exception)."""
     f, config = f_and_config
-    return config, f(config)
+    try:
+        return config, f(config)
+    except Exception as e:  # noqa: BLE001 — reason lands in the result row
+        return config, {ERROR_KEY: f"{type(e).__name__}: {e}"[:300]}
 
 
 def _worker_init(device_ids, counter, env_var):

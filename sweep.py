@@ -91,12 +91,23 @@ def main():
                      seed=args.seed, device_ids=device_ids,
                      ).run(sequential=args.max_workers <= 1)
 
+    from icra2021_multimodal_ad_tpu.utils.repeater import ERROR_KEY
+
     reporter = Reporter()
+    n_failed = 0
     for overrides, result in pairs:
         cfg_row = {k: v for k, v in overrides.items() if k != "progress"}
+        if ERROR_KEY in result:
+            # failed grid point: report it, keep the completed rows
+            n_failed += 1
+            print(f"FAILED {cfg_row}: {result[ERROR_KEY]}", flush=True)
+            continue
         reporter.add(cfg_row, result)
-    reporter.export(args.out)
-    print("wrote", args.out)
+    if reporter.cnt:
+        reporter.export(args.out)
+        print(f"wrote {args.out} ({reporter.cnt} rows, {n_failed} failed)")
+    else:
+        print(f"no grid point succeeded ({n_failed} failed); nothing written")
 
 
 if __name__ == "__main__":

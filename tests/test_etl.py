@@ -18,6 +18,27 @@ def raw_root(tmp_path_factory):
     return root
 
 
+def test_drop_burst_audio_clamps_out_of_range_drops():
+    """Out-of-clip drop instants clamp into the clip instead of crashing
+    on mismatched broadcast shapes or wrapping negatively."""
+    from icra2021_multimodal_ad_tpu.data.synthetic import drop_burst_audio
+
+    rng = np.random.default_rng(0)
+    for drop_t in (-0.5, 0.0, 3.9, 10.0, None):
+        out = drop_burst_audio(np.random.default_rng(0), 4.0, 44100, drop_t)
+        assert out.shape == (4 * 44100, 2) and out.dtype == np.int16
+    # too-short durations are rejected loudly by the episode generator
+    import pytest
+
+    from icra2021_multimodal_ad_tpu.data.synthetic import (
+        generate_raw_episodes,
+    )
+
+    with pytest.raises(ValueError, match="duration_s"):
+        generate_raw_episodes("/tmp/never", duration_s=0.9)
+    del rng
+
+
 def test_align_stream_semantics():
     # sample must fall in [t, t + 0.1]
     timegaps = np.array([0.05, 0.17, 0.33, 0.41, 0.55])

@@ -189,6 +189,25 @@ def test_ready_requires_enough_audio_for_batch():
     assert src.ready()
 
 
+def test_window_batch_resizes_full_resolution_frames():
+    """A real camera pushes full-resolution frames; the loader resizes to
+    32x32 like the reference's subscriber-side cv2.resize
+    (realtime_tester.py:121-130)."""
+    from icra2021_multimodal_ad_tpu.data.streaming import hsr_window_batch
+
+    cfg = _cfg().replace(batch_size=4)
+    rng = np.random.default_rng(0)
+    x = hsr_window_batch(
+        cfg, fusion_init(jax.random.PRNGKey(0)),
+        [210.0] * 4,
+        [rng.uniform(0, 255, (480, 640, 3)) for _ in range(4)],
+        [rng.uniform(0, 255, (480, 640)) for _ in range(4)],
+        rng.normal(size=(4, 13)),
+    )
+    assert x.shape == (4, 1728)
+    assert np.isfinite(np.asarray(x)).all()
+
+
 def test_window_batch_rejects_mismatched_rows():
     from icra2021_multimodal_ad_tpu.data.streaming import hsr_window_batch
 

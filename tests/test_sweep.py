@@ -16,6 +16,25 @@ from icra2021_multimodal_ad_tpu.data.synthetic import generate_data_sum_shards
 from icra2021_multimodal_ad_tpu.utils.repeater import Repeater, expand_grid
 
 
+def test_failing_grid_point_does_not_abort_sweep():
+    """One bad grid point returns an error row; completed points survive
+    (pool.map would otherwise re-raise and discard hours of results)."""
+    from icra2021_multimodal_ad_tpu.utils.repeater import ERROR_KEY, Repeater
+
+    pairs = Repeater({"a": [1, 2, 3]}, _fail_on_two, max_workers=1).run()
+    ok = [(c["a"], r) for c, r in pairs if ERROR_KEY not in r]
+    bad = [(c["a"], r) for c, r in pairs if ERROR_KEY in r]
+    assert sorted(a for a, _ in ok) == [1, 3]
+    assert len(bad) == 1 and bad[0][0] == 2
+    assert "boom" in bad[0][1][ERROR_KEY]
+
+
+def _fail_on_two(config):
+    if config["a"] == 2:
+        raise RuntimeError("boom")
+    return {"v": config["a"]}
+
+
 def test_repeater_sequential_returns_config_result_pairs():
     calls = []
     rep = Repeater({"a": [1, 2], "b": [10]}, len, max_workers=1)
