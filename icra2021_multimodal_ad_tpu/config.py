@@ -16,6 +16,7 @@ import argparse
 import dataclasses
 import json
 import os
+import sys
 from dataclasses import dataclass
 from typing import Any, Optional, Sequence
 
@@ -158,9 +159,14 @@ def get_config(argv: Optional[Sequence[str]] = None, **overrides) -> Config:
         cfg = cfg.replace(**overrides)
     # fixup AFTER overrides so get_config(file_name=...) and the equivalent
     # CLI flag produce the same config — but an EXPLICIT slicing_size
-    # override wins over the downgrade (the fixup exists to correct the
-    # default, not to clobber a deliberate choice)
-    if cfg.file_name != "data_sum" and "slicing_size" not in overrides:
+    # (programmatic override OR a --slicing_size flag actually typed on the
+    # command line) wins over the downgrade: the fixup exists to correct
+    # the default, not to clobber a deliberate choice
+    tokens = list(argv) if argv is not None else sys.argv[1:]
+    cli_explicit = any(t == "--slicing_size" or t.startswith("--slicing_size=")
+                       for t in tokens)
+    if (cfg.file_name != "data_sum" and "slicing_size" not in overrides
+            and not cli_explicit):
         cfg = cfg.replace(slicing_size=7000)
     return cfg
 

@@ -83,13 +83,26 @@ class SensorSource:
     #: rate; the raw interleaved stream is treated as one wave, exactly like
     #: the reference's frombuffer at data_loaders.py:683)
     _MIC_WINDOW_SAMPLES = 4410
+    #: smallest mic chunk a publisher is assumed to push: 1024 frames of
+    #: stereo int16 (the reference's PyAudio publisher,
+    #: hsr_data_setting/microphone_send.py:14-20, and the simulator below)
+    _MIC_MIN_CHUNK_SAMPLES = 2048
 
     def __init__(self, batch_size: int):
         self.batch_size = batch_size
         self.force_q = RingBuffer(batch_size)
         self.hand_q = RingBuffer(batch_size)
         self.depth_q = RingBuffer(batch_size)
-        self.mic_q = RingBuffer(batch_size * 3)  # realtime_tester.py:176
+        # the mic ring must be able to hold enough chunks to satisfy
+        # ready() even when every chunk is the minimum publisher size —
+        # the reference's fixed 3x batch_size (realtime_tester.py:176)
+        # makes readiness structurally impossible for batch_size < 3
+        # (3*b min-size chunks < 4410*(b+1) samples), hanging the warm-up
+        # loop forever; +1 chunk of slack absorbs ring-eviction racing a
+        # concurrent publisher
+        need_chunks = 1 + -(-self._MIC_WINDOW_SAMPLES * (batch_size + 1)
+                            // self._MIC_MIN_CHUNK_SAMPLES)
+        self.mic_q = RingBuffer(max(batch_size * 3, need_chunks))
 
     def ready(self) -> bool:
         """All ring buffers hold a full batch — INCLUDING enough audio for
@@ -285,7 +298,12 @@ class StreamingDetector:
         slow sensor legitimately needs batch_size * its period to fill, so
         the abort condition is any queue going quiet for longer than
         connection_timeout_s (default CONNECTION_TIMEOUT_S) — an appending
-        source always fills its ring eventually."""
+        source always fills its ring eventually.
+
+        tick_hook receives a monotonically increasing invocation counter
+        (one call per index, warm-up iterations included); for a source
+        that is ready from the first tick it equals the scored-tick index
+        that on_tick receives."""
         from icra2021_multimodal_ad_tpu.data.acquisition import (
             CONNECTION_TIMEOUT_S,
         )
@@ -296,9 +314,14 @@ class StreamingDetector:
 
         traces = []
         i = 0
+        hook_i = 0  # counts tick_hook INVOCATIONS (warm-up included), so a
+        # hook that counts or rate-limits by its index argument sees each
+        # index exactly once; once warm-up ends it advances in lockstep with
+        # the scored-tick index, offset by the warm-up length
         while i < n_ticks:
             if tick_hook is not None:
-                tick_hook(i)  # simulator advance / rate limiting
+                tick_hook(hook_i)  # simulator advance / rate limiting
+                hook_i += 1
             if connection_timeout_s is not None:
                 dead = source.stale_topics(connection_timeout_s)
                 if dead:
@@ -307,8 +330,10 @@ class StreamingDetector:
                 dead = source.stale_topics(warmup_silence_s)
                 if dead:
                     raise SensorTimeout.for_topics(dead, warmup_silence_s)
-                if tick_hook is None:
-                    time.sleep(0.01)  # live source: poll, don't spin
+                # poll, don't spin — with a hook too (its work is usually a
+                # cheap simulator advance, and an unpaced loop starves the
+                # single-core host)
+                time.sleep(0.01 if tick_hook is None else 0.001)
                 continue
             start = time.perf_counter()
             x = get_realtime_dataloader(

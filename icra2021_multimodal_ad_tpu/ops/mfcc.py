@@ -152,11 +152,23 @@ def mfcc_from_wave(y, sr: int = SR, window_size: float = 0.1,
 
 def mfcc_from_int16_chunks(chunks, config, length: float,
                            window_size: float = 0.1,
-                           stride: float = 0.1) -> np.ndarray:
+                           stride: float = 0.1,
+                           strict: bool = True) -> np.ndarray:
     """Realtime variant (utils/data_loaders.py:676-701): raw int16 byte
-    chunks -> MFCC, trimmed to the last `batch_size` frames."""
+    chunks -> MFCC, trimmed to the last `batch_size` frames.
+
+    A starved mic queue (fewer than `length` seconds of samples) raises a
+    clear ValueError here instead of surfacing later as an opaque fusion
+    shape error.  strict=False restores the reference's behavior of
+    printing a warning and proceeding (data_loaders.py:688-691) for callers
+    that deliberately score partial audio."""
     y = np.frombuffer(b"".join(chunks), dtype=np.int16).astype(np.float32)
     if len(y) < SR * length:
-        print(f"length of wav file must be over {length} seconds")
+        msg = (f"mic queue holds {len(y) / SR:.3f} s of audio but the "
+               f"window batch needs {length} s ({config.batch_size} frames "
+               f"at {stride} s) — wait for source.ready() before scoring")
+        if strict:
+            raise ValueError(msg)
+        print(msg)
     m = mfcc_from_wave(y, SR, window_size, stride)
     return m[len(m) - config.batch_size :, :]

@@ -113,14 +113,20 @@ def main():
     # the anomaly takes one full ring-buffer turnover (batch_size ticks) to
     # dominate every window of a batch; the post-anomaly mean is only
     # meaningful once the run reaches that point
-    pre = trace[: min(args.anomaly_after, len(trace))].mean()
+    pre_slice = trace[: min(args.anomaly_after, len(trace))]
+    if pre_slice.size == 0:
+        # --anomaly_after 0 (or an empty trace): an empty mean would print
+        # 'nan' with a NumPy RuntimeWarning instead of saying what happened
+        pre_txt = "n/a (no pre-anomaly window)"
+    else:
+        pre_txt = f"{pre_slice.mean():.4f}"
     settled = args.anomaly_after + cfg.batch_size
     if settled < len(trace):
-        print(f"mean score before anomaly: {pre:.4f}  "
+        print(f"mean score before anomaly: {pre_txt}  "
               f"after: {trace[settled:].mean():.4f}")
     else:
         print(f"mean score (no settled anomaly window in {len(trace)} "
-              f"ticks): {pre:.4f}")
+              f"ticks): {pre_txt}")
 
     if live is not None and args.plot_path:
         print("live plot saved:", live.save(args.plot_path))

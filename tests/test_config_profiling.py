@@ -140,6 +140,12 @@ def test_cli_override_matches_flag_for_fixup_fields():
     assert get_config([], file_name="other_sum").slicing_size == 7000
     assert get_config([], file_name="other_sum",
                       slicing_size=240).slicing_size == 240
+    # a --slicing_size actually typed on the command line is just as
+    # explicit as a programmatic override — both survive the downgrade
+    assert get_config(["--slicing_size", "240", "--file_name",
+                       "other_sum"]).slicing_size == 240
+    assert get_config(["--slicing_size=240", "--file_name",
+                       "other_sum"]).slicing_size == 240
 
 
 def test_multihost_init_autodetects_cloud_tpu_pod(monkeypatch):

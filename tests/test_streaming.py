@@ -246,3 +246,76 @@ def test_streaming_nap_path():
     scores = det.score_batch(x, nap=True)
     assert scores.shape == (10,)
     assert np.isfinite(scores).all()
+
+
+def test_small_batch_size_can_become_ready():
+    """For batch_size < 3 the reference-parity 3x-batch mic ring can NEVER
+    hold (batch_size+1) MFCC windows of minimum-size chunks, so ready()
+    was structurally impossible and the warm-up loop hung forever
+    (ADVICE r1, streaming.py:102).  The ring is now sized from the
+    readiness requirement."""
+    from icra2021_multimodal_ad_tpu.data.streaming import SensorSource
+
+    for b in (1, 2):
+        src = SensorSource(batch_size=b)
+        cap = src.mic_q._q.maxlen
+        # capacity must satisfy ready() even with minimum-size chunks
+        assert cap * src._MIC_MIN_CHUNK_SAMPLES >= (
+            src._MIC_WINDOW_SAMPLES * (b + 1)
+        ), f"batch_size={b}: mic ring of {cap} chunks cannot become ready"
+
+
+def test_small_batch_warmup_completes_and_scores():
+    """End-to-end: a batch_size=2 detector warm-up must terminate (it hung
+    before the ring fix) and score real ticks."""
+    cfg = _cfg().replace(batch_size=2)
+    model, params, state = get_model(cfg)
+    det = StreamingDetector(cfg, model, params, state,
+                            fusion_init(jax.random.PRNGKey(0)))
+    src = SimulatedSensors(batch_size=2, seed=8)
+    trace = det.run(src, n_ticks=2, connection_timeout_s=2.0,
+                    tick_hook=lambda i: src.tick())
+    assert trace.shape == (2, 2)
+    assert np.isfinite(trace).all()
+
+
+def test_tick_hook_sees_each_index_exactly_once():
+    """Warm-up iterations must not replay the same hook index: hooks that
+    count or rate-limit by the index argument need one-call-per-index
+    semantics (ADVICE r1, streaming.py:311)."""
+    cfg = _cfg()
+    model, params, state = get_model(cfg)
+    det = StreamingDetector(cfg, model, params, state,
+                            fusion_init(jax.random.PRNGKey(0)))
+    src = SimulatedSensors(batch_size=10, seed=9)  # cold: needs warm-up
+    seen = []
+
+    def hook(i):
+        seen.append(i)
+        src.tick()
+
+    det.run(src, n_ticks=2, connection_timeout_s=2.0, tick_hook=hook)
+    assert seen == list(range(len(seen)))  # strictly sequential, no dups
+    assert len(seen) >= 2  # warm-up iterations included
+
+
+def test_starved_mic_queue_raises_clear_error():
+    """A mic queue holding less audio than the window batch needs must
+    raise a clear ValueError pointing at ready(), not surface later as an
+    opaque fusion shape error (VERDICT r1 item 7)."""
+    from icra2021_multimodal_ad_tpu.ops.mfcc import mfcc_from_int16_chunks
+
+    cfg = _cfg()
+    src = SimulatedSensors(batch_size=10, seed=10)
+    src.tick()  # one tick: ~0.116 s of audio << the 1.0 s the batch needs
+    with pytest.raises(ValueError, match="ready"):
+        get_realtime_dataloader(
+            cfg, fusion_init(jax.random.PRNGKey(0)),
+            src.force_q.snapshot(), src.hand_q.snapshot(),
+            src.depth_q.snapshot(), src.mic_q.snapshot(),
+        )
+    # strict=False restores the reference's print-and-proceed behavior
+    # (utils/data_loaders.py:688-691) for deliberate partial-audio scoring
+    out = mfcc_from_int16_chunks(src.mic_q.snapshot(), cfg, length=1.0,
+                                 strict=False)
+    assert out.shape[1] == 13
