@@ -37,6 +37,37 @@ from icra2021_multimodal_ad_tpu.ops.pallas_kernels import nap_precompute
 BASELINE_WINDOWS_PER_SEC = 100_000.0
 N_ITERS = 20
 
+#: TPU v5e public peak: 197 TFLOP/s bf16 on the MXU.  fp32 matmuls with
+#: precision=HIGHEST run as 6 bf16 passes (bf16x6 emulation), so the
+#: effective fp32-HIGHEST peak is peak/6.  MFU below = achieved FLOP/s
+#: (XLA's own cost analysis of the compiled program x measured windows/s)
+#: over the matching peak.
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_PEAK_FP32_HIGHEST_FLOPS = V5E_PEAK_BF16_FLOPS / 6.0
+
+
+def _flops_of(fn, *args):
+    """FLOPs of the compiled program per XLA's cost analysis (the same
+    numbers `jax.stages.Compiled.cost_analysis` reports); None when the
+    backend doesn't expose them.  Uses the persistent compile cache — the
+    program was already compiled by the timing run."""
+    try:
+        jfn = fn if hasattr(fn, "lower") else jax.jit(fn)
+        comp = jfn.lower(*args).compile()
+        ca = comp.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:  # noqa: BLE001 — cost analysis is best-effort
+        return None
+
+
+def _mfu(windows_per_sec, flops_per_window, peak):
+    if not windows_per_sec or not flops_per_window:
+        return None
+    return round(windows_per_sec * flops_per_window / peak, 4)
+
 
 from icra2021_multimodal_ad_tpu.ops.serving import cast_floats as _cast  # noqa: E402
 from icra2021_multimodal_ad_tpu.utils.profiling import (  # noqa: E402
@@ -141,6 +172,15 @@ def main():
         except Exception as e:  # noqa: BLE001 — reason is recorded
             fp32_error = f"batch {b32}: {type(e).__name__}: {e}"[:300]
     headline = tput16 if rel < 5e-2 else (tput32 or tput16)
+    # roofline instrumentation (VERDICT r1: report achieved FLOP/s + % of
+    # v5e peak, not just windows/s): FLOPs/window from XLA's cost analysis
+    # of the exact compiled scoring program
+    fpw16 = _flops_of(fused_score, fp16, p16, state, raw16)
+    fpw16 = fpw16 / B if fpw16 else None
+    fpw32 = None
+    if tput32:
+        f = _flops_of(fused_score, fusion_params, params, state, raw32)
+        fpw32 = f / len(raw32["t"]) if f else None
     res.update({
         "value": round(headline, 1),
         "vs_baseline": round(headline / BASELINE_WINDOWS_PER_SEC, 3),
@@ -149,6 +189,14 @@ def main():
         "bf16_score_rel_err": round(rel, 5),
         "batch": B,
         "device": str(jax.devices()[0]),
+        "fused_flops_per_window": round(fpw16, 0) if fpw16 else None,
+        "fused_bf16_achieved_tflops":
+            round(tput16 * fpw16 / 1e12, 2) if fpw16 else None,
+        "mfu_fused_bf16": _mfu(tput16, fpw16, V5E_PEAK_BF16_FLOPS),
+        "fused_fp32_achieved_tflops":
+            round(tput32 * fpw32 / 1e12, 2) if (tput32 and fpw32) else None,
+        "mfu_fused_fp32_highest":
+            _mfu(tput32, fpw32, V5E_PEAK_FP32_HIGHEST_FLOPS),
     })
     emit()
 
@@ -179,6 +227,24 @@ def main():
     except Exception as e:  # noqa: BLE001 — reason is recorded
         nap_error = f"{type(e).__name__}: {e}"[:300]
     res["rapp_nap_windows_per_sec"] = round(nap_tput, 1) if nap_tput else None
+    if nap_tput:
+        def _nap_once(xb):
+            dfs = diffs_batch(model, params, state, xb)
+            cat = jnp.concatenate(dfs, axis=-1)
+            rot = jnp.dot(cat, v, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+            tstd = (rot - offset) * inv_std
+            return jnp.sum(jnp.mean(tstd * tstd, axis=-1))
+
+        f = _flops_of(_nap_once, small)
+        fpw_nap = f / Bn if f else None
+        res["nap_flops_per_window"] = round(fpw_nap, 0) if fpw_nap else None
+        res["nap_fp32_achieved_tflops"] = (
+            round(nap_tput * fpw_nap / 1e12, 2) if fpw_nap else None)
+        # the fp32 NAP path is all precision=HIGHEST matmuls (CLAUDE.md
+        # invariant) -> measured against the bf16x6 effective peak
+        res["mfu_nap_fp32_highest"] = _mfu(nap_tput, fpw_nap,
+                                           V5E_PEAK_FP32_HIGHEST_FLOPS)
     emit()
 
     # -- throughput: bf16 serving NAP (mixed-precision diff extraction +
@@ -221,6 +287,9 @@ def main():
 
         t_nap16 = timed_loop(make_rapp16, n_iters=5)
         nap16_tput = Bn / t_nap16
+        f = _flops_of(lambda xb: jnp.sum(_score16(xb)), small16)
+        fpw16n = f / Bn if f else None
+        res["mfu_nap_bf16"] = _mfu(nap16_tput, fpw16n, V5E_PEAK_BF16_FLOPS)
         # precision agreement on the SAME floored stats AND the same bf16
         # whitening the timed loop runs (isolates the full dtype effect)
         cat32 = jnp.concatenate(diffs, axis=-1)
@@ -267,6 +336,13 @@ def main():
         t6 = time.perf_counter() - t0
         train_tput = Bt / max((t6 - t1) / 5, 1e-9)
         res["train_windows_per_sec"] = round(train_tput, 1)
+        f = _flops_of(train_loop, params, state, opt_state, 1)
+        fpw_tr = f / Bt if f else None
+        res["train_flops_per_window"] = (round(fpw_tr, 0) if fpw_tr
+                                         else None)
+        # trainer matmuls run precision=HIGHEST fp32 (model-path invariant)
+        res["mfu_train_fp32_highest"] = _mfu(train_tput, fpw_tr,
+                                             V5E_PEAK_FP32_HIGHEST_FLOPS)
         emit()
     except Exception as e:  # noqa: BLE001 — reason is recorded
         train_error = f"{type(e).__name__}: {e}"[:300]

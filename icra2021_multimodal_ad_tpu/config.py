@@ -88,6 +88,12 @@ class Config:
     mesh_shape: Optional[int] = None  # devices on the 'data' mesh axis (None = all)
     param_dtype: str = "float32"
     compute_dtype: str = "float32"    # bfloat16 supported on the scoring path
+    feature_cache: int = 1        # 1: cache fused features on disk under
+    # <data_folder_name>/.feature_cache, keyed by shard contents + seed +
+    # sensor + slicing + object filter + fusion weights; repeated CLI runs
+    # and model-only sweep grid points skip the whole decode+fuse build.
+    # 0: always rebuild.  (int, not bool: store_true flags can't be
+    # disabled from the CLI.)
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

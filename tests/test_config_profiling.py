@@ -221,3 +221,96 @@ def test_distribution_none_is_typable_on_cli():
     assert cfg.distribution is None
     cfg2 = get_config(["--distribution", "normal"])
     assert cfg2.distribution == "normal"
+
+
+def test_multihost_init_env_and_arg_parsing(monkeypatch):
+    """Explicit coordinates and the JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID env triplet must reach
+    jax.distributed.initialize with the right types; explicit args beat
+    env (SURVEY.md §5 DCN mapping)."""
+    import jax
+
+    from icra2021_multimodal_ad_tpu.parallel.distributed import (
+        initialize_multihost,
+    )
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **kw: calls.append((a, kw)))
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
+
+    # env-only
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    monkeypatch.setenv("JAX_PROCESS_ID", "2")
+    assert initialize_multihost() is True
+    assert calls[-1] == ((), {"coordinator_address": "10.0.0.1:1234",
+                              "num_processes": 4, "process_id": 2})
+
+    # explicit args override env
+    assert initialize_multihost("10.0.0.9:9999", 8, 7) is True
+    assert calls[-1] == ((), {"coordinator_address": "10.0.0.9:9999",
+                              "num_processes": 8, "process_id": 7})
+
+    # partial env (address only) still initializes — jax derives the rest
+    monkeypatch.delenv("JAX_NUM_PROCESSES")
+    monkeypatch.delenv("JAX_PROCESS_ID")
+    assert initialize_multihost() is True
+    assert calls[-1][1]["coordinator_address"] == "10.0.0.1:1234"
+    assert calls[-1][1]["num_processes"] is None
+
+
+def test_multihost_two_process_smoke(tmp_path):
+    """REAL 2-process jax.distributed bring-up on CPU: both workers
+    initialize through initialize_multihost (env triplet), see
+    process_count()==2, and agree on a psum across hosts — the DCN leg the
+    reference never had, executed rather than mocked."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(
+        "import os, sys\n"
+        "os.environ.pop('PALLAS_AXON_POOL_IPS', None)\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})\n"
+        "from icra2021_multimodal_ad_tpu.parallel.distributed import (\n"
+        "    initialize_multihost,\n"
+        ")\n"
+        "assert initialize_multihost() is True\n"
+        "assert jax.process_count() == 2, jax.process_count()\n"
+        "import jax.numpy as jnp\n"
+        "from jax.experimental import multihost_utils\n"
+        "val = multihost_utils.process_allgather(\n"
+        "    jnp.asarray([float(jax.process_index())]))\n"
+        "assert sorted(float(v) for v in val.ravel()) == [0.0, 1.0], val\n"
+        "print('worker', jax.process_index(), 'OK')\n"
+    )
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env.pop("XLA_FLAGS", None)
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(pid),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=120)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"worker {pid} OK" in out
