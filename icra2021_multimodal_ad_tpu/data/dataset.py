@@ -134,7 +134,14 @@ FEATURE_CACHE_VERSION = 1
 
 def _fusion_fingerprint(fusion_params: FusionParams) -> str:
     """Content hash of the fusion projection weights — custom params (e.g.
-    transplanted from a torch HSR_Net) get their own cache entries."""
+    transplanted from a torch HSR_Net) get their own cache entries.
+
+    Only used for CALLER-SUPPLIED params: each np.asarray below is a
+    device->host fetch, ~1 s total over the tunneled TPU (measured — it
+    made cache hits as slow as cold builds).  Seed-derived params (the
+    default) are fingerprinted as `prng:<seed>` with zero device traffic;
+    fusion_init is deterministic given the seed, and format changes are
+    covered by FEATURE_CACHE_VERSION."""
     import hashlib
 
     h = hashlib.sha256()
@@ -144,7 +151,7 @@ def _fusion_fingerprint(fusion_params: FusionParams) -> str:
 
 
 def _feature_cache_key(config: Config, paths: Sequence[str],
-                       fusion_params: FusionParams) -> str:
+                       fusion_fp: str) -> str:
     """Cache key over everything the fused features depend on: shard file
     identities (path+size+mtime), the object filter, seed/sensor/slicing,
     and the fusion weights.  NOT tracked: edits to the per-row PNGs the
@@ -171,7 +178,7 @@ def _feature_cache_key(config: Config, paths: Sequence[str],
         "object_type": (config.object_type if config.object_select_mode
                         else None),
         "files": files,
-        "fusion": _fusion_fingerprint(fusion_params),
+        "fusion": fusion_fp,
     }
     blob = json.dumps(spec, sort_keys=True).encode()
     return hashlib.sha256(blob).hexdigest()[:24]
@@ -234,6 +241,10 @@ class TabularDataset:
         sensor = config.sensor
         if fusion_params is None:
             fusion_params = fusion_init(jax.random.PRNGKey(config.seed))
+            # seed-derived params: fingerprint by seed, no device fetches
+            fusion_fp = f"prng:{config.seed}"
+        else:
+            fusion_fp = _fusion_fingerprint(fusion_params)
         self.fusion_params = fusion_params
 
         # fused-feature disk cache: the decode+fuse build is the most
@@ -244,7 +255,7 @@ class TabularDataset:
         if getattr(config, "feature_cache", 0):
             try:
                 key = _feature_cache_key(config, _shard_paths(config),
-                                         fusion_params)
+                                         fusion_fp)
                 cache_path = _feature_cache_path(config, key)
                 if os.path.exists(cache_path):
                     z = np.load(cache_path, allow_pickle=False)

@@ -83,6 +83,34 @@ def main():
     grid.setdefault("data_folder_name", [args.data_folder_name])
     grid.setdefault("seed", [args.seed])
 
+    # Pre-warm the fused-feature disk cache in the PARENT, once per
+    # distinct data configuration in the grid: model-only grid points then
+    # all hit the cache, and parallel workers never race N simultaneous
+    # cold builds of identical features (they'd each redo the full PNG
+    # decode + fusion — the round-1 sweep rebuilt features at EVERY point).
+    from icra2021_multimodal_ad_tpu.utils.repeater import expand_grid
+
+    _DATA_FIELDS = ("data_folder_name", "file_name", "sensor", "seed",
+                    "slicing_size", "object_select_mode", "object_type",
+                    "feature_cache")
+    seen = set()
+    for point in expand_grid(grid, shuffle=False):
+        data_kw = {k: point[k] for k in _DATA_FIELDS if k in point}
+        key = tuple(sorted(data_kw.items()))
+        if key in seen:
+            continue
+        seen.add(key)
+        dcfg = Config(verbose=0).replace(**data_kw)
+        if not getattr(dcfg, "feature_cache", 0):
+            continue  # caching disabled for this combo: nothing to warm
+        from icra2021_multimodal_ad_tpu.data.dataset import TabularDataset
+
+        dcfg = dcfg.replace(input_size=get_input_size(dcfg))
+        TabularDataset(dcfg)  # builds + writes the cache entry (or hits it)
+    if seen:
+        print(f"feature cache warmed for {len(seen)} data config(s)",
+              flush=True)
+
     # run_one is module-level (picklable); all Reporter aggregation happens
     # in the parent over the returned (config, result) pairs, so the
     # parallel mode produces the same CSV as sequential

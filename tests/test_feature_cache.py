@@ -104,22 +104,29 @@ def test_cache_roundtrip_identical_and_skips_build(cache_root, monkeypatch):
 
 
 def test_cache_key_sensitivity(cache_root):
-    """seed / sensor / slicing changes must MISS (distinct entries), and a
-    shard edit must invalidate."""
-    from icra2021_multimodal_ad_tpu.data.dataset import (
-        _feature_cache_key,
-        fusion_init,
-    )
+    """seed / sensor / slicing / fusion-weight changes must MISS (distinct
+    entries), and a shard edit must invalidate."""
     import jax
 
+    from icra2021_multimodal_ad_tpu.data.dataset import (
+        _feature_cache_key,
+        _fusion_fingerprint,
+        fusion_init,
+    )
+
     base = _cfg(cache_root, feature_cache=1, seed=3)
-    fp = fusion_init(jax.random.PRNGKey(3))
+    fp = "prng:3"  # seed-derived params fingerprint (no device fetches)
     paths = _shard_paths(base)
     k0 = _feature_cache_key(base, paths, fp)
-    assert _feature_cache_key(base.replace(seed=4), paths,
-                              fusion_init(jax.random.PRNGKey(4))) != k0
+    assert _feature_cache_key(base.replace(seed=4), paths, "prng:4") != k0
     assert _feature_cache_key(base.replace(sensor="mic"), paths, fp) != k0
     assert _feature_cache_key(base.replace(slicing_size=64), paths, fp) != k0
+    # caller-supplied fusion params hash by content: different weights ->
+    # different entry even with identical config
+    h3 = _fusion_fingerprint(fusion_init(jax.random.PRNGKey(3)))
+    h4 = _fusion_fingerprint(fusion_init(jax.random.PRNGKey(4)))
+    assert h3 != h4
+    assert _feature_cache_key(base, paths, h3) != k0
 
     # shard content change -> new key (size/mtime tracked)
     shard = paths[0]

@@ -128,3 +128,36 @@ def _read_pin(config):
     import os
 
     return os.environ.get("FAKE_DEVICE_PIN", "missing")
+
+
+def test_sweep_prewarms_feature_cache_once(tmp_path, monkeypatch):
+    """A model-only grid must build features exactly once (parent
+    pre-warm), with every grid point hitting the one cache entry — the
+    round-1 sweep rebuilt identical features at every point."""
+    root = str(tmp_path / "dsum")
+    generate_data_sum_shards(root, n_episodes=6, steps_per_episode=20,
+                             n_shards=1, n_lidar=963, seed=0)
+    grid = {
+        "btl_size": [4, 6],         # model-only axis: one data config
+        "sensor": ["force_torque"],
+        "n_epochs": [2],
+        "n_layers": [2],
+        "slicing_size": [100],
+        "batch_size": [32],
+    }
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import sweep
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(sys, "argv", [
+        "sweep.py", "--grid", json.dumps(grid),
+        "--out", str(tmp_path / "out.csv"), "--max_workers", "1",
+        "--data_folder_name", root, "--seed", "0",
+    ])
+    sweep.main()
+    cache_dir = os.path.join(root, ".feature_cache")
+    assert os.path.isdir(cache_dir)
+    # one data config -> exactly one cache entry, shared by both points
+    assert len(os.listdir(cache_dir)) == 1
+    assert os.path.exists(str(tmp_path / "out.csv"))
