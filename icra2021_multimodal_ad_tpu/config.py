@@ -16,7 +16,6 @@ import argparse
 import dataclasses
 import json
 import os
-import sys
 from dataclasses import dataclass
 from typing import Any, Optional, Sequence
 
@@ -124,24 +123,31 @@ def get_input_size(config: Config) -> int:
 
 
 def _add_flags(p: argparse.ArgumentParser) -> None:
+    """Every flag defaults to argparse.SUPPRESS: parse_args() then yields
+    ONLY the flags actually typed (including prefix abbreviations like
+    `--slicing`, which argparse resolves to slicing_size) — exact
+    explicitness detection for the fixup below; untyped fields take the
+    Config dataclass defaults."""
     defaults = Config()
     for f in dataclasses.fields(Config):
         name = "--" + ("from" if f.name == "from_" else f.name)
         default = getattr(defaults, f.name)
         if f.type == "bool" or isinstance(default, bool):
-            p.add_argument(name, action="store_true", default=default)
+            p.add_argument(name, action="store_true",
+                           default=argparse.SUPPRESS)
         elif f.name == "target_class":
-            p.add_argument(name, type=str, default=default)
+            p.add_argument(name, type=str, default=argparse.SUPPRESS)
         elif f.name in ("input_size", "mesh_shape"):
-            p.add_argument(name, type=int, default=default)
+            p.add_argument(name, type=int, default=argparse.SUPPRESS)
         elif f.name == "distribution":
             # "none" is typable on the CLI and maps back to identity mode
-            p.add_argument(name, type=str, default=default,
+            p.add_argument(name, type=str, default=argparse.SUPPRESS,
                            choices=["none", "normal"])
         elif default is None:
-            p.add_argument(name, type=str, default=None)
+            p.add_argument(name, type=str, default=argparse.SUPPRESS)
         else:
-            p.add_argument(name, type=type(default), default=default)
+            p.add_argument(name, type=type(default),
+                           default=argparse.SUPPRESS)
 
 
 def get_config(argv: Optional[Sequence[str]] = None, **overrides) -> Config:
@@ -155,24 +161,23 @@ def get_config(argv: Optional[Sequence[str]] = None, **overrides) -> Config:
     p = argparse.ArgumentParser(description="TPU-native multimodal anomaly detection")
     _add_flags(p)
     ns = p.parse_args(argv)
-    kw = vars(ns)
+    kw = vars(ns)  # ONLY flags actually typed (SUPPRESS defaults)
     if "from" in kw:
         kw["from_"] = kw.pop("from")
     if kw.get("distribution") in ("none", "None"):
         kw["distribution"] = None
+    cli_explicit = set(kw)
     cfg = Config(**kw)
     if overrides:
         cfg = cfg.replace(**overrides)
     # fixup AFTER overrides so get_config(file_name=...) and the equivalent
     # CLI flag produce the same config — but an EXPLICIT slicing_size
     # (programmatic override OR a --slicing_size flag actually typed on the
-    # command line) wins over the downgrade: the fixup exists to correct
-    # the default, not to clobber a deliberate choice
-    tokens = list(argv) if argv is not None else sys.argv[1:]
-    cli_explicit = any(t == "--slicing_size" or t.startswith("--slicing_size=")
-                       for t in tokens)
+    # command line, abbreviations included) wins over the downgrade: the
+    # fixup exists to correct the default, not to clobber a deliberate
+    # choice
     if (cfg.file_name != "data_sum" and "slicing_size" not in overrides
-            and not cli_explicit):
+            and "slicing_size" not in cli_explicit):
         cfg = cfg.replace(slicing_size=7000)
     return cfg
 

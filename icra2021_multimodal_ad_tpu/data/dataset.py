@@ -272,9 +272,13 @@ class TabularDataset:
                     if config.verbose >= 1:
                         print(f"feature cache hit: {cache_path}")
                     return
-            except (OSError, KeyError, ValueError) as e:
-                # unreadable/stale cache entry: rebuild (and overwrite)
-                print(f"feature cache unreadable ({e}); rebuilding")
+            except Exception as e:  # noqa: BLE001 — any unreadable/corrupt
+                # entry (OSError, ValueError, zipfile.BadZipFile, zlib
+                # errors, truncated npz EOFError, ...) means REBUILD, never
+                # a crash loop that persists until someone deletes
+                # .feature_cache by hand; the cache is an optimization
+                print(f"feature cache unreadable "
+                      f"({type(e).__name__}: {e}); rebuilding")
 
         df, lidar = _read_shards(config)
 

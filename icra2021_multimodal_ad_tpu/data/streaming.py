@@ -73,6 +73,33 @@ class RingBuffer:
             return len(self._q) == self._q.maxlen
 
 
+class MicRing(RingBuffer):
+    """Mic chunk ring bounded by TOTAL int16 SAMPLES, not chunk count.
+
+    Publishers push arbitrary chunk sizes — 2048-sample stereo PyAudio
+    blocks (microphone_send.py:14-20), 1024-sample mono streams, wav-replay
+    blocks — so any fixed chunk-COUNT cap either starves ready() forever
+    (the reference's 3x-batch deque at realtime_tester.py:176 cannot hold
+    (batch+1) MFCC windows for batch_size < 3, and no count does for small
+    enough chunks) or hoards memory for large chunks.  Eviction keeps at
+    least `budget_samples`; memory is bounded by budget + one chunk."""
+
+    def __init__(self, budget_samples: int, clock=None):
+        super().__init__(maxlen=None, clock=clock)
+        self._budget = int(budget_samples)
+        self._samples = 0
+
+    def append(self, item) -> None:
+        with self._lock:
+            self._q.append(item)
+            self._samples += len(item) // 2  # int16 bytes -> samples
+            while self._q and (
+                self._samples - len(self._q[0]) // 2 >= self._budget
+            ):
+                self._samples -= len(self._q.popleft()) // 2
+            self.last_append = self._clock()
+
+
 class SensorSource:
     """Adapter interface: anything that can fill the four ring buffers.
     A ROS implementation subscribes to the HSR topics
@@ -83,26 +110,18 @@ class SensorSource:
     #: rate; the raw interleaved stream is treated as one wave, exactly like
     #: the reference's frombuffer at data_loaders.py:683)
     _MIC_WINDOW_SAMPLES = 4410
-    #: smallest mic chunk a publisher is assumed to push: 1024 frames of
-    #: stereo int16 (the reference's PyAudio publisher,
-    #: hsr_data_setting/microphone_send.py:14-20, and the simulator below)
-    _MIC_MIN_CHUNK_SAMPLES = 2048
 
     def __init__(self, batch_size: int):
         self.batch_size = batch_size
         self.force_q = RingBuffer(batch_size)
         self.hand_q = RingBuffer(batch_size)
         self.depth_q = RingBuffer(batch_size)
-        # the mic ring must be able to hold enough chunks to satisfy
-        # ready() even when every chunk is the minimum publisher size —
-        # the reference's fixed 3x batch_size (realtime_tester.py:176)
-        # makes readiness structurally impossible for batch_size < 3
-        # (3*b min-size chunks < 4410*(b+1) samples), hanging the warm-up
-        # loop forever; +1 chunk of slack absorbs ring-eviction racing a
-        # concurrent publisher
-        need_chunks = 1 + -(-self._MIC_WINDOW_SAMPLES * (batch_size + 1)
-                            // self._MIC_MIN_CHUNK_SAMPLES)
-        self.mic_q = RingBuffer(max(batch_size * 3, need_chunks))
+        # ready() needs (batch_size + 1) windows of audio; budget one spare
+        # window so eviction racing a concurrent publisher can't dip the
+        # ring below readiness
+        self.mic_q = MicRing(
+            self._MIC_WINDOW_SAMPLES * (batch_size + 2)
+        )
 
     def ready(self) -> bool:
         """All ring buffers hold a full batch — INCLUDING enough audio for

@@ -65,6 +65,63 @@ def run_one(overrides: dict) -> dict:
     }
 
 
+#: config fields that feed the fused-feature build (must match what
+#: dataset._feature_cache_key hashes, plus the fields that select the data)
+_DATA_FIELDS = ("data_folder_name", "file_name", "sensor", "seed",
+                "slicing_size", "object_select_mode", "object_type",
+                "feature_cache")
+
+
+def _build_features(data_kw: dict) -> None:
+    """Build (and cache) the fused features for one data config."""
+    from icra2021_multimodal_ad_tpu.data.dataset import TabularDataset
+
+    dcfg = Config(verbose=0).replace(**data_kw)
+    dcfg = dcfg.replace(input_size=get_input_size(dcfg))
+    TabularDataset(dcfg)  # builds + writes the cache entry (or hits it)
+
+
+def _prewarm_feature_cache(grid: dict, in_subprocess: bool) -> None:
+    from icra2021_multimodal_ad_tpu.utils.repeater import expand_grid
+
+    seen = set()
+    warmed = 0
+    for point in expand_grid(grid, shuffle=False):
+        data_kw = {k: point[k] for k in _DATA_FIELDS if k in point}
+        key = tuple(sorted(data_kw.items()))
+        if key in seen:
+            continue
+        seen.add(key)
+        if not getattr(Config(verbose=0).replace(**data_kw),
+                       "feature_cache", 0):
+            continue  # caching disabled for this combo: nothing to warm
+        try:
+            if in_subprocess:
+                # sequential spawn: the subprocess claims the device, warms
+                # the entry, and EXITS before any worker starts
+                import multiprocessing
+
+                ctx = multiprocessing.get_context("spawn")
+                proc = ctx.Process(target=_build_features, args=(data_kw,))
+                proc.start()
+                proc.join()
+                if proc.exitcode != 0:
+                    raise RuntimeError(
+                        f"pre-warm subprocess rc={proc.exitcode}"
+                    )
+            else:
+                _build_features(data_kw)
+            warmed += 1
+        except Exception as e:  # noqa: BLE001 — point fails in isolation
+            # the sweep's contract: one bad data config produces one ERROR
+            # row from its grid point, never an aborted sweep
+            print(f"feature pre-warm skipped for {data_kw}: "
+                  f"{type(e).__name__}: {e}", flush=True)
+    if warmed:
+        print(f"feature cache warmed for {warmed} data config(s)",
+              flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--grid", type=str, required=True,
@@ -83,33 +140,18 @@ def main():
     grid.setdefault("data_folder_name", [args.data_folder_name])
     grid.setdefault("seed", [args.seed])
 
-    # Pre-warm the fused-feature disk cache in the PARENT, once per
-    # distinct data configuration in the grid: model-only grid points then
-    # all hit the cache, and parallel workers never race N simultaneous
-    # cold builds of identical features (they'd each redo the full PNG
-    # decode + fusion — the round-1 sweep rebuilt features at EVERY point).
-    from icra2021_multimodal_ad_tpu.utils.repeater import expand_grid
-
-    _DATA_FIELDS = ("data_folder_name", "file_name", "sensor", "seed",
-                    "slicing_size", "object_select_mode", "object_type",
-                    "feature_cache")
-    seen = set()
-    for point in expand_grid(grid, shuffle=False):
-        data_kw = {k: point[k] for k in _DATA_FIELDS if k in point}
-        key = tuple(sorted(data_kw.items()))
-        if key in seen:
-            continue
-        seen.add(key)
-        dcfg = Config(verbose=0).replace(**data_kw)
-        if not getattr(dcfg, "feature_cache", 0):
-            continue  # caching disabled for this combo: nothing to warm
-        from icra2021_multimodal_ad_tpu.data.dataset import TabularDataset
-
-        dcfg = dcfg.replace(input_size=get_input_size(dcfg))
-        TabularDataset(dcfg)  # builds + writes the cache entry (or hits it)
-    if seen:
-        print(f"feature cache warmed for {len(seen)} data config(s)",
-              flush=True)
+    # Pre-warm the fused-feature disk cache once per distinct data
+    # configuration in the grid: model-only grid points then all hit the
+    # cache, and parallel workers never race N simultaneous cold builds of
+    # identical features (they'd each redo the full PNG decode + fusion —
+    # the round-1 sweep rebuilt features at EVERY point).  Two disciplines
+    # (from review): (a) a broken data config must NOT abort the sweep
+    # here — the grid point itself fails in isolation with an ERROR row;
+    # (b) in parallel mode the warm-up runs in a throwaway spawn
+    # subprocess, because building in the parent would initialize the
+    # accelerator backend there and then contend with the pinned workers
+    # for the chip (the parent previously never touched a device).
+    _prewarm_feature_cache(grid, in_subprocess=args.max_workers > 1)
 
     # run_one is module-level (picklable); all Reporter aggregation happens
     # in the parent over the returned (config, result) pairs, so the

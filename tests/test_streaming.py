@@ -38,7 +38,11 @@ def test_simulator_fills_buffers():
     src.fill()
     assert src.ready()
     assert len(src.force_q.snapshot()) == 10
-    assert len(src.mic_q.snapshot()) == 30
+    # the sample-budgeted mic ring keeps at least (batch+1) windows of
+    # audio (readiness) and at most the budget + one chunk (memory bound)
+    samples = sum(len(c) // 2 for c in src.mic_q.snapshot())
+    need = src._MIC_WINDOW_SAMPLES * 11
+    assert need <= samples <= src.mic_q._budget + 2048
 
 
 def test_realtime_dataloader_shape():
@@ -248,21 +252,31 @@ def test_streaming_nap_path():
     assert np.isfinite(scores).all()
 
 
-def test_small_batch_size_can_become_ready():
-    """For batch_size < 3 the reference-parity 3x-batch mic ring can NEVER
-    hold (batch_size+1) MFCC windows of minimum-size chunks, so ready()
-    was structurally impossible and the warm-up loop hung forever
-    (ADVICE r1, streaming.py:102).  The ring is now sized from the
-    readiness requirement."""
+def test_ready_reachable_for_any_chunk_size_and_batch():
+    """The mic ring is bounded by SAMPLES, not chunk count: ready() must be
+    reachable for batch_size < 3 (the reference's 3x-batch deque could
+    never hold (batch+1) windows there — warm-up hung forever, ADVICE r1)
+    AND for publishers pushing small mono chunks (1024 samples), where any
+    fixed chunk-count cap starves readiness too (review r2)."""
     from icra2021_multimodal_ad_tpu.data.streaming import SensorSource
 
-    for b in (1, 2):
+    rng = np.random.default_rng(0)
+    for b, chunk_samples in [(1, 2048), (2, 2048), (10, 1024), (1, 256)]:
         src = SensorSource(batch_size=b)
-        cap = src.mic_q._q.maxlen
-        # capacity must satisfy ready() even with minimum-size chunks
-        assert cap * src._MIC_MIN_CHUNK_SAMPLES >= (
-            src._MIC_WINDOW_SAMPLES * (b + 1)
-        ), f"batch_size={b}: mic ring of {cap} chunks cannot become ready"
+        for _ in range(b):
+            src.force_q.append(210.0)
+            src.hand_q.append(np.zeros((32, 32, 3), np.uint8))
+            src.depth_q.append(np.zeros((32, 32), np.float32))
+        for _ in range(2000):
+            if src.ready():
+                break
+            src.mic_q.append(
+                rng.integers(-5, 5, chunk_samples, np.int16).tobytes()
+            )
+        assert src.ready(), f"batch={b} chunk={chunk_samples} never ready"
+        # and the ring stays memory-bounded near its budget
+        samples = sum(len(c) // 2 for c in src.mic_q.snapshot())
+        assert samples <= src.mic_q._budget + chunk_samples
 
 
 def test_small_batch_warmup_completes_and_scores():
