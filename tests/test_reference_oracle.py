@@ -843,9 +843,21 @@ def test_reference_etl_alignment_execution_parity(ref, tmp_path):
     and labels.  Camera streams run at 25 Hz (see _write_episode: the
     regime where the reference's cursor quirk is behavior-neutral and
     exact parity is well-defined)."""
+    import importlib.util
+
     import pandas as pd
 
-    import concatdata_maker as cm  # reference module (sys.path has REF)
+    # Load the REFERENCE's concatdata_maker by explicit file path under a
+    # non-colliding module name: the repo root ships its own
+    # concatdata_maker.py (the CLI), and once any earlier test has imported
+    # that one (tests/test_etl.py does), a bare `import concatdata_maker`
+    # here returns OURS from sys.modules — the fixture's sys.path insert
+    # cannot override an already-cached name.
+    spec = importlib.util.spec_from_file_location(
+        "ref_concatdata_maker", os.path.join(REF, "concatdata_maker.py")
+    )
+    cm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cm)  # librosa stub from the `ref` fixture
 
     from icra2021_multimodal_ad_tpu.data import etl
 
