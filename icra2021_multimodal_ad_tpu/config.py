@@ -87,6 +87,11 @@ class Config:
     mesh_shape: Optional[int] = None  # devices on the 'data' mesh axis (None = all)
     param_dtype: str = "float32"
     compute_dtype: str = "float32"    # bfloat16 supported on the scoring path
+    train_dtype: str = "float32"  # "bfloat16": opt-in mixed-precision
+    # training — fp32 master params/Adam/BN stats, bf16 matmul operands
+    # with fp32 MXU accumulation, fp32 loss.  The eval/NAP-fit path stays
+    # exact fp32 regardless (the SVD consumes fp32-HIGHEST diffs of the
+    # fp32 master params).  See train.py NoveltyDetecter.train.
     feature_cache: int = 1        # 1: cache fused features on disk under
     # <data_folder_name>/.feature_cache, keyed by shard contents + seed +
     # sensor + slicing + object filter + fusion weights; repeated CLI runs

@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import NamedTuple, Optional
 
 import jax
+import jax.numpy as jnp
 
 from icra2021_multimodal_ad_tpu.models.fc_module import (
     FCModuleSpec,
@@ -115,14 +116,20 @@ def ae_loss(model, params, state, x, *, train=False, dropout_rng=None,
     invokes normal mode from its AE path and defines no KL term; none is
     added here.)"""
     x2 = x.reshape(x.shape[0], -1)
+    # loss math is always fp32: with mixed-precision training
+    # (config.train_dtype="bfloat16") the forward runs on bf16 operands,
+    # but an MSE-sum accumulated in bf16 over 1728*batch elements would
+    # swamp the gradient signal in rounding.  No-op for the fp32 path.
+    x32 = x2.astype(jnp.float32)
     if model.distribution is not None:
         y, new_state = ae_forward(model, params, state, x2, train=train,
                                   dropout_rng=dropout_rng, rng=rng,
                                   return_samples=True)
         fn = loss_fn(model.recon_loss, model.loss_reduction)
-        losses = jax.vmap(lambda yk: fn(yk, x2))(y)
+        losses = jax.vmap(lambda yk: fn(yk.astype(jnp.float32), x32))(y)
         return losses.mean(), new_state
     y, new_state = ae_forward(model, params, state, x2, train=train,
                               dropout_rng=dropout_rng)
-    loss = loss_fn(model.recon_loss, model.loss_reduction)(y, x2)
+    loss = loss_fn(model.recon_loss, model.loss_reduction)(
+        y.astype(jnp.float32), x32)
     return loss, new_state

@@ -80,16 +80,38 @@ def fc_layer_apply(
     train: bool = False,
     dropout_rng: Optional[jax.Array] = None,
 ):
-    """Returns (y, new_state).  Eval mode never mutates state."""
-    # fp32-exact matmul: the default (fast) matmul precision decomposes to
-    # bf16 passes, which is fine for the bf16 serving path but corrupts the
-    # RaPP diffs that feed the NAP SVD.  The bf16 fast path is explicit and
-    # lives in ops/pallas_kernels.py / the bench harness.
-    y = (
-        jnp.dot(x, params["w"], preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-        + params["b"]
-    )
+    """Returns (y, new_state).  Eval mode never mutates state.
+
+    The input dtype selects the numerics (decided at trace time):
+      * fp32 x — the exact path: HIGHEST-precision matmul (CLAUDE.md
+        invariant: fp32 exactness feeds the NAP SVD).
+      * low-precision x (bf16) — the EXPLICIT mixed-precision training
+        path (config.train_dtype="bfloat16"): the matmul streams bf16
+        operands into an fp32 MXU accumulation (single pass, no HIGHEST),
+        bias/activation/batch-norm stay fp32 (batch statistics and running
+        stats are fp32 — low-precision batch moments would bias BN), and
+        only the layer OUTPUT is cast back down for the next matmul.
+        Params remain fp32 masters; autodiff through the .astype yields
+        fp32 gradients.
+    """
+    low = jnp.issubdtype(x.dtype, jnp.floating) and x.dtype != jnp.float32
+    if low:
+        y = (
+            jnp.dot(x, params["w"].astype(x.dtype),
+                    preferred_element_type=jnp.float32)
+            + params["b"].astype(jnp.float32)
+        )
+    else:
+        # fp32-exact matmul: the default (fast) matmul precision decomposes
+        # to bf16 passes, which is fine for the bf16 serving path but
+        # corrupts the RaPP diffs that feed the NAP SVD.  The bf16 fast
+        # paths are explicit: ops/serving.py, ops/pallas_kernels.py, and
+        # the low-precision branch above.
+        y = (
+            jnp.dot(x, params["w"], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+            + params["b"]
+        )
     y = activation(spec.act, y)
 
     new_state = state
@@ -132,4 +154,6 @@ def fc_layer_apply(
         mask = jax.random.bernoulli(dropout_rng, keep, y.shape)
         y = jnp.where(mask, y / keep, 0.0)
 
+    if low:
+        y = y.astype(x.dtype)
     return y, new_state

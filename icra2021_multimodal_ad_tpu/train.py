@@ -360,6 +360,20 @@ class NoveltyDetecter:
 
         train_x = jnp.asarray(train_x).reshape(len(train_x), -1)
         valid_x = jnp.asarray(valid_x).reshape(len(valid_x), -1)
+        train_dtype = getattr(cfg, "train_dtype", "float32")
+        if train_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"train_dtype must be 'float32' or 'bfloat16', got "
+                f"{train_dtype!r}"
+            )
+        if train_dtype == "bfloat16":
+            # mixed-precision training: bf16 batches select the low-
+            # precision branch of fc_layer_apply at trace time (bf16 matmul
+            # operands, fp32 MXU accumulation, fp32 BN stats/loss/Adam on
+            # fp32 master params).  Eval/NAP-fit later runs the exact fp32
+            # path on the fp32 masters — nothing downstream changes.
+            train_x = train_x.astype(jnp.bfloat16)
+            valid_x = valid_x.astype(jnp.bfloat16)
         n = train_x.shape[0]
         batch = min(cfg.batch_size, n)
 

@@ -190,3 +190,105 @@ def test_resume_from_orbax_directory_checkpoint(tmp_path):
     resumed = NoveltyDetecter(cfg.replace(n_epochs=4)).train(
         model, None, None, x, xv, checkpoint_path=ckpt, resume=True)
     assert len(resumed.valid_history) == 4  # 2 loaded + 2 new epochs
+
+
+# -- mixed-precision training (config.train_dtype="bfloat16") ---------------
+
+
+def _mp_cfg(**kw):
+    from icra2021_multimodal_ad_tpu.config import get_input_size
+
+    base = dict(sensor="force_torque", n_layers=3, btl_size=8, verbose=0,
+                n_epochs=8, batch_size=32, seed=0)
+    base.update(kw)
+    cfg = Config(**base)
+    return cfg.replace(input_size=get_input_size(cfg))
+
+
+def test_mixed_precision_training_tracks_fp32():
+    """bf16 training must keep fp32 master params + fp32 BN stats and track
+    the fp32 run's loss trajectory closely (loss math is fp32 by
+    construction; only matmul operands stream bf16)."""
+    from icra2021_multimodal_ad_tpu.models.builder import get_model
+
+    cfg = _mp_cfg(train_dtype="bfloat16")
+    model, params, state = get_model(cfg)
+    p2 = jax.tree.map(jnp.copy, params)
+    s2 = jax.tree.map(jnp.copy, state)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(200, cfg.input_size)), jnp.float32)
+    xv = jnp.asarray(rng.normal(size=(60, cfg.input_size)), jnp.float32)
+
+    r16 = NoveltyDetecter(cfg).train(model, params, state, x, xv)
+    r32 = NoveltyDetecter(cfg.replace(train_dtype="float32")).train(
+        model, p2, s2, x, xv)
+
+    for leaf in jax.tree.leaves(r16.params):
+        assert leaf.dtype == jnp.float32
+    assert r16.state["encoder"][0]["bn_mean"].dtype == jnp.float32
+    rel = abs(r16.train_history[-1] - r32.train_history[-1]) / abs(
+        r32.train_history[-1])
+    assert rel < 5e-3, (r16.train_history[-1], r32.train_history[-1])
+    vrel = abs(r16.valid_history[-1] - r32.valid_history[-1]) / abs(
+        r32.valid_history[-1])
+    assert vrel < 5e-3
+
+
+def test_mixed_precision_train_step_matmul_precision():
+    """The bf16 branch must lower to single-pass matmuls (no HIGHEST — that
+    is the entire speedup), while the fp32 branch keeps the HIGHEST
+    invariant.  Checked on the lowered HLO of train_step."""
+    from icra2021_multimodal_ad_tpu.models.builder import get_model
+
+    cfg = _mp_cfg()
+    model, params, state = get_model(cfg)
+    optimizer = optax.adam(cfg.lr)
+    opt_state = optimizer.init(params)
+    x32 = jnp.zeros((16, cfg.input_size), jnp.float32)
+    x16 = x32.astype(jnp.bfloat16)
+
+    def lower_txt(x):
+        return train_step.lower(
+            model, params, state, opt_state, x, optimizer).as_text()
+
+    def dot_precisions(txt):
+        return ["HIGHEST" if "HIGHEST" in ln else "DEFAULT"
+                for ln in txt.splitlines() if "dot_general" in ln]
+
+    prec16 = dot_precisions(lower_txt(x16))
+    prec32 = dot_precisions(lower_txt(x32))
+    assert prec16 and all(p == "DEFAULT" for p in prec16), prec16
+    assert prec32 and all(p == "HIGHEST" for p in prec32), prec32
+
+
+def test_mixed_precision_end_to_end_auroc():
+    """A bf16-trained model must detect the same synthetic anomalies as the
+    fp32-trained one: train on 'normal' windows, score normal + shifted
+    windows with the exact fp32 BASE score, compare AUROCs."""
+    from icra2021_multimodal_ad_tpu.models.autoencoder import ae_forward
+    from icra2021_multimodal_ad_tpu.models.builder import get_model
+    from icra2021_multimodal_ad_tpu.ops.metrics import get_auc_roc
+
+    rng = np.random.default_rng(2)
+    d = 64
+    normal = rng.normal(size=(260, d)) @ (rng.normal(size=(d, d)) * 0.3)
+    anom = normal[:50] + rng.normal(2.5, 1.0, size=(50, d))
+    x = jnp.asarray(normal[:200], jnp.float32)
+    xv = jnp.asarray(normal[200:260], jnp.float32)
+    test_x = jnp.concatenate(
+        [jnp.asarray(normal[150:200], jnp.float32),
+         jnp.asarray(anom, jnp.float32)])
+    labels = np.r_[np.zeros(50), np.ones(50)]
+
+    aurocs = {}
+    for td in ("float32", "bfloat16"):
+        cfg = _mp_cfg(train_dtype=td, n_epochs=30)
+        model, params, state = get_model(cfg)
+        r = NoveltyDetecter(cfg).train(model, params, state, x, xv)
+        xh, _ = ae_forward(model, r.params, r.state, test_x, train=False)
+        scores = np.asarray(jnp.mean((xh - test_x) ** 2, axis=-1))
+        aurocs[td] = float(get_auc_roc(scores, labels))
+
+    assert aurocs["float32"] > 0.9, aurocs
+    assert aurocs["bfloat16"] > 0.9, aurocs
+    assert abs(aurocs["float32"] - aurocs["bfloat16"]) < 0.03, aurocs
