@@ -44,30 +44,47 @@ N_ITERS = 20
 #: over the matching peak.
 V5E_PEAK_BF16_FLOPS = 197e12
 V5E_PEAK_FP32_HIGHEST_FLOPS = V5E_PEAK_BF16_FLOPS / 6.0
+#: v5e HBM bandwidth (public spec: 819 GB/s/chip).  The fused serving path
+#: is compute/bandwidth CO-limited (measured ~52% MXU + ~66% HBM at
+#: B=16384), so bench reports both sides of the roofline.
+V5E_HBM_BYTES_PER_SEC = 819e9
 
 
-def _flops_of(fn, *args):
-    """FLOPs of the program per XLA's cost analysis; None when the backend
-    doesn't expose them.  Analyzed on the LOWERED module (no compile):
-    several call sites analyze single-call programs whose only timed form
-    was fori_loop-wrapped, and compiling those fresh shapes over the
-    tunnel costs 20-120 s each — enough to push section emits past a
-    wall-clock budget (verified: lowered and compiled analyses report
-    identical flops).  Falls back to compile for jax versions without
-    Lowered.cost_analysis."""
+def _cost_of(fn, *args):
+    """(flops, bytes_accessed) of the program per XLA's cost analysis;
+    (None, None) when the backend doesn't expose them.
+
+    Tries the LOWERED module first (no compile — compiling fresh shapes
+    over the tunnel costs 20-120 s each), but the axon TPU backend returns
+    None from Lowered.cost_analysis() (verified on-chip), so fall through
+    to the COMPILED module whenever the lowered analysis is absent or
+    empty.  The compiled analysis reports true 2MKN GEMM FLOPs on this
+    backend (probe: a 512x1024x2048 GEMM reports exactly 2*M*K*N for both
+    bf16 and fp32), and the persistent compile cache makes the fallback
+    compile a one-time cost per shape."""
     try:
         jfn = fn if hasattr(fn, "lower") else jax.jit(fn)
         lowered = jfn.lower(*args)
+        ca = None
         try:
             ca = lowered.cost_analysis()
-        except Exception:  # noqa: BLE001 — older jax: compile then analyze
-            ca = lowered.compile().cost_analysis()
+        except Exception:  # noqa: BLE001 — fall through to compiled
+            ca = None
         if isinstance(ca, (list, tuple)):
-            ca = ca[0]
+            ca = ca[0] if ca else None
+        if not (ca and float(ca.get("flops", 0.0)) > 0):
+            ca = lowered.compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
         f = float(ca.get("flops", 0.0))
-        return f if f > 0 else None
+        by = float(ca.get("bytes accessed", 0.0))
+        return (f if f > 0 else None), (by if by > 0 else None)
     except Exception:  # noqa: BLE001 — cost analysis is best-effort
-        return None
+        return None, None
+
+
+def _flops_of(fn, *args):
+    return _cost_of(fn, *args)[0]
 
 
 def _mfu(windows_per_sec, flops_per_window, peak):
@@ -171,7 +188,9 @@ def main():
             t32 = timed_loop(
                 lambda: make_fused(fusion_params, params, state, raw32,
                                    jnp.float32),
-                n_iters=5,
+                # span must dwarf tunnel dispatch noise (>=200 ms):
+                # ~4.5 ms/iter at B//4
+                n_iters=48,
             )
             tput32 = b32 / t32
             fp32_error = None
@@ -182,8 +201,9 @@ def main():
     # roofline instrumentation (VERDICT r1: report achieved FLOP/s + % of
     # v5e peak, not just windows/s): FLOPs/window from XLA's cost analysis
     # of the exact compiled scoring program
-    fpw16 = _flops_of(fused_score, fp16, p16, state, raw16)
-    fpw16 = fpw16 / B if fpw16 else None
+    f16, by16 = _cost_of(fused_score, fp16, p16, state, raw16)
+    fpw16 = f16 / B if f16 else None
+    bpw16 = by16 / B if by16 else None
     fpw32 = None
     if tput32:
         f = _flops_of(fused_score, fusion_params, params, state, raw32)
@@ -200,6 +220,8 @@ def main():
         "fused_bf16_achieved_tflops":
             round(tput16 * fpw16 / 1e12, 2) if fpw16 else None,
         "mfu_fused_bf16": _mfu(tput16, fpw16, V5E_PEAK_BF16_FLOPS),
+        "fused_bf16_bytes_per_window": round(bpw16, 0) if bpw16 else None,
+        "hbm_util_fused_bf16": _mfu(tput16, bpw16, V5E_HBM_BYTES_PER_SEC),
         "fused_fp32_achieved_tflops":
             round(tput32 * fpw32 / 1e12, 2) if (tput32 and fpw32) else None,
         "mfu_fused_fp32_highest":
@@ -229,7 +251,8 @@ def main():
 
     nap_tput, nap_error = None, None
     try:
-        t_nap = timed_loop(make_rapp, n_iters=5)
+        # ~13 ms/iter at Bn=4096 -> ~260 ms span
+        t_nap = timed_loop(make_rapp, n_iters=20)
         nap_tput = Bn / t_nap
     except Exception as e:  # noqa: BLE001 — reason is recorded
         nap_error = f"{type(e).__name__}: {e}"[:300]
@@ -292,7 +315,9 @@ def main():
                 return acc + jnp.sum(_score16(xb))
             return body
 
-        t_nap16 = timed_loop(make_rapp16, n_iters=5)
+        # ~1-2.5 ms/iter -> >=150 ms span (a 5-iter span once
+        # measured above the chip's peak: pure dispatch noise)
+        t_nap16 = timed_loop(make_rapp16, n_iters=128)
         nap16_tput = Bn / t_nap16
         f = _flops_of(lambda xb: jnp.sum(_score16(xb)), small16)
         fpw16n = f / Bn if f else None
@@ -319,21 +344,28 @@ def main():
     Bt = 7000
     xt = x_all[:Bt]
 
-    @partial(jax.jit, static_argnames=("n",))
-    def train_loop(p, s, o, n):
-        def body(i, carry):
-            p, s, o, acc = carry
-            def loss_of(pp):
-                loss, new_s = ae_loss(model, pp, s, xt, train=True)
-                return loss, new_s
-            (loss, new_s), grads = jax.value_and_grad(loss_of, has_aux=True)(p)
-            upd, o2 = optimizer.update(grads, o, p)
-            return (optax.apply_updates(p, upd), new_s, o2, acc + loss)
-        out = jax.lax.fori_loop(0, n, body, (p, s, o, jnp.float32(0)))
-        return out[3]
+    def make_train_loop(xtrain):
+        # the input dtype selects the trainer numerics at trace time
+        # (models/layers.fc_layer_apply): fp32 -> HIGHEST exact path,
+        # bf16 -> the opt-in mixed-precision trainer
+        # (config.train_dtype="bfloat16": fp32 masters/Adam/BN, bf16
+        # matmul operands)
+        @partial(jax.jit, static_argnames=("n",))
+        def train_loop(p, s, o, n):
+            def body(i, carry):
+                p, s, o, acc = carry
+                def loss_of(pp):
+                    loss, new_s = ae_loss(model, pp, s, xtrain, train=True)
+                    return loss, new_s
+                (loss, new_s), grads = jax.value_and_grad(
+                    loss_of, has_aux=True)(p)
+                upd, o2 = optimizer.update(grads, o, p)
+                return (optax.apply_updates(p, upd), new_s, o2, acc + loss)
+            out = jax.lax.fori_loop(0, n, body, (p, s, o, jnp.float32(0)))
+            return out[3]
+        return train_loop
 
-    train_tput, train_error = None, None
-    try:
+    def time_train_loop(train_loop):
         opt_state = optimizer.init(params)
         float(train_loop(params, state, opt_state, 1))
         t0 = time.perf_counter(); float(train_loop(params, state, opt_state, 1))
@@ -341,7 +373,13 @@ def main():
         float(train_loop(params, state, opt_state, 6))
         t0 = time.perf_counter(); float(train_loop(params, state, opt_state, 6))
         t6 = time.perf_counter() - t0
-        train_tput = Bt / max((t6 - t1) / 5, 1e-9)
+        return Bt / max((t6 - t1) / 5, 1e-9)
+
+    train_tput, train_error = None, None
+    try:
+        train_loop = make_train_loop(xt)
+        opt_state = optimizer.init(params)
+        train_tput = time_train_loop(train_loop)
         res["train_windows_per_sec"] = round(train_tput, 1)
         f = _flops_of(train_loop, params, state, opt_state, 1)
         fpw_tr = f / Bt if f else None
@@ -353,6 +391,23 @@ def main():
         emit()
     except Exception as e:  # noqa: BLE001 — reason is recorded
         train_error = f"{type(e).__name__}: {e}"[:300]
+
+    # -- throughput: mixed-precision trainer (train_dtype="bfloat16") -------
+    train16_tput, train16_error = None, None
+    try:
+        loop16 = make_train_loop(xt.astype(jnp.bfloat16))
+        opt16 = optimizer.init(params)
+        train16_tput = time_train_loop(loop16)
+        res["train_bf16_windows_per_sec"] = round(train16_tput, 1)
+        f = _flops_of(loop16, params, state, opt16, 1)
+        fpw16t = f / Bt if f else None
+        res["mfu_train_bf16"] = _mfu(train16_tput, fpw16t,
+                                     V5E_PEAK_BF16_FLOPS)
+        if train_tput:
+            res["train_bf16_speedup"] = round(train16_tput / train_tput, 2)
+        emit()
+    except Exception as e:  # noqa: BLE001 — reason is recorded
+        train16_error = f"{type(e).__name__}: {e}"[:300]
 
     # -- throughput: the REAL trainer (NoveltyDetecter.train, fused mode) ---
     # Times the shipped product path, not an idealized loop: the whole run
@@ -459,6 +514,8 @@ def main():
         "nap_bf16_score_rel_err":
             round(nap16_rel, 5) if nap16_rel is not None else None,
         "train_windows_per_sec": round(train_tput, 1) if train_tput else None,
+        "train_bf16_windows_per_sec":
+            round(train16_tput, 1) if train16_tput else None,
         "trainer_path_windows_per_sec":
             round(trainer_tput, 1) if trainer_tput else None,
         "dataset_build_rows_per_sec":
@@ -468,7 +525,8 @@ def main():
         k: v for k, v in {
             "fp32_error": fp32_error, "nap_error": nap_error,
             "nap16_error": nap16_error,
-            "train_error": train_error, "trainer_error": trainer_error,
+            "train_error": train_error, "train16_error": train16_error,
+            "trainer_error": trainer_error,
             "build_error": build_error,
         }.items() if v
     }

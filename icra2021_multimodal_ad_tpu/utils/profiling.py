@@ -82,12 +82,20 @@ def retry(f, attempts: int = 3, wait_s: float = 20.0):
     raise last
 
 
-def timed_loop(make_body, n_iters: int = 20):
+def timed_loop(make_body, n_iters: int = 20, repeats: int = 3):
     """Wall time per iteration of an on-device `lax.fori_loop` whose
     iterations carry a data dependency, with the final scalar fetched —
     execution cannot be elided or pipelined away.  Compile time and fixed
     dispatch overhead are excluded by differencing a 1-iteration run.  This
-    is the ONLY reliable timing on the tunneled device (see bench.py)."""
+    is the ONLY reliable timing on the tunneled device (see bench.py).
+
+    Both endpoints are a median of `repeats` dispatches: the tunnel's
+    per-dispatch overhead varies by tens of ms sample to sample, and a
+    single (tn - t1) difference of two noisy samples produced physically
+    impossible rates (a NAP bf16 section once measured above the chip's
+    peak FLOP/s).  Pick n_iters so the n-iteration span dwarfs that noise
+    (>= ~200 ms); the medians then cut the residual."""
+    import statistics
     from functools import partial
 
     import jax.numpy as jnp
@@ -103,9 +111,11 @@ def timed_loop(make_body, n_iters: int = 20):
         return time.perf_counter() - t0
 
     retry(lambda: float(run(1)))  # compile n=1
-    t1 = retry(lambda: measure(1))
+    t1 = statistics.median(
+        retry(lambda: measure(1)) for _ in range(max(repeats, 1)))
     retry(lambda: float(run(n_iters + 1)))  # compile n=n_iters+1
-    tn = retry(lambda: measure(n_iters + 1))
+    tn = statistics.median(
+        retry(lambda: measure(n_iters + 1)) for _ in range(max(repeats, 1)))
     return max((tn - t1) / n_iters, 1e-9)
 
 

@@ -150,3 +150,53 @@ def test_training_run_compiles_one_epoch_program_with_ragged_tail():
     NoveltyDetecter(cfg).train(model, params, state, x, xv, fused=False)
     assert train_epoch._cache_size() - before_t <= 1
     assert eval_epoch._cache_size() - before_e <= 1
+
+
+def test_bench_cost_of_reports_true_gemm_flops_and_survives_none():
+    """bench._cost_of must report true 2MKN GEMM FLOPs, and must fall
+    through to the COMPILED module's analysis when the lowered analysis
+    returns None — which is exactly what the axon TPU backend does
+    (verified on-chip: Lowered.cost_analysis() is None there, while the
+    compiled analysis reports exact 2MKN).  A regression here silently
+    nulls every mfu_* field in BENCH_r{N}.json."""
+    import bench
+
+    M, K, N = 32, 64, 48
+
+    def mm(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    a = jnp.zeros((M, K), jnp.bfloat16)
+    b = jnp.zeros((K, N), jnp.bfloat16)
+    f, by = bench._cost_of(mm, a, b)
+    assert f == 2 * M * K * N, f
+    assert by and by > 0
+
+    # simulate the axon behavior: lowered analysis absent -> compiled path
+    import unittest.mock as mock
+
+    real_jit = jax.jit
+
+    class _NoneLowered:
+        def __init__(self, lowered):
+            self._lowered = lowered
+
+        def cost_analysis(self):
+            return None
+
+        def compile(self):
+            return self._lowered.compile()
+
+    def fake_jit(fn):
+        jfn = real_jit(fn)
+
+        class _J:
+            def lower(self, *args):
+                return _NoneLowered(jfn.lower(*args))
+
+        return _J()
+
+    with mock.patch.object(bench.jax, "jit", fake_jit):
+        f2, by2 = bench._cost_of(mm, a, b)
+    assert f2 == 2 * M * K * N, f2
+    assert by2 and by2 > 0
