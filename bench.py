@@ -375,13 +375,28 @@ def main():
         t6 = time.perf_counter() - t0
         return Bt / max((t6 - t1) / 5, 1e-9)
 
+    def train_flops_per_step(train_loop, o0):
+        """FLOPs of ONE FULL train step (fwd + bwd + Adam).  The timed
+        loops return only the loss sum, so XLA dead-code-eliminates the
+        FINAL iteration's backward + optimizer update — an n=1 analysis
+        counts a forward only (caught: it reported exactly the forward's
+        20.5 MFLOP/window, a 3x MFU undercount).  The timing differences
+        (t_{n+1} - t_1) are unaffected (iterations 1..n feed the next, so
+        they keep their backward); difference the n=2 and n=1 analyses the
+        same way to isolate one full step."""
+        f1 = _flops_of(train_loop, params, state, o0, 1)
+        f2 = _flops_of(train_loop, params, state, o0, 2)
+        if f1 and f2 and f2 > f1:
+            return f2 - f1
+        return None
+
     train_tput, train_error = None, None
     try:
         train_loop = make_train_loop(xt)
         opt_state = optimizer.init(params)
         train_tput = time_train_loop(train_loop)
         res["train_windows_per_sec"] = round(train_tput, 1)
-        f = _flops_of(train_loop, params, state, opt_state, 1)
+        f = train_flops_per_step(train_loop, opt_state)
         fpw_tr = f / Bt if f else None
         res["train_flops_per_window"] = (round(fpw_tr, 0) if fpw_tr
                                          else None)
@@ -399,7 +414,7 @@ def main():
         opt16 = optimizer.init(params)
         train16_tput = time_train_loop(loop16)
         res["train_bf16_windows_per_sec"] = round(train16_tput, 1)
-        f = _flops_of(loop16, params, state, opt16, 1)
+        f = train_flops_per_step(loop16, opt16)
         fpw16t = f / Bt if f else None
         res["mfu_train_bf16"] = _mfu(train16_tput, fpw16t,
                                      V5E_PEAK_BF16_FLOPS)

@@ -230,6 +230,38 @@ def _load_images(root: str, data_dirs: Sequence[str], ids: Sequence[int],
     return np.stack([decoded[p] for p in paths])
 
 
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.jit, static_argnames=("sensor",))
+def _preprocess_and_fuse(fusion_params: FusionParams, *, sensor: str,
+                         raw_r=None, raw_d=None, weight=None, mfcc=None,
+                         lidar=None) -> jax.Array:
+    """Normalization + resize + layout + fusion convs as ONE jitted
+    program.  The build previously issued ~7 separate device dispatches
+    (4x per-column min-max, 2x resize, 1x fuse); over the tunneled device
+    each dispatch costs a full RTT, which dominated the cold-build rate.
+    One program also ships raw images as uint8 (a quarter of the fp32
+    transfer bytes) and lets XLA fuse the elementwise prep into the convs.
+    Semantics identical to the previous op-by-op pipeline
+    (data_loaders.py:337-424 capability)."""
+    kw = {}
+    if raw_r is not None:
+        r = norm_minmax_per_column(raw_r.reshape(raw_r.shape[0], -1))
+        r = r.reshape(-1, 24, 32, 3).transpose(0, 3, 1, 2)  # HWC -> CHW
+        kw["r"] = resize_nearest(r, 32, 32)
+    if raw_d is not None:
+        d = norm_minmax_per_column(raw_d.reshape(raw_d.shape[0], -1))
+        kw["d"] = resize_nearest(d.reshape(-1, 1, 24, 32), 32, 32)
+    if weight is not None:
+        kw["t"] = norm_minmax_per_column(weight)
+    if mfcc is not None:
+        kw["m"] = norm_minmax_per_column(mfcc)[:, None, :]  # (N, 1, 13)
+    if lidar is not None:
+        kw["l"] = norm_minmax_per_column(lidar)[:, None, :]
+    return fuse(fusion_params, sensor=sensor, **kw)
+
+
 class TabularDataset:
     """Loads shards + builds fused features (data_loaders.py:233-463).
 
@@ -291,32 +323,19 @@ class TabularDataset:
 
         kw = {}
         if sensor in ("All", "hand_camera"):
-            raw = _load_images(config.data_folder_name, data_dirs, hand_ids, "hand")
-            r = norm_minmax_per_column(
-                jnp.asarray(raw.reshape(len(raw), -1), dtype=jnp.float32)
-            )
-            r = r.reshape(-1, 24, 32, 3).transpose(0, 3, 1, 2)  # HWC -> CHW
-            kw["r"] = resize_nearest(r, 32, 32)
+            kw["raw_r"] = _load_images(config.data_folder_name, data_dirs,
+                                       hand_ids, "hand")
         if sensor in ("All", "head_depth"):
-            raw = _load_images(config.data_folder_name, data_dirs, depth_ids, "d")
-            d = norm_minmax_per_column(
-                jnp.asarray(raw.reshape(len(raw), -1), dtype=jnp.float32)
-            )
-            d = d.reshape(-1, 1, 24, 32)
-            kw["d"] = resize_nearest(d, 32, 32)
+            kw["raw_d"] = _load_images(config.data_folder_name, data_dirs,
+                                       depth_ids, "d")
         if sensor in ("All", "force_torque"):
-            t = norm_minmax_per_column(jnp.asarray(weight[:, None]))
-            kw["t"] = t
+            kw["weight"] = weight[:, None]
         if sensor in ("All", "mic"):
-            m = norm_minmax_per_column(
-                jnp.asarray(df[MFCC_COLS].to_numpy(), dtype=jnp.float32)
-            )
-            kw["m"] = m[:, None, :]  # (N, 1, 13)
+            kw["mfcc"] = df[MFCC_COLS].to_numpy().astype(np.float32)
         if sensor == "LiDAR":
-            l = norm_minmax_per_column(jnp.asarray(lidar, dtype=jnp.float32))
-            kw["l"] = l[:, None, :]
+            kw["lidar"] = np.asarray(lidar, dtype=np.float32)
 
-        self.data = fuse(fusion_params, sensor=sensor, **kw)
+        self.data = _preprocess_and_fuse(fusion_params, sensor=sensor, **kw)
         self.targets = jnp.asarray(label)
 
         if cache_path is not None:

@@ -175,3 +175,76 @@ def test_corrupt_cache_entry_rebuilds(cache_root):
             f.write(b"not an npz")
     ds2 = TabularDataset(cfg)  # must rebuild, not crash
     np.testing.assert_array_equal(np.asarray(ds1.data), np.asarray(ds2.data))
+
+
+def test_single_dispatch_preprocess_matches_op_by_op(cache_root):
+    """The one-program _preprocess_and_fuse build must reproduce the
+    previous op-by-op pipeline exactly (per-column min-max -> HWC->CHW ->
+    nearest resize -> fusion convs), for every sensor selection it serves.
+    Guards the dispatch-collapse optimization against semantic drift."""
+    import jax
+    import jax.numpy as jnp
+
+    from icra2021_multimodal_ad_tpu.data.dataset import (
+        MFCC_COLS,
+        _load_images,
+        _preprocess_and_fuse,
+        _read_shards,
+    )
+    from icra2021_multimodal_ad_tpu.ops.fusion import fuse, fusion_init
+    from icra2021_multimodal_ad_tpu.ops.image import (
+        norm_minmax_per_column,
+        resize_nearest,
+    )
+
+    cfg = _cfg(cache_root, feature_cache=0)
+    df, lidar = _read_shards(cfg)
+    fp = fusion_init(jax.random.PRNGKey(cfg.seed))
+    raw_r = _load_images(cfg.data_folder_name, df["data_dir"].to_numpy(),
+                         df["cur_hand_id"].to_numpy(), "hand")
+    raw_d = _load_images(cfg.data_folder_name, df["data_dir"].to_numpy(),
+                         df["cur_depth_id"].to_numpy(), "d")
+    weight = df["cur_hand_weight"].to_numpy().astype(np.float32)[:, None]
+    mfcc = df[MFCC_COLS].to_numpy().astype(np.float32)
+
+    # reference op-by-op pipeline (the pre-optimization code path)
+    r = norm_minmax_per_column(
+        jnp.asarray(raw_r.reshape(len(raw_r), -1), jnp.float32))
+    r = r.reshape(-1, 24, 32, 3).transpose(0, 3, 1, 2)
+    r = resize_nearest(r, 32, 32)
+    d = norm_minmax_per_column(
+        jnp.asarray(raw_d.reshape(len(raw_d), -1), jnp.float32))
+    d = resize_nearest(d.reshape(-1, 1, 24, 32), 32, 32)
+    t = norm_minmax_per_column(jnp.asarray(weight))
+    m = norm_minmax_per_column(jnp.asarray(mfcc))[:, None, :]
+    expected = fuse(fp, sensor="All", r=r, d=d, t=t, m=m)
+
+    got = _preprocess_and_fuse(fp, sensor="All", raw_r=raw_r, raw_d=raw_d,
+                               weight=weight, mfcc=mfcc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=0, atol=1e-6)
+
+    # unimodal selections run through the same program
+    got_t = _preprocess_and_fuse(fp, sensor="force_torque", weight=weight)
+    np.testing.assert_allclose(np.asarray(got_t),
+                               np.asarray(fuse(fp, sensor="force_torque",
+                                               t=t)), rtol=0, atol=1e-6)
+    # the 'All' read drops LiDAR columns, and the cache_root fixture has a
+    # truncated LiDAR width — use a dedicated full-width root
+    lroot = os.path.join(cache_root, "lidar_root")
+    if not os.path.isdir(lroot):
+        from icra2021_multimodal_ad_tpu.data.synthetic import (
+            generate_data_sum_shards as _gen,
+        )
+
+        _gen(lroot, n_episodes=2, steps_per_episode=10, n_shards=1,
+             n_lidar=963, seed=3, write_images=False)
+    _, lidar_l = _read_shards(_cfg(lroot, sensor="LiDAR", slicing_size=20,
+                                   feature_cache=0))
+    got_l = _preprocess_and_fuse(
+        fp, sensor="LiDAR", lidar=np.asarray(lidar_l, dtype=np.float32))
+    ref_l = fuse(fp, sensor="LiDAR",
+                 l=norm_minmax_per_column(
+                     jnp.asarray(lidar_l, jnp.float32))[:, None, :])
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(ref_l),
+                               rtol=0, atol=1e-6)
