@@ -28,6 +28,7 @@ from __future__ import annotations
 import threading
 import time
 from collections import deque
+from functools import partial
 from typing import Callable, Optional
 
 import jax
@@ -178,12 +179,10 @@ class SimulatedSensors(SensorSource):
             self.tick(anomaly=i >= anomaly_after)
 
 
-def hsr_window_batch(config: Config, fusion_params: FusionParams,
-                     force_q, hand_q, depth_q, mic_frames) -> jax.Array:
-    """Normalized + fused window batch (HsrDataset, data_loaders.py:714-731).
-    Fixed input ranges: images [0,255], force [0,400], mic global min-max.
-    Modality row counts must agree with config.batch_size — a short queue
-    would otherwise crash deep inside the fusion reshape."""
+def _stack_host_inputs(config: Config, force_q, hand_q, depth_q, mic_frames):
+    """Host side of the window batch: ring snapshots -> stacked numpy
+    arrays (r HWC->CHW, d channel dim, t/m column layout), with the row-
+    count guard.  Shared by hsr_window_batch and the one-program tick."""
     counts = {"force": len(force_q), "hand": len(hand_q),
               "depth": len(depth_q), "mic": len(mic_frames)}
     if any(c != config.batch_size for c in counts.values()):
@@ -191,26 +190,90 @@ def hsr_window_batch(config: Config, fusion_params: FusionParams,
             f"modality row counts {counts} != batch_size "
             f"{config.batch_size} — wait for source.ready() before scoring"
         )
+    r = np.stack(hand_q).astype(np.float32).transpose(0, 3, 1, 2)
+    d = np.stack(depth_q).astype(np.float32)[:, None]
+    t = np.asarray(force_q, dtype=np.float32)[:, None]
+    m = np.asarray(mic_frames, dtype=np.float32)[:, None, :]
+    return r, d, t, m
+
+
+def _normalize_and_fuse(fusion_params: FusionParams, r, d, t, m) -> jax.Array:
+    """Device side of the window batch — pure/traceable so the tick
+    programs inline it.  Fixed input ranges: images [0,255], force [0,400],
+    mic global min-max (HsrDataset, data_loaders.py:714-731)."""
     from icra2021_multimodal_ad_tpu.ops.image import resize_bilinear
 
-    r = jnp.asarray(np.stack(hand_q), dtype=jnp.float32)
-    r = r.transpose(0, 3, 1, 2)  # HWC -> CHW
     if r.shape[-2:] != (32, 32):
         # full-resolution camera frames (a real ROS source publishes
         # 640x480) resize here, like the reference's subscriber-side
         # cv2.resize (realtime_tester.py:121-130)
         r = resize_bilinear(r, (32, 32))
-    d = jnp.asarray(np.stack(depth_q), dtype=jnp.float32)[:, None]
     if d.shape[-2:] != (32, 32):
         d = resize_bilinear(d, (32, 32))
-    t = jnp.asarray(np.asarray(force_q, dtype=np.float32))[:, None]
-    m = jnp.asarray(mic_frames, dtype=jnp.float32)[:, None, :]
-
     r = norm_minmax_global(r, in_lo=0.0, in_hi=255.0)
     d = norm_minmax_global(d, in_lo=0.0, in_hi=255.0)
     t = norm_minmax_global(t, in_lo=0.0, in_hi=400.0)
     m = norm_minmax_global(m)
     return fuse(fusion_params, sensor="All", r=r, d=d, t=t, m=m)
+
+
+_normalize_and_fuse_jit = jax.jit(_normalize_and_fuse)
+
+
+def hsr_window_batch(config: Config, fusion_params: FusionParams,
+                     force_q, hand_q, depth_q, mic_frames) -> jax.Array:
+    """Normalized + fused window batch (HsrDataset, data_loaders.py:714-731)
+    as ONE device program (the normalize/resize/fuse steps used to be ~6
+    separate dispatches; each costs a full RTT on the tunneled device)."""
+    r, d, t, m = _stack_host_inputs(config, force_q, hand_q, depth_q,
+                                    mic_frames)
+    return _normalize_and_fuse_jit(fusion_params, r, d, t, m)
+
+
+# -- one-program streaming ticks --------------------------------------------
+# Each tick of the reference's loop (realtime_tester.py:291-309) did
+# per-modality tensor prep + a model call; the first cut here still issued
+# ~8 device dispatches per tick (4x normalize, fuse, diffs, whiten, score).
+# Over the tunneled device each dispatch is a full RTT, so dispatch count —
+# not compute — set the p50 tick latency.  These programs run the entire
+# normalize -> fuse -> forward -> score chain as ONE dispatch; all model/
+# stats operands are passed as arguments (a closure would bake them into
+# the compiled program as constants).
+
+
+@partial(jax.jit, static_argnames=("model", "dtype"))
+def _tick_base(model: AutoEncoder, fusion_params: FusionParams, params,
+               state, r, d, t, m, *, dtype):
+    from icra2021_multimodal_ad_tpu.ops.serving import _score_fused
+
+    x = _normalize_and_fuse(fusion_params, r, d, t, m)
+    return _score_fused(model, params, state, x.astype(dtype))
+
+
+@partial(jax.jit, static_argnames=("model",))
+def _tick_nap_exact(model: AutoEncoder, fusion_params: FusionParams, params,
+                    state, nap_stats: NapStats, r, d, t, m):
+    x = _normalize_and_fuse(fusion_params, r, d, t, m)
+    diffs = diffs_batch(model, params, state, x)
+    cat = jnp.concatenate(diffs, axis=-1)
+    return nap_score_device(nap_stats, cat)
+
+
+@partial(jax.jit, static_argnames=("model",))
+def _tick_nap_bf16(model: AutoEncoder, fusion_params: FusionParams,
+                   params16, state, v16, offset, inv_std, r, d, t, m):
+    """bf16 NAP tick: mixed-precision diff extraction + bf16 whitening
+    matmul against variance-floored stats — the ServingModel
+    score_nap_windows semantics (the deploy-guarded configuration), taken
+    through the XLA matmul path so the whole tick is one program."""
+    from icra2021_multimodal_ad_tpu.ops.serving import serving_diffs_batch
+
+    x = _normalize_and_fuse(fusion_params, r, d, t, m).astype(jnp.bfloat16)
+    dfs = serving_diffs_batch(model, params16, state, x)
+    cat = jnp.concatenate(dfs, axis=-1).astype(jnp.bfloat16)
+    rot = jnp.dot(cat, v16, preferred_element_type=jnp.float32)
+    tstd = (rot - offset) * inv_std
+    return jnp.mean(tstd * tstd, axis=-1)
 
 
 def get_realtime_dataloader(config: Config, fusion_params: FusionParams,
@@ -298,6 +361,43 @@ class StreamingDetector:
                              x.astype(self._dtype))
         )
 
+    def _nap_bf16_tick_ops(self):
+        """(params16, v16, offset, inv_std) for the one-program bf16 NAP
+        tick — the serving bundle's variance-floored precomputes plus a
+        once-cast bf16 whitening matrix (a per-tick cast would add a
+        dispatch).  Cached on the identity of self.nap_stats."""
+        bundle = self._nap_serving()
+        if (getattr(self, "_nap_tick_cache", None) is None
+                or self._nap_tick_cache[0] is not bundle):
+            offset, inv_std = bundle.nap_pre
+            v16 = bundle.nap_stats.rotater.v.astype(jnp.bfloat16)
+            self._nap_tick_cache = (bundle, (bundle.params, v16, offset,
+                                             inv_std))
+        return self._nap_tick_cache[1]
+
+    def score_queues(self, force_q, hand_q, depth_q, mic_frames,
+                     nap: bool = False) -> np.ndarray:
+        """ONE-dispatch tick: ring snapshots (+ precomputed MFCC frames) ->
+        normalize -> fuse -> forward -> score as a single device program.
+        Numerically identical to hsr_window_batch + score_batch (pinned by
+        tests/test_streaming.py); the run() loop uses this path."""
+        r, d, t, m = _stack_host_inputs(self.config, force_q, hand_q,
+                                        depth_q, mic_frames)
+        if nap:
+            if self.nap_stats is None:
+                raise ValueError("NAP streaming needs persisted NapStats")
+            if self._dtype == jnp.bfloat16:
+                p16, v16, offset, inv_std = self._nap_bf16_tick_ops()
+                return np.asarray(_tick_nap_bf16(
+                    self.model, self.fusion_params, p16, self.state,
+                    v16, offset, inv_std, r, d, t, m))
+            return np.asarray(_tick_nap_exact(
+                self.model, self.fusion_params, self.params, self.state,
+                self.nap_stats, r, d, t, m))
+        return np.asarray(_tick_base(
+            self.model, self.fusion_params, self._serve_params, self.state,
+            r, d, t, m, dtype=self._dtype))
+
     def run(self, source: SensorSource, n_ticks: int = 300,
             nap: bool = False,
             on_tick: Optional[Callable] = None,
@@ -355,13 +455,18 @@ class StreamingDetector:
                 time.sleep(0.01 if tick_hook is None else 0.001)
                 continue
             start = time.perf_counter()
-            x = get_realtime_dataloader(
-                self.config, self.fusion_params,
-                source.force_q.snapshot(), source.hand_q.snapshot(),
-                source.depth_q.snapshot(), source.mic_q.snapshot(),
+            # MFCC on the raw mic queue (variable-length -> stays its own
+            # step), then the whole normalize->fuse->forward->score chain
+            # as ONE device program (score_queues) — per-tick dispatch
+            # count, not compute, sets the p50 on a high-RTT link
+            mic_frames = mfcc_from_int16_chunks(
+                source.mic_q.snapshot(), self.config,
+                length=self.config.batch_size / 10.0,
             )
-            scores = self.score_batch(x, nap=nap)
-            scores = np.asarray(scores)
+            scores = self.score_queues(
+                source.force_q.snapshot(), source.hand_q.snapshot(),
+                source.depth_q.snapshot(), mic_frames, nap=nap,
+            )
             self.latencies_s.append(time.perf_counter() - start)
             traces.append(scores)
             if on_tick is not None:

@@ -333,3 +333,47 @@ def test_starved_mic_queue_raises_clear_error():
     out = mfcc_from_int16_chunks(src.mic_q.snapshot(), cfg, length=1.0,
                                  strict=False)
     assert out.shape[1] == 13
+
+
+def test_one_program_tick_matches_two_step_path():
+    """score_queues (the ONE-dispatch tick the run() loop uses) must
+    reproduce the two-step hsr_window_batch + score_batch path for every
+    scorer configuration: BASE fp32/bf16, NAP fp32 (exact, un-floored
+    stats), NAP bf16 (serving semantics: variance-floored stats +
+    mixed-precision diffs)."""
+    from icra2021_multimodal_ad_tpu.data.streaming import (
+        hsr_window_batch,
+    )
+    from icra2021_multimodal_ad_tpu.ops.mfcc import mfcc_from_int16_chunks
+    from icra2021_multimodal_ad_tpu.ops.rapp import get_diffs
+    from icra2021_multimodal_ad_tpu.ops.scoring import concat_diffs, nap_fit
+
+    cfg = _cfg()
+    model, params, state = get_model(cfg)
+    fusion_params = fusion_init(jax.random.PRNGKey(0))
+    src = SimulatedSensors(batch_size=cfg.batch_size, seed=3)
+    for _ in range(12):
+        src.tick()
+    force_q = src.force_q.snapshot()
+    hand_q = src.hand_q.snapshot()
+    depth_q = src.depth_q.snapshot()
+    mic_frames = mfcc_from_int16_chunks(
+        src.mic_q.snapshot(), cfg, length=cfg.batch_size / 10.0)
+    x = hsr_window_batch(cfg, fusion_params, force_q, hand_q, depth_q,
+                         mic_frames)
+    rng = np.random.default_rng(0)
+    fit_x = jax.numpy.asarray(
+        rng.normal(size=(64, cfg.input_size)), jax.numpy.float32)
+    stats = nap_fit(concat_diffs(get_diffs(fit_x, model, params, state)))
+
+    for dtype_name in ("float32", "bfloat16"):
+        c = cfg.replace(compute_dtype=dtype_name)
+        det = StreamingDetector(c, model, params, state, fusion_params,
+                                nap_stats=stats)
+        for nap in (False, True):
+            want = det.score_batch(x, nap=nap)
+            got = det.score_queues(force_q, hand_q, depth_q, mic_frames,
+                                   nap=nap)
+            np.testing.assert_allclose(
+                got, want, rtol=2e-4, atol=1e-6,
+                err_msg=f"dtype={dtype_name} nap={nap}")
