@@ -129,7 +129,7 @@ def _read_shards(config: Config):
 
 
 #: bump when the cached array contents change meaning (layout, dtype, ...)
-FEATURE_CACHE_VERSION = 1
+FEATURE_CACHE_VERSION = 2
 
 
 def _fusion_fingerprint(fusion_params: FusionParams) -> str:
@@ -273,8 +273,15 @@ class TabularDataset:
         sensor = config.sensor
         if fusion_params is None:
             fusion_params = fusion_init(jax.random.PRNGKey(config.seed))
-            # seed-derived params: fingerprint by seed, no device fetches
-            fusion_fp = f"prng:{config.seed}"
+            # seed-derived params: fingerprint by seed, no device fetches.
+            # The jax version + threefry flag are part of the key because
+            # fusion_init is only deterministic *within* a PRNG
+            # implementation — a jax upgrade that changes jax.random
+            # outputs must not serve features fused with the old weights
+            fusion_fp = (
+                f"prng:{config.seed}:jax{jax.__version__}:"
+                f"tfp{int(bool(jax.config.jax_threefry_partitionable))}"
+            )
         else:
             fusion_fp = _fusion_fingerprint(fusion_params)
         self.fusion_params = fusion_params
@@ -293,14 +300,15 @@ class TabularDataset:
                     z = np.load(cache_path, allow_pickle=False)
                     self.data = jnp.asarray(z["data"])
                     self.targets = jnp.asarray(z["targets"])
-                    # light metadata consumers (object-filter checks) see
-                    # the same rows; the full light-column frame is not
-                    # kept — it is derivable by rebuilding with
-                    # feature_cache=0
-                    self.df = pd.DataFrame({
-                        "data_dir": z["data_dir"].astype(str),
-                        "label": np.asarray(z["targets"]),
-                    })
+                    # the FULL light-column frame round-trips through the
+                    # cache (dtypes included) so a warm TabularDataset is
+                    # indistinguishable from a cold one — consumers must
+                    # not see a different df interface depending on hidden
+                    # on-disk state
+                    cols = [str(c) for c in z["light_columns"]]
+                    self.df = pd.DataFrame(
+                        {c: np.asarray(z[f"col_{c}"]) for c in cols}
+                    )
                     if config.verbose >= 1:
                         print(f"feature cache hit: {cache_path}")
                     return
@@ -348,12 +356,23 @@ class TabularDataset:
         try:
             os.makedirs(os.path.dirname(cache_path), exist_ok=True)
             tmp = f"{cache_path}.tmp.{os.getpid()}"
+            light = {
+                f"col_{c}": (df[c].to_numpy()
+                             if pd.api.types.is_numeric_dtype(df[c])
+                             # str/object columns -> fixed-width unicode
+                             # (np.load(allow_pickle=False) rejects object
+                             # arrays; pandas>=3 strings are dtype 'str',
+                             # not 'object', so test numeric-ness instead)
+                             else df[c].to_numpy().astype(str))
+                for c in df.columns
+            }
             with open(tmp, "wb") as f:
                 np.savez(
                     f,
                     data=np.asarray(self.data),
                     targets=np.asarray(self.targets),
-                    data_dir=df["data_dir"].to_numpy().astype(str),
+                    light_columns=np.asarray([str(c) for c in df.columns]),
+                    **light,
                 )
             os.replace(tmp, cache_path)
         except OSError as e:

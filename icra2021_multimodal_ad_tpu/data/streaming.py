@@ -100,6 +100,14 @@ class MicRing(RingBuffer):
                 self._samples -= len(self._q.popleft()) // 2
             self.last_append = self._clock()
 
+    def sample_count(self) -> int:
+        """Total int16 samples currently held — the maintained counter,
+        O(1) under the lock (ready() polls this every warm-up tick; a
+        snapshot + sum would copy the whole ring each poll and duplicate
+        the bytes->samples accounting)."""
+        with self._lock:
+            return self._samples
+
 
 class SensorSource:
     """Adapter interface: anything that can fill the four ring buffers.
@@ -131,7 +139,7 @@ class SensorSource:
         mismatched modality row counts)."""
         if not (self.force_q.full and self.hand_q.full and self.depth_q.full):
             return False
-        n_samples = sum(len(c) // 2 for c in self.mic_q.snapshot())
+        n_samples = self.mic_q.sample_count()
         return n_samples >= self._MIC_WINDOW_SAMPLES * (self.batch_size + 1)
 
     def stale_topics(self, timeout_s: float, now: Optional[float] = None):

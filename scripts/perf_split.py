@@ -109,7 +109,7 @@ def main():
     # One conv stack over concat([r, d]) with block-diagonal weights (zeros
     # in the cross blocks -> numerically identical outputs, channel order
     # [rgb16, depth8] = the concat order fuse() needs anyway).
-    def _blockdiag2(wa, wb, k):
+    def _blockdiag2(wa, wb):
         oa, ia = wa.shape[:2]
         ob, ib = wb.shape[:2]
         w = jnp.zeros((oa + ob, ia + ib) + wa.shape[2:], wa.dtype)
@@ -117,11 +117,11 @@ def main():
         w = w.at[oa:, ia:].set(wb)
         return w
 
-    w1 = _blockdiag2(fp16.rgb1["w"], fp16.dep1["w"], 2)
+    w1 = _blockdiag2(fp16.rgb1["w"], fp16.dep1["w"])
     b1 = jnp.concatenate([fp16.rgb1["b"], fp16.dep1["b"]])
-    w2 = _blockdiag2(fp16.rgb2["w"], fp16.dep2["w"], 3)
+    w2 = _blockdiag2(fp16.rgb2["w"], fp16.dep2["w"])
     b2 = jnp.concatenate([fp16.rgb2["b"], fp16.dep2["b"]])
-    w3 = _blockdiag2(fp16.rgb3["w"], fp16.dep3["w"], 2)
+    w3 = _blockdiag2(fp16.rgb3["w"], fp16.dep3["w"])
     b3 = jnp.concatenate([fp16.rgb3["b"], fp16.dep3["b"]])
 
     def merged_rd(r, d):

@@ -269,10 +269,6 @@ def test_multihost_two_process_smoke(tmp_path):
     import subprocess
     import sys
 
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-
     worker = tmp_path / "worker.py"
     worker.write_text(
         "import os, sys\n"
@@ -292,25 +288,44 @@ def test_multihost_two_process_smoke(tmp_path):
         "assert sorted(float(v) for v in val.ravel()) == [0.0, 1.0], val\n"
         "print('worker', jax.process_index(), 'OK')\n"
     )
-    procs = []
-    for pid in range(2):
-        env = dict(os.environ)
-        env.pop("PALLAS_AXON_POOL_IPS", None)
-        env.pop("XLA_FLAGS", None)
-        env.update({
-            "JAX_PLATFORMS": "cpu",
-            "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
-            "JAX_NUM_PROCESSES": "2",
-            "JAX_PROCESS_ID": str(pid),
-        })
-        procs.append(subprocess.Popen(
-            [sys.executable, str(worker)], env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        ))
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=120)
-        outs.append(out)
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
-        assert f"worker {pid} OK" in out
+    def attempt():
+        # bind-then-close port picking is inherently racy (another process
+        # can grab the port in the window before the coordinator binds it),
+        # so each attempt gets a fresh port and failures are retried
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        procs = []
+        for pid in range(2):
+            env = dict(os.environ)
+            env.pop("PALLAS_AXON_POOL_IPS", None)
+            env.pop("XLA_FLAGS", None)
+            env.update({
+                "JAX_PLATFORMS": "cpu",
+                "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+                "JAX_NUM_PROCESSES": "2",
+                "JAX_PROCESS_ID": str(pid),
+            })
+            procs.append(subprocess.Popen(
+                [sys.executable, str(worker)], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            ))
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=120)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, _ = p.communicate()
+            outs.append(out)
+        ok = all(
+            p.returncode == 0 and f"worker {pid} OK" in out
+            for pid, (p, out) in enumerate(zip(procs, outs))
+        )
+        return ok, outs
+
+    for _ in range(2):
+        ok, outs = attempt()
+        if ok:
+            return
+    assert ok, "two-process bring-up failed twice:\n" + "\n---\n".join(outs)

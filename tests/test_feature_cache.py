@@ -99,8 +99,18 @@ def test_cache_roundtrip_identical_and_skips_build(cache_root, monkeypatch):
     np.testing.assert_array_equal(np.asarray(ds1.data), np.asarray(ds2.data))
     np.testing.assert_array_equal(np.asarray(ds1.targets),
                                   np.asarray(ds2.targets))
-    # metadata consumers keep working on a hit
-    assert set(ds2.df["data_dir"]) == set(ds1.df["data_dir"])
+    # the FULL light-column frame round-trips: a warm dataset must be
+    # indistinguishable from a cold one (same columns, same rows, same
+    # values — consumers must not see a different df interface depending
+    # on hidden on-disk state)
+    assert list(ds2.df.columns) == list(ds1.df.columns)
+    for c in ds1.df.columns:
+        a, b = ds1.df[c].to_numpy(), ds2.df[c].to_numpy()
+        if np.issubdtype(np.asarray(b).dtype, np.number):
+            np.testing.assert_array_equal(a.astype(np.float64),
+                                          b.astype(np.float64), err_msg=c)
+        else:
+            assert [str(v) for v in a] == [str(v) for v in b], c
 
 
 def test_cache_key_sensitivity(cache_root):
