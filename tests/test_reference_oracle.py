@@ -931,3 +931,236 @@ def test_reference_etl_alignment_execution_parity(ref, tmp_path):
         lidar_cols = [c for c in ours.columns if c.startswith("LiDAR")]
         np.testing.assert_allclose(ours[lidar_cols].to_numpy(), lidar_ref,
                                    atol=1e-5, err_msg=ep)
+
+
+# ---------------------------------------------------------------------------
+# dataset manager + build execution parity (C9/C10/C12): the reference's OWN
+# TabularDataset/Manager/get_loaders run on synthetic shards, vs ours
+# ---------------------------------------------------------------------------
+
+_DS_SEED = 5
+
+
+def _ref_dataset_env(ref, monkeypatch, root: str):
+    """Patches that let /root/reference's dataset stack execute here:
+    - pd.DataFrame.append (removed in pandas 2) -> pd.concat shim
+    - sklearn.utils.shuffle (unseeded, data_loaders.py:287) -> OUR seeded
+      permutation, so both pipelines see the same row order
+    - .cuda() on tensors/modules -> identity (no CUDA on this host)
+    - the hardcoded image root '/data_ssd/hsr_dropobject/data/'
+      (data_loaders.py:341,349) -> <root>/data/
+    - HSR_Net capture, so its unseeded random conv weights can be
+      transplanted into OUR fusion params for an apples-to-apples build
+    - cwd -> /root/reference so get_loaders finds datasets/data_config.json
+      (data_loaders.py:53)
+    """
+    import pandas as pd
+    import sklearn.utils
+    from PIL import Image as PILImage
+
+    monkeypatch.setattr(
+        pd.DataFrame, "append",
+        lambda self, other, ignore_index=False: pd.concat(
+            [self, other], ignore_index=ignore_index),
+        raising=False,
+    )
+    monkeypatch.setattr(
+        sklearn.utils, "shuffle",
+        lambda frame: frame.iloc[
+            np.random.default_rng(_DS_SEED).permutation(len(frame))],
+    )
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+
+    captured = []
+
+    def module_cuda(self, *a, **k):
+        # identity .cuda() doubles as the HSR_Net capture point: the class
+        # itself cannot be wrapped because its __init__ re-resolves the
+        # module-level name via super(HSR_Net, self) (data_loaders.py:154)
+        if isinstance(self, ref.loaders.HSR_Net):
+            captured.append(self)
+        return self
+
+    monkeypatch.setattr(torch.nn.Module, "cuda", module_cuda)
+
+    hard_prefix = "/data_ssd/hsr_dropobject/data/"
+
+    def rewriting_open(path, *a, **k):
+        assert str(path).startswith(hard_prefix), path
+        return PILImage.open(
+            os.path.join(root, "data", str(path)[len(hard_prefix):]))
+
+    monkeypatch.setattr(ref.loaders, "Image",
+                        SimpleNamespace(open=rewriting_open))
+
+    monkeypatch.chdir(REF)
+    return captured
+
+
+def _ref_dataset_config(root: str, sensor: str, slicing: int, batch: int):
+    return SimpleNamespace(
+        sensor=sensor, file_name="data_sum",
+        data_folder_name=root.rstrip("/") + "/",
+        object_select_mode=False, object_type="book",
+        slicing_size=slicing, gpu_id=0, data="hsr_objectdrop",
+        target_class=1, unimodal_normal=False, novelty_ratio=0.0,
+        verbose=0, batch_size=batch,
+    )
+
+
+def _synth_eight_shards(tmp_path, write_images: bool):
+    from icra2021_multimodal_ad_tpu.data.synthetic import (
+        generate_data_sum_shards,
+    )
+
+    root = str(tmp_path / "dsref")
+    generate_data_sum_shards(
+        root, n_episodes=8, steps_per_episode=10, n_shards=8,
+        seed=11, write_images=write_images,
+    )
+    return root
+
+
+def _loader_index_parity(ref_loaders_list, our_loaders_list):
+    """train: same membership (both shuffle at iteration); valid/test: the
+    reference's SequentialIndicesSampler order must match exactly."""
+    ref_tr, ref_va, ref_te = ref_loaders_list
+    our_tr, our_va, our_te = our_loaders_list
+    assert sorted(ref_tr.sampler.indices) == sorted(our_tr.indices.tolist())
+    assert list(ref_va.sampler.indices) == list(our_va.indices)
+    assert list(ref_te.sampler.indices) == list(our_te.indices)
+
+
+def test_reference_dataset_build_force_torque_execution_parity(
+        ref, monkeypatch, tmp_path):
+    """The reference's WHOLE dataset layer — TabularDataset 8-shard read +
+    shuffle + slice + per-column min-max + HSR_Net force broadcast,
+    TabularDatasetManager splits, get_loaders label logic — executed on
+    synthetic shards and matched against ours end to end."""
+    from icra2021_multimodal_ad_tpu.data.dataset import get_loaders
+
+    root = _synth_eight_shards(tmp_path, write_images=False)
+    _ref_dataset_env(ref, monkeypatch, root)
+
+    ref_cfg = _ref_dataset_config(root, "force_torque", slicing=64, batch=16)
+    ref_mgr, ref_tr, ref_va, ref_te = ref.loaders.get_loaders(ref_cfg)
+
+    cfg = _our_config(
+        sensor="force_torque", data_folder_name=root + "/",
+        slicing_size=64, batch_size=16, seed=_DS_SEED, verbose=0,
+        feature_cache=0,
+    )
+    mgr, tr, va, te = get_loaders(cfg)
+
+    ref_x = ref_mgr.total_x.cpu().numpy()
+    ref_y = ref_mgr.total_y.cpu().numpy()
+    ours_x = np.asarray(mgr.total_x)
+    assert ours_x.shape == ref_x.shape == (64, 64)
+    np.testing.assert_allclose(ours_x, ref_x, atol=1e-5, rtol=0)
+    np.testing.assert_array_equal(np.asarray(mgr.total_y), ref_y)
+    _loader_index_parity([ref_tr, ref_va, ref_te], [tr, va, te])
+
+
+def test_reference_dataset_build_all_sensor_execution_parity(
+        ref, monkeypatch, tmp_path):
+    """All-sensor build: the reference's PIL image loop + norm_vec_np +
+    F.interpolate + HSR_Net fusion executed for real (transplanted into our
+    fusion params).  depth/force/mic feature blocks must match exactly; the
+    rgb block differs ONLY by the documented layout deviation — the
+    reference raw-views HWC-flattened pixels as CHW (data_loaders.py:
+    370-374, scrambling channels) where we transpose properly
+    (data/dataset.py module docstring) — which is proven by feeding the
+    reference's scrambled rgb tensor through OUR conv path and matching
+    its rgb block bit-for-tolerance."""
+    from icra2021_multimodal_ad_tpu.data.dataset import (
+        TabularDataset,
+        TabularDatasetManager,
+        _load_images,
+    )
+    import jax.numpy as jnp
+
+    from icra2021_multimodal_ad_tpu.ops.fusion import fuse
+    from icra2021_multimodal_ad_tpu.ops.image import resize_nearest
+
+    root = _synth_eight_shards(tmp_path, write_images=True)
+    captured = _ref_dataset_env(ref, monkeypatch, root)
+
+    ref_cfg = _ref_dataset_config(root, "All", slicing=48, batch=16)
+    ref_mgr, ref_tr, ref_va, ref_te = ref.loaders.get_loaders(ref_cfg)
+    assert len(captured) == 1
+    params = _fusion_params_from_hsr_net(captured[0])
+
+    cfg = _our_config(
+        sensor="All", data_folder_name=root + "/", slicing_size=48,
+        batch_size=16, seed=_DS_SEED, verbose=0, feature_cache=0,
+    )
+    ds = TabularDataset(cfg, fusion_params=params)
+    mgr = TabularDatasetManager(cfg, dataset=ds)
+
+    ref_x = ref_mgr.total_x.detach().cpu().numpy()
+    ours_x = np.asarray(mgr.total_x)
+    assert ours_x.shape == ref_x.shape == (48, 1728)
+    np.testing.assert_array_equal(np.asarray(mgr.total_y),
+                                  ref_mgr.total_y.detach().cpu().numpy())
+
+    # channel-major flatten: [rgb 16x64 | depth 8x64 | force 64 | mic 2x64]
+    scale = np.abs(ref_x).max() + 1e-8
+    np.testing.assert_allclose(ours_x[:, 1024:], ref_x[:, 1024:],
+                               atol=1e-5 * scale, rtol=0)
+
+    # rgb block: reproduce the reference's scrambled layout from the same
+    # PNGs and push it through OUR conv path
+    df = ds.df
+    raw = _load_images(cfg.data_folder_name,
+                       df["data_dir"].to_numpy(),
+                       df["cur_hand_id"].to_numpy(), "hand")
+    flat = raw.reshape(raw.shape[0], -1).astype(np.float64)
+    lo, hi = flat.min(axis=0), flat.max(axis=0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        normed = np.nan_to_num((flat - lo) / (hi - lo))
+    scrambled = normed.reshape(-1, 3, 24, 32).astype(np.float32)  # raw view
+    r_ref_layout = resize_nearest(jnp.asarray(scrambled), 32, 32)
+    ours_rgb = np.asarray(
+        fuse(params, sensor="hand_camera", r=r_ref_layout))
+    np.testing.assert_allclose(ours_rgb, ref_x[:, :1024],
+                               atol=1e-5 * scale, rtol=0)
+    # and the deviation is real: the properly-transposed build differs
+    assert not np.allclose(ours_x[:, :1024], ref_x[:, :1024],
+                           atol=1e-5 * scale)
+
+    our_loaders = mgr.get_loaders(
+        batch_size=cfg.batch_size,
+        indexes_list=[list(s) for s in (
+            mgr.get_indexes(labels=[0], ratios=[0.6, 0.2, 0.2])[0],
+            mgr.get_indexes(labels=[0], ratios=[0.6, 0.2, 0.2])[1],
+            mgr.get_indexes(labels=[0], ratios=[0.6, 0.2, 0.2])[2]
+            + mgr.get_indexes(labels=[1])[0],
+        )],
+    )
+    _loader_index_parity([ref_tr, ref_va, ref_te], our_loaders)
+
+
+def test_reference_get_balance_count_parity(ref):
+    """get_balance's subsample sizes are deterministic even though the
+    reference draws with the unseeded global RNG — counts must match ours
+    in both directions (too few novelties / too many)."""
+    from icra2021_multimodal_ad_tpu.data.dataset import get_balance
+
+    seen = list(range(100))
+    unseen = list(range(100, 120))
+    for ratio in (0.3, 0.5):
+        ref_seen, ref_unseen = ref.loaders.get_balance(
+            list(seen), list(unseen), ratio)
+        our_seen, our_unseen = get_balance(list(seen), list(unseen), ratio,
+                                           seed=_DS_SEED)
+        assert len(ref_seen) == len(our_seen), ratio
+        assert len(ref_unseen) == len(our_unseen), ratio
+        assert set(our_seen) <= set(seen) and set(our_unseen) <= set(unseen)
+
+    # the other direction: novelties over-represented
+    ref_seen, ref_unseen = ref.loaders.get_balance(
+        list(range(10)), list(range(10, 40)), 0.5)
+    our_seen, our_unseen = get_balance(list(range(10)), list(range(10, 40)),
+                                       0.5, seed=_DS_SEED)
+    assert len(ref_seen) == len(our_seen)
+    assert len(ref_unseen) == len(our_unseen)
