@@ -1164,3 +1164,79 @@ def test_reference_get_balance_count_parity(ref):
                                        0.5, seed=_DS_SEED)
     assert len(ref_seen) == len(our_seen)
     assert len(ref_unseen) == len(our_unseen)
+
+
+# ---------------------------------------------------------------------------
+# realtime streaming twin (C17): the reference's OWN HsrDataset /
+# Multisensory_module executed on simulated ring-buffer snapshots
+# ---------------------------------------------------------------------------
+
+
+def test_reference_hsrdataset_realtime_execution_parity(ref, monkeypatch):
+    """data_loaders.py:714-731 executed for real: per-tick window batches
+    through the reference's norm_vec ([-1,1] global/fixed ranges) and the
+    per-sample Multisensory_module loop, with its fresh random conv draw
+    captured and transplanted into our fusion params.  depth/force/mic
+    feature blocks must match our hsr_window_batch exactly; rgb matches
+    once the reference's HWC-as-CHW raw view (view(-1,1,3,32,32) on
+    (B,32,32,3) frames, same deviation as the offline build) is
+    reproduced through our conv path.  librosa's MFCC step is bypassed by
+    feeding precomputed 13-dim frames, exactly what HsrDataset receives
+    from save_mfcc_from_wav."""
+    import jax.numpy as jnp
+
+    from icra2021_multimodal_ad_tpu.data.streaming import hsr_window_batch
+    from icra2021_multimodal_ad_tpu.ops.fusion import fuse
+    from icra2021_multimodal_ad_tpu.ops.image import norm_minmax_global
+
+    B = 7
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    captured = []
+
+    def module_cuda(self, *a, **k):
+        if isinstance(self, ref.loaders.Multisensory_module):
+            captured.append(self)
+        return self
+
+    monkeypatch.setattr(torch.nn.Module, "cuda", module_cuda)
+
+    rng = np.random.default_rng(21)
+    force_q = [float(v) for v in rng.uniform(0, 400, B)]
+    hand_q = [rng.uniform(0, 255, (32, 32, 3)).astype(np.float32)
+              for _ in range(B)]
+    depth_q = [rng.uniform(0, 255, (32, 32)).astype(np.float32)
+               for _ in range(B)]
+    mic_frames = rng.normal(-300, 80, (B, 13)).astype(np.float32)
+
+    ref_cfg = SimpleNamespace(batch_size=B, gpu_id=0)
+    ref_out = ref.loaders.HsrDataset(
+        ref_cfg, force_q, np.stack(hand_q), np.stack(depth_q), mic_frames
+    ).detach().cpu().numpy()
+    assert ref_out.shape == (B, 1728)
+    assert len(captured) == 1
+    params = _fusion_params_from_hsr_net(captured[0])
+
+    cfg = _our_config(sensor="All", batch_size=B, verbose=0)
+    ours = np.asarray(hsr_window_batch(cfg, params, force_q, hand_q,
+                                       depth_q, mic_frames))
+    assert ours.shape == (B, 1728)
+
+    scale = np.abs(ref_out).max() + 1e-8
+    # depth (8x64) / force (64) / mic (2x64) blocks: exact parity
+    np.testing.assert_allclose(ours[:, 1024:], ref_out[:, 1024:],
+                               atol=1e-5 * scale, rtol=0)
+    # rgb block: reproduce the raw-view scramble, then our conv path
+    scrambled = (np.stack(hand_q).reshape(B, -1) * (2.0 / 255.0) - 1.0)
+    scrambled = scrambled.reshape(B, 3, 32, 32).astype(np.float32)
+    ours_rgb = np.asarray(fuse(params, sensor="hand_camera",
+                               r=jnp.asarray(scrambled)))
+    np.testing.assert_allclose(ours_rgb, ref_out[:, :1024],
+                               atol=1e-5 * scale, rtol=0)
+    assert not np.allclose(ours[:, :1024], ref_out[:, :1024],
+                           atol=1e-5 * scale)
+
+    # the reference's global mic min-max is what we implement
+    m = torch.tensor(mic_frames)
+    ref_m = ref.loaders.norm_vec(m).numpy()
+    our_m = np.asarray(norm_minmax_global(jnp.asarray(mic_frames)))
+    np.testing.assert_allclose(our_m, ref_m, atol=1e-6, rtol=0)
