@@ -38,6 +38,21 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.c_long,
     ]
     lib.fast_csv_read_f32.restype = ctypes.c_long
+    lib.fast_csv_read_f64.argtypes = [
+        ctypes.c_char_p,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ctypes.c_long,
+    ]
+    lib.fast_csv_read_f64.restype = ctypes.c_long
+    lib.fast_csv_read_col_str.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_char_p,
+        ctypes.c_long,
+    ]
+    lib.fast_csv_read_col_str.restype = ctypes.c_long
 
 
 _loader = NativeLib(
@@ -94,3 +109,81 @@ def _pandas_fallback(path: str, columns: Sequence[str]) -> np.ndarray:
 
     df = pd.read_csv(path, usecols=list(columns))
     return df[list(columns)].to_numpy(dtype=np.float32)
+
+
+def read_string_column(path: str, column: str) -> Optional[List[str]]:
+    """All values of one string column, in row order; None when the native
+    path is unavailable (caller falls back to pandas)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    try:
+        header = read_header(path)
+        col_idx = header.index(column)
+        cap = os.path.getsize(path)
+        buf = ctypes.create_string_buffer(cap)
+        got = lib.fast_csv_read_col_str(path.encode(), col_idx, buf, cap)
+        if got < 0:
+            raise IOError(f"fast_csv_read_col_str rc={got}")
+        if got == 0:
+            return []
+        return buf.raw[:got].decode("utf-8").split("\n")
+    except (KeyError, ValueError):
+        raise
+    except Exception:
+        return None
+
+
+def read_light_frame(path: str, columns: Sequence[str],
+                     string_columns: Sequence[str] = ("data_dir",)):
+    """The light-column frame of one shard as a DataFrame with the columns
+    in FILE order (matching pandas usecols semantics): numeric columns via
+    the threaded float64 reader, string columns via the single-column
+    extractor.  Returns None when the native path is unavailable or any
+    column is missing — the caller falls back to pandas.  Measured ~5x the
+    pandas usecols parse on the 984-column data_sum schema (pandas must
+    tokenize every field of every row either way; the win is the parse)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import pandas as pd
+
+    try:
+        header = read_header(path)
+        want = [c for c in header if c in set(columns)]
+        if sorted(want) != sorted(set(columns) & set(header)) or \
+                len(want) != len(columns):
+            return None  # missing columns: let pandas raise its own error
+        numeric = [c for c in want if c not in set(string_columns)]
+        sel = np.asarray([header.index(c) for c in numeric], dtype=np.int32)
+        n_rows, _ = dims(path)
+        out = np.empty((n_rows, len(numeric)), dtype=np.float64)
+        got = lib.fast_csv_read_f64(path.encode(), sel, len(numeric), out,
+                                    n_rows)
+        if got < 0:
+            raise IOError(f"fast_csv_read_f64 rc={got}")
+        data = {}
+        for c in want:
+            if c in set(string_columns):
+                vals = read_string_column(path, c)
+                if vals is None or len(vals) != got:
+                    return None
+                # run pandas' OWN inference on the raw text so the dtype
+                # matches the usecols fallback exactly: numeric episode
+                # names become int64 there, and the objectsplit isin()
+                # filter compares str-vs-int64 to an all-False mask if we
+                # hand it Python strings instead
+                import io
+
+                ser = pd.read_csv(
+                    io.StringIO("\n".join(vals)), header=None,
+                    skip_blank_lines=False,
+                )[0]
+                data[c] = ser.to_numpy()
+            else:
+                data[c] = out[:got, numeric.index(c)]
+        return pd.DataFrame(data)
+    except (KeyError, ValueError):
+        raise
+    except Exception:
+        return None

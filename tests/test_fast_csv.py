@@ -122,6 +122,95 @@ def test_crlf_and_trailing_newline(tmp_path):
     np.testing.assert_allclose(out, [[1, 2], [3, 4]])
 
 
+@pytest.fixture(scope="module")
+def data_sum_path(tmp_path_factory):
+    """A shard with the real data_sum column layout: light columns up
+    front, 963 LiDAR columns in the middle, `label` last — the shape the
+    head/tail split in parse_line is designed around."""
+    rng = np.random.default_rng(3)
+    n = 200
+    cols = {"time": np.arange(n) * 0.1}
+    for i in range(13):
+        cols[f"mfcc{i:02d}"] = rng.normal(size=n)
+    cols["cur_depth_id"] = rng.integers(0, 500, n)
+    cols["cur_hand_id"] = rng.integers(0, 500, n)
+    cols["cur_hand_weight"] = rng.uniform(0, 400, n)
+    cols["data_dir"] = [f"2020_ep{i % 7:04d}" for i in range(n)]
+    for i in range(963):
+        cols[f"LiDAR{i:03d}"] = rng.uniform(0.2, 5, n)
+    cols["label"] = rng.integers(0, 2, n)
+    p = str(tmp_path_factory.mktemp("sum") / "data_sum0.csv")
+    pd.DataFrame(cols).to_csv(p, index=False)
+    return p
+
+
+LIGHT = [f"mfcc{i:02d}" for i in range(13)] + [
+    "cur_depth_id", "cur_hand_id", "cur_hand_weight", "data_dir", "label",
+]
+
+
+def test_light_frame_matches_pandas(data_sum_path):
+    ours = fast_csv.read_light_frame(data_sum_path, LIGHT)
+    if ours is None:
+        pytest.skip("native lib unavailable")
+    ref = pd.read_csv(data_sum_path, usecols=lambda c: c in LIGHT)
+    assert list(ours.columns) == list(ref.columns)  # file order
+    for c in ref.columns:
+        if ours[c].dtype.kind in "if":
+            # from_chars is correctly rounded; pandas' xstrtod is not —
+            # they may differ in the last double ulp (narrowed to float32
+            # downstream, where both round identically)
+            np.testing.assert_allclose(
+                ours[c].to_numpy().astype(float),
+                ref[c].to_numpy().astype(float), rtol=1e-11, err_msg=c)
+        else:
+            assert ours[c].dtype == ref[c].dtype
+            assert (ours[c] == ref[c]).all(), c
+
+
+def test_light_frame_numeric_data_dir_dtype(data_sum_path, tmp_path):
+    """Numeric episode names must come back int64 exactly as pandas infers
+    them — the objectsplit isin() filter compares str-vs-int64 to an
+    all-False mask otherwise (silently empty dataset)."""
+    df = pd.read_csv(data_sum_path)
+    df["data_dir"] = np.arange(len(df)) + 20200000
+    p = str(tmp_path / "num_sum0.csv")
+    df.to_csv(p, index=False)
+    ours = fast_csv.read_light_frame(p, LIGHT)
+    if ours is None:
+        pytest.skip("native lib unavailable")
+    ref = pd.read_csv(p, usecols=lambda c: c in LIGHT)
+    assert ours["data_dir"].dtype == ref["data_dir"].dtype == np.int64
+    assert (ours["data_dir"] == ref["data_dir"]).all()
+
+
+def test_light_frame_refuses_torn_tail_row(data_sum_path, tmp_path):
+    """A row torn mid-write by a crashed appender would misattribute the
+    backward-scanned `label` out of a LiDAR field — the reader must refuse
+    the file (pandas fallback), not parse it."""
+    lines = open(data_sum_path).read().splitlines()
+    torn = lines[:51]
+    torn.append(lines[51][: len(lines[51]) // 2])  # half a row
+    p = str(tmp_path / "torn_sum0.csv")
+    open(p, "w").write("\n".join(torn))
+    assert fast_csv.read_light_frame(p, LIGHT) is None
+
+
+def test_light_frame_missing_column_falls_back(data_sum_path):
+    assert fast_csv.read_light_frame(data_sum_path, LIGHT + ["nope"]) is None
+
+
+def test_label_reads_via_tail_scan(data_sum_path):
+    """`label` is the final of 984 columns; the backward scan must hit it
+    exactly (off-by-one here would silently swap it with LiDAR962)."""
+    if fast_csv.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    out = fast_csv.read_columns(data_sum_path, ["label", "LiDAR962"])
+    ref = pd.read_csv(data_sum_path)[["label", "LiDAR962"]].to_numpy(
+        dtype=np.float32)
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
+
+
 def test_speed_vs_pandas(tmp_path):
     if fast_csv.get_lib() is None:
         pytest.skip("native lib unavailable")
