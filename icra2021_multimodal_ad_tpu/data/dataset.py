@@ -216,13 +216,13 @@ def _load_images(root: str, data_dirs: Sequence[str], ids: Sequence[int],
     resized to (24, 32) like the reference's PIL resize((32, 24)).
 
     The reference decodes 56,000 PNGs serially at dataset build — its #1 hot
-    loop (SURVEY.md §3.1).  Two mitigations: identical paths (consecutive
-    10 Hz windows repeating a slower camera frame) are decoded exactly once
-    and fanned out, and distinct paths are decoded by a thread pool sized to
-    the host cores.  On a single-core host (the TPU frontend this ships on)
-    the pool degrades to the plain serial loop — measured there, pool
-    overhead made threads 0.74x and processes 0.2x, so parallelism is only
-    engaged when cpu_count > 1."""
+    loop (SURVEY.md §3.1).  Mitigations: identical paths (consecutive 10 Hz
+    windows repeating a slower camera frame) are decoded exactly once and
+    fanned out, and distinct paths go through ONE native batch call
+    (fast_png.decode_resized_batch — file read + libpng decode in C, GIL
+    released, threaded inside the library on multi-core hosts).  Without
+    the native library: PIL thread pool when cpu_count > 1, else the plain
+    serial loop (pool overhead measured 0.74x on the 1-core TPU frontend)."""
     from concurrent.futures import ThreadPoolExecutor
 
     paths = [
@@ -231,13 +231,24 @@ def _load_images(root: str, data_dirs: Sequence[str], ids: Sequence[int],
         for d, i in zip(data_dirs, ids)
     ]
     unique = list(dict.fromkeys(paths))
-    if max_workers is None:
-        max_workers = min(32, (os.cpu_count() or 8))
-    if len(unique) <= 1 or max_workers <= 1:
-        decoded = {p: _decode_one(p) for p in unique}
+    # one native call decodes the whole batch (threaded inside the library,
+    # GIL released): amortizes per-image Python/ctypes overhead even on the
+    # 1-core TPU frontend, scales with cores elsewhere
+    from icra2021_multimodal_ad_tpu.data.fast_png import decode_resized_batch
+
+    arrs = decode_resized_batch(unique, (32, 24))
+    if arrs is not None:
+        decoded = dict(zip(unique, arrs))
     else:
-        with ThreadPoolExecutor(max_workers=max_workers) as pool:
-            decoded = dict(zip(unique, pool.map(_decode_one, unique)))
+        # no native library: PIL pool (multi-core) or serial (1-core hosts,
+        # where pool overhead measured 0.74x)
+        if max_workers is None:
+            max_workers = min(32, (os.cpu_count() or 8))
+        if len(unique) <= 1 or max_workers <= 1:
+            decoded = {p: _decode_one(p) for p in unique}
+        else:
+            with ThreadPoolExecutor(max_workers=max_workers) as pool:
+                decoded = dict(zip(unique, pool.map(_decode_one, unique)))
     return np.stack([decoded[p] for p in paths])
 
 

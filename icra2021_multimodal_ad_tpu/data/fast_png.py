@@ -37,6 +37,15 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.c_long, intp, intp, intp,
     ]
     lib.fast_png_decode.restype = ctypes.c_int
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.fast_png_decode_batch.argtypes = [
+        ctypes.c_char_p,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int,
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ctypes.c_long, i32p, i32p, i32p, i32p, ctypes.c_int,
+    ]
+    lib.fast_png_decode_batch.restype = ctypes.c_int
 
 
 _loader = NativeLib(
@@ -85,13 +94,84 @@ def decode(path: str) -> Optional[np.ndarray]:
     return arr[..., 0] if c.value == 1 else arr
 
 
+#: per-chunk output budget for batch decodes — bounds peak memory when a
+#: batch of full camera frames (640*480*3 ~ 0.9 MB each) comes through
+_BATCH_BUDGET_BYTES = 256 * 1024 * 1024
+
+
+def decode_batch(paths, n_threads: Optional[int] = None):
+    """Decode many PNGs in ONE native call (per memory-bounded chunk),
+    threaded across host cores inside the library (the GIL is released for
+    the whole call).  Returns a list aligned with `paths`: uint8 (H, W, 3)
+    / (H, W) arrays, with None for any image the native path can't handle
+    (caller falls back to PIL per image).  Returns None wholesale when the
+    native library is unavailable.
+
+    Even single-core this amortizes the per-call Python/ctypes overhead of
+    the per-row decode loop; multi-core it scales where a PIL thread pool
+    cannot (PIL holds the GIL through most of a decode)."""
+    lib = get_lib()
+    if lib is None or not paths:
+        return None if lib is None else []
+    if n_threads is None:
+        n_threads = min(32, os.cpu_count() or 1)
+
+    # size the per-image slot from the first image's dims: frames from one
+    # camera stream share a resolution, so one probe covers the batch; any
+    # larger image comes back rc=-3 and is retried alone with exact size
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    c = ctypes.c_int()
+    rc = lib.fast_png_dims(paths[0].encode(), ctypes.byref(h),
+                           ctypes.byref(w), ctypes.byref(c))
+    cap_each = (h.value * w.value * c.value) if rc == 0 else _SCRATCH_BYTES
+    cap_each = max(cap_each, 1)
+
+    out: list = []
+    chunk = max(1, _BATCH_BUDGET_BYTES // cap_each)
+    for lo in range(0, len(paths), chunk):
+        batch = paths[lo:lo + chunk]
+        n = len(batch)
+        encoded = [p.encode() for p in batch]
+        offsets = np.zeros(n, dtype=np.int64)
+        pos = 0
+        for i, e in enumerate(encoded):
+            offsets[i] = pos
+            pos += len(e) + 1
+        blob = b"\0".join(encoded) + b"\0"
+        buf = np.empty(n * cap_each, dtype=np.uint8)
+        hs = np.empty(n, dtype=np.int32)
+        ws = np.empty(n, dtype=np.int32)
+        cs = np.empty(n, dtype=np.int32)
+        rcs = np.empty(n, dtype=np.int32)
+        lib.fast_png_decode_batch(blob, offsets, n, buf, cap_each,
+                                  hs, ws, cs, rcs, n_threads)
+        for i in range(n):
+            if rcs[i] == -3:  # bigger than the probed slot: exact retry
+                out.append(decode(batch[i]))
+                continue
+            if rcs[i] != 0:
+                out.append(None)
+                continue
+            npx = int(hs[i]) * int(ws[i]) * int(cs[i])
+            arr = buf[i * cap_each: i * cap_each + npx].reshape(
+                int(hs[i]), int(ws[i]), int(cs[i])).copy()
+            out.append(arr[..., 0] if cs[i] == 1 else arr)
+    return out
+
+
 def decode_resized(path: str, size=(32, 24)) -> np.ndarray:
     """Native decode (GIL-free) + PIL resize — bit-identical to
     np.asarray(Image.open(path).resize(size)); falls back to the pure-PIL
     path when native decode is unavailable."""
     from PIL import Image
 
-    arr = decode(path)
+    return _resized(decode(path), path, size)
+
+
+def _resized(arr: Optional[np.ndarray], path: str, size) -> np.ndarray:
+    from PIL import Image
+
     if arr is None:
         return np.asarray(Image.open(path).resize(size))
     if arr.shape[:2] == (size[1], size[0]):
@@ -101,3 +181,14 @@ def decode_resized(path: str, size=(32, 24)) -> np.ndarray:
         # bit-identical
         return arr
     return np.asarray(Image.fromarray(arr).resize(size))
+
+
+def decode_resized_batch(paths, size=(32, 24)):
+    """Batched decode_resized: one native call per memory-bounded chunk,
+    PIL fallback per failed image, PIL resize for off-target sizes —
+    outputs bit-identical to [decode_resized(p, size) for p in paths].
+    Returns None when the native library is unavailable."""
+    decoded = decode_batch(paths)
+    if decoded is None:
+        return None
+    return [_resized(a, p, size) for a, p in zip(decoded, paths)]

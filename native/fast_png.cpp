@@ -16,8 +16,11 @@
 //        native/libfastpng.so
 
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <png.h>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -26,73 +29,63 @@ namespace {
 // simplified libpng API hides bit depth, but sub-8-bit grayscale must be
 // deferred to PIL (PIL yields bool/low-depth arrays where libpng would
 // expand to uint8 0/255 — different dtype and values).
-int ihdr_bit_depth(const char* path) {
-  unsigned char head[26];
-  std::FILE* f = std::fopen(path, "rb");
-  if (!f) return -1;
-  size_t n = std::fread(head, 1, sizeof head, f);
-  std::fclose(f);
+int ihdr_bit_depth_buf(const unsigned char* head, size_t n) {
   static const unsigned char sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
-  if (n < sizeof head || std::memcmp(head, sig, 8) != 0) return -1;
+  if (n < 26 || std::memcmp(head, sig, 8) != 0) return -1;
   return head[24];
 }
 
-}  // namespace
+// whole file -> malloc'd buffer (caller frees); nullptr on failure.  One
+// open+read per image instead of three passes (the IHDR probe, libpng's
+// own re-open, and its streamed chunk reads) — for the tiny per-row robot
+// frames the syscall overhead was a large share of the 55 us/image decode.
+unsigned char* read_file(const char* path, long* size) {
+  std::FILE* f = std::fopen(path, "rb");
+  if (!f) return nullptr;
+  std::fseek(f, 0, SEEK_END);
+  long sz = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  if (sz <= 0) {
+    std::fclose(f);
+    return nullptr;
+  }
+  unsigned char* buf = static_cast<unsigned char*>(std::malloc(sz));
+  if (!buf) {
+    std::fclose(f);
+    return nullptr;
+  }
+  size_t got = std::fread(buf, 1, static_cast<size_t>(sz), f);
+  std::fclose(f);
+  if (got != static_cast<size_t>(sz)) {
+    std::free(buf);
+    return nullptr;
+  }
+  *size = sz;
+  return buf;
+}
 
-extern "C" {
-
-// Probe height/width/output-channels. Returns 0 on success, negative on
-// failure (unreadable, or alpha present -> caller falls back).
-int fast_png_dims(const char* path, int* h, int* w, int* c) {
-  if (ihdr_bit_depth(path) != 8) return -2;  // only plain 8-bit handled here
+// decode one in-memory PNG into out (cap bytes).  Same return codes as
+// fast_png_decode; dims are filled whenever the header parses.
+int decode_mem(const unsigned char* data, long size, unsigned char* out,
+               long cap, int* h, int* w, int* c) {
+  if (ihdr_bit_depth_buf(data, static_cast<size_t>(size)) != 8) return -2;
   png_image im;
   std::memset(&im, 0, sizeof im);
   im.version = PNG_IMAGE_VERSION;
-  if (!png_image_begin_read_from_file(&im, path)) {
+  if (!png_image_begin_read_from_memory(&im, data,
+                                        static_cast<size_t>(size))) {
     png_image_free(&im);
     return -1;
   }
   const int ch = PNG_IMAGE_PIXEL_CHANNELS(im.format);
   *h = static_cast<int>(im.height);
   *w = static_cast<int>(im.width);
-  // defer to PIL for anything whose numpy view would differ from a plain
-  // 8-bit gray/RGB conversion: alpha channels, 16-bit (LINEAR) samples
-  // (PIL returns raw uint16), and palette images (PIL returns indices)
-  if (ch == 2 || ch == 4 ||
-      (im.format & (PNG_FORMAT_FLAG_LINEAR | PNG_FORMAT_FLAG_COLORMAP))) {
-    png_image_free(&im);
-    return -2;
-  }
-  *c = (ch >= 3) ? 3 : 1;
-  png_image_free(&im);
-  return 0;
-}
-
-// Decode into an 8-bit H*W*C buffer (C in {1,3}); returns 0 on success,
-// -1 unreadable, -2 unsupported format (alpha/palette/non-8-bit),
-// -3 buffer too small, -4 decode error.  On -3 the dims ARE filled in, so
-// one probe-free call with a typical-size scratch buffer suffices for the
-// common case and the retry knows the exact size (halves the per-image
-// open+header-parse overhead of a separate dims() probe in the hot loop).
-int fast_png_decode(const char* path, unsigned char* out, long cap,
-                    int* h, int* w, int* c) {
-  if (ihdr_bit_depth(path) != 8) return -2;
-  png_image im;
-  std::memset(&im, 0, sizeof im);
-  im.version = PNG_IMAGE_VERSION;
-  if (!png_image_begin_read_from_file(&im, path)) {
-    png_image_free(&im);
-    return -1;
-  }
-  const int ch = PNG_IMAGE_PIXEL_CHANNELS(im.format);
   if (ch == 2 || ch == 4 ||
       (im.format & (PNG_FORMAT_FLAG_LINEAR | PNG_FORMAT_FLAG_COLORMAP))) {
     png_image_free(&im);
     return -2;
   }
   im.format = (ch >= 3) ? PNG_FORMAT_RGB : PNG_FORMAT_GRAY;
-  *h = static_cast<int>(im.height);
-  *w = static_cast<int>(im.width);
   *c = (ch >= 3) ? 3 : 1;
   const long need = static_cast<long>(PNG_IMAGE_SIZE(im));
   if (need > cap) {
@@ -103,7 +96,103 @@ int fast_png_decode(const char* path, unsigned char* out, long cap,
     png_image_free(&im);
     return -4;
   }
-  return 0;  // dims already filled in above
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Probe height/width/output-channels. Returns 0 on success, negative on
+// failure (unreadable, or alpha present -> caller falls back).
+int fast_png_dims(const char* path, int* h, int* w, int* c) {
+  long size = 0;
+  unsigned char* data = read_file(path, &size);
+  if (!data) return -1;
+  if (ihdr_bit_depth_buf(data, static_cast<size_t>(size)) != 8) {
+    std::free(data);
+    return -2;  // only plain 8-bit handled here
+  }
+  png_image im;
+  std::memset(&im, 0, sizeof im);
+  im.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_memory(&im, data,
+                                        static_cast<size_t>(size))) {
+    png_image_free(&im);
+    std::free(data);
+    return -1;
+  }
+  const int ch = PNG_IMAGE_PIXEL_CHANNELS(im.format);
+  *h = static_cast<int>(im.height);
+  *w = static_cast<int>(im.width);
+  // defer to PIL for anything whose numpy view would differ from a plain
+  // 8-bit gray/RGB conversion: alpha channels, 16-bit (LINEAR) samples
+  // (PIL returns raw uint16), and palette images (PIL returns indices)
+  const bool unsupported =
+      ch == 2 || ch == 4 ||
+      (im.format & (PNG_FORMAT_FLAG_LINEAR | PNG_FORMAT_FLAG_COLORMAP));
+  if (!unsupported) *c = (ch >= 3) ? 3 : 1;
+  png_image_free(&im);
+  std::free(data);
+  return unsupported ? -2 : 0;
+}
+
+// Decode into an 8-bit H*W*C buffer (C in {1,3}); returns 0 on success,
+// -1 unreadable, -2 unsupported format (alpha/palette/non-8-bit),
+// -3 buffer too small, -4 decode error.  On -3 the dims ARE filled in, so
+// one probe-free call with a typical-size scratch buffer suffices for the
+// common case and the retry knows the exact size.
+int fast_png_decode(const char* path, unsigned char* out, long cap,
+                    int* h, int* w, int* c) {
+  long size = 0;
+  unsigned char* data = read_file(path, &size);
+  if (!data) return -1;
+  int rc = decode_mem(data, size, out, cap, h, w, c);
+  std::free(data);
+  return rc;
+}
+
+// Decode a BATCH of PNGs in one call: paths are NUL-separated in
+// `paths_blob` (offsets[i] = start of path i), each image decodes into
+// out + i*cap_each, with per-image dims and return codes (same codes as
+// fast_png_decode) in hs/ws/cs/rcs.  Always returns 0 — per-image
+// failures are the caller's to resolve (PIL fallback).  n_threads > 1
+// fans images across std::thread workers (ctypes released the GIL for
+// the whole call, so this scales with host cores); on a 1-core host it
+// still amortizes the per-call Python/ctypes overhead of the hot loop.
+int fast_png_decode_batch(const char* paths_blob, const long* offsets,
+                          int n, unsigned char* out, long cap_each,
+                          int* hs, int* ws, int* cs, int* rcs,
+                          int n_threads) {
+  auto worker = [&](int i0, int i1) {
+    for (int i = i0; i < i1; ++i) {
+      long size = 0;
+      unsigned char* data = read_file(paths_blob + offsets[i], &size);
+      if (!data) {
+        rcs[i] = -1;
+        continue;
+      }
+      rcs[i] = decode_mem(data, size, out + static_cast<long>(i) * cap_each,
+                          cap_each, hs + i, ws + i, cs + i);
+      std::free(data);
+    }
+  };
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n) n_threads = n > 0 ? n : 1;
+  if (n_threads <= 1) {
+    worker(0, n);
+  } else {
+    std::vector<std::thread> pool;
+    int chunk = (n + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+      int i0 = t * chunk;
+      int i1 = i0 + chunk < n ? i0 + chunk : n;
+      if (i0 >= i1) break;
+      pool.emplace_back(worker, i0, i1);
+    }
+    for (auto& th : pool) th.join();
+  }
+  return 0;
 }
 
 }  // extern "C"

@@ -146,6 +146,56 @@ def test_exotic_formats_fall_back_to_pil(tmp_path):
     )
 
 
+def test_decode_batch_matches_per_image(pngs, tmp_path):
+    """The one-call batch decoder must be element-for-element identical to
+    decode(): RGB/gray decode natively, alpha comes back None (PIL
+    fallback), and a missing file is None rather than an exception."""
+    if fast_png.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    order = ["rgb", "gray", "rgba", "rgb"]
+    paths = [pngs[k][0] for k in order] + [str(tmp_path / "missing.png")]
+    out = fast_png.decode_batch(paths)
+    assert out is not None and len(out) == len(paths)
+    for got, p in zip(out, paths):
+        ref = fast_png.decode(p) if os.path.exists(p) else None
+        if ref is None:
+            assert got is None
+        else:
+            np.testing.assert_array_equal(got, ref)
+
+
+def test_decode_batch_mixed_sizes(tmp_path):
+    """First-image dims size the batch slots; a LARGER later image must
+    come back through the exact-size retry, not truncated."""
+    if fast_png.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(7)
+    small = rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)
+    big = rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+    ps = str(tmp_path / "small.png")
+    pb = str(tmp_path / "big.png")
+    Image.fromarray(small).save(ps)
+    Image.fromarray(big).save(pb)
+    out = fast_png.decode_batch([ps, pb, ps])
+    np.testing.assert_array_equal(out[0], small)
+    np.testing.assert_array_equal(out[1], big)
+    np.testing.assert_array_equal(out[2], small)
+
+
+def test_decode_resized_batch_bit_identical(pngs, tmp_path):
+    rng = np.random.default_rng(9)
+    off = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+    po = str(tmp_path / "off.png")
+    Image.fromarray(off).save(po)
+    paths = [pngs["rgb"][0], pngs["gray"][0], pngs["rgba"][0], po]
+    out = fast_png.decode_resized_batch(paths, (32, 24))
+    if out is None:
+        pytest.skip("native lib unavailable")
+    for got, p in zip(out, paths):
+        np.testing.assert_array_equal(
+            got, np.asarray(Image.open(p).resize((32, 24))), err_msg=p)
+
+
 def test_decode_larger_than_scratch_retries_exact(tmp_path):
     """Images above the 640x480x3 scratch must decode via the -3-fills-dims
     retry path, bit-identical to PIL."""
