@@ -116,8 +116,6 @@ def _read_shards(config: Config):
 
     lidar = None
     if config.sensor == "LiDAR":
-        from icra2021_multimodal_ad_tpu.data import fast_csv
-
         lidar = np.concatenate(
             [fast_csv.read_columns(p, LIDAR_COLS) for p in paths], axis=0
         )

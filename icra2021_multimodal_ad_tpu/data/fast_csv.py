@@ -53,6 +53,18 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.c_long,
     ]
     lib.fast_csv_read_col_str.restype = ctypes.c_long
+    lib.fast_csv_read_light.argtypes = [
+        ctypes.c_char_p,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ctypes.c_long,
+        ctypes.c_int,
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_long),
+    ]
+    lib.fast_csv_read_light.restype = ctypes.c_long
 
 
 _loader = NativeLib(
@@ -135,14 +147,23 @@ def read_string_column(path: str, column: str) -> Optional[List[str]]:
 
 
 def read_light_frame(path: str, columns: Sequence[str],
-                     string_columns: Sequence[str] = ("data_dir",)):
+                     string_columns: Sequence[str] = ("data_dir",),
+                     int_columns: Sequence[str] = (
+                         "cur_depth_id", "cur_hand_id", "label")):
     """The light-column frame of one shard as a DataFrame with the columns
     in FILE order (matching pandas usecols semantics): numeric columns via
     the threaded float64 reader, string columns via the single-column
     extractor.  Returns None when the native path is unavailable or any
-    column is missing — the caller falls back to pandas.  Measured ~5x the
-    pandas usecols parse on the 984-column data_sum schema (pandas must
-    tokenize every field of every row either way; the win is the parse)."""
+    column is missing — the caller falls back to pandas.  Measured ~2.7x
+    the pandas usecols parse on the 984-column data_sum schema.
+
+    `int_columns` names the ETL-schema columns pandas would infer as int64;
+    they are cast back from the float64 parse when lossless (all present
+    and integral) so the frame's dtypes — and therefore .feature_cache
+    entries and ds.df consumers — don't depend on whether the native
+    library or the pandas fallback built them.  (A file writing an id as
+    `3.0` would be float64 under pandas and int64 here; the ETL never does.)
+    """
     lib = get_lib()
     if lib is None:
         return None
@@ -154,36 +175,103 @@ def read_light_frame(path: str, columns: Sequence[str],
         if sorted(want) != sorted(set(columns) & set(header)) or \
                 len(want) != len(columns):
             return None  # missing columns: let pandas raise its own error
+        strs = [c for c in want if c in set(string_columns)]
         numeric = [c for c in want if c not in set(string_columns)]
         sel = np.asarray([header.index(c) for c in numeric], dtype=np.int32)
-        n_rows, _ = dims(path)
-        out = np.empty((n_rows, len(numeric)), dtype=np.float64)
-        got = lib.fast_csv_read_f64(path.encode(), sel, len(numeric), out,
-                                    n_rows)
+
+        # rows <= file_size / minimal row bytes (total_cols 1-char fields +
+        # total_cols-1 commas): allocating for the bound lets ONE native
+        # call do the whole read, instead of a dims() pre-pass re-scanning
+        # the file just to size the buffer exactly
+        size = os.path.getsize(path)
+        bound = size // max(2 * len(header) - 1, 1) + 1
+        out = np.empty((bound, max(len(numeric), 1)), dtype=np.float64)
+        if len(strs) > 1:  # not a data_sum schema; take the simple path
+            return _light_frame_multi_str(lib, path, header, want, strs,
+                                          numeric, sel, int_columns)
+        str_col = header.index(strs[0]) if strs else -1
+        str_cap = size if strs else 1
+        str_buf = ctypes.create_string_buffer(str_cap)
+        str_written = ctypes.c_long(0)
+        got = lib.fast_csv_read_light(path.encode(), sel, len(numeric),
+                                      out, bound, str_col, str_buf,
+                                      str_cap, ctypes.byref(str_written))
         if got < 0:
-            raise IOError(f"fast_csv_read_f64 rc={got}")
+            raise IOError(f"fast_csv_read_light rc={got}")
+        if got == 0:
+            # header-only shard (e.g. ETL killed after writing the
+            # header): the StringIO dtype-inference parse below would
+            # raise EmptyDataError — let pandas produce its usual empty
+            # frame via the fallback
+            return None
         data = {}
         for c in want:
             if c in set(string_columns):
-                vals = read_string_column(path, c)
-                if vals is None or len(vals) != got:
+                vals = str_buf.raw[: str_written.value].decode(
+                    "utf-8").split("\n")
+                if len(vals) != got:
                     return None
-                # run pandas' OWN inference on the raw text so the dtype
-                # matches the usecols fallback exactly: numeric episode
-                # names become int64 there, and the objectsplit isin()
-                # filter compares str-vs-int64 to an all-False mask if we
-                # hand it Python strings instead
-                import io
-
-                ser = pd.read_csv(
-                    io.StringIO("\n".join(vals)), header=None,
-                    skip_blank_lines=False,
-                )[0]
-                data[c] = ser.to_numpy()
+                data[c] = _infer_like_pandas(pd, vals)
             else:
-                data[c] = out[:got, numeric.index(c)]
+                col = _int_cast(out[:got, numeric.index(c)],
+                                c in set(int_columns))
+                if col is None:
+                    return None  # NaN/fractional id: pandas decides
+                data[c] = col
         return pd.DataFrame(data)
     except (KeyError, ValueError):
         raise
     except Exception:
         return None
+
+
+def _infer_like_pandas(pd, vals):
+    """Run pandas' OWN inference on raw text values so the dtype matches
+    the usecols fallback exactly: numeric episode names become int64
+    there, and the objectsplit isin() filter compares str-vs-int64 to an
+    all-False mask if handed Python strings instead."""
+    import io
+
+    ser = pd.read_csv(io.StringIO("\n".join(vals)), header=None,
+                      skip_blank_lines=False)[0]
+    return ser.to_numpy()
+
+
+def _int_cast(col: np.ndarray, is_int_column: bool):
+    """Lossless int64 cast for declared integer columns (dtype parity with
+    the pandas fallback); None when values aren't all present+integral."""
+    if not is_int_column:
+        return col
+    if not (np.isfinite(col).all() and (col == np.floor(col)).all()):
+        return None
+    return col.astype(np.int64)
+
+
+def _light_frame_multi_str(lib, path, header, want, strs, numeric, sel,
+                           int_columns):
+    """>1 string columns (not the data_sum schema): per-column extraction.
+    Same output contract as read_light_frame."""
+    import pandas as pd
+
+    n_rows, _ = dims(path)
+    out = np.empty((n_rows, max(len(numeric), 1)), dtype=np.float64)
+    got = lib.fast_csv_read_f64(path.encode(), sel, len(numeric), out,
+                                n_rows)
+    if got <= 0:
+        if got < 0:
+            raise IOError(f"fast_csv_read_f64 rc={got}")
+        return None
+    data = {}
+    for c in want:
+        if c in set(strs):
+            vals = read_string_column(path, c)
+            if vals is None or len(vals) != got:
+                return None
+            data[c] = _infer_like_pandas(pd, vals)
+        else:
+            col = _int_cast(out[:got, numeric.index(c)],
+                            c in set(int_columns))
+            if col is None:
+                return None
+            data[c] = col
+    return pd.DataFrame(data)

@@ -50,7 +50,10 @@ def _configure(lib: ctypes.CDLL) -> None:
 
 _loader = NativeLib(
     _SRC, os.path.join(os.path.dirname(_SRC), "libfastpng.so"),
-    ["-lpng"], _configure,
+    # -pthread: decode_batch spawns std::thread; without it, glibc < 2.34
+    # throws from thread construction and the exception would cross the
+    # extern "C" boundary into std::terminate
+    ["-lpng", "-pthread"], _configure,
 )
 
 

@@ -28,6 +28,7 @@
 #include <string>
 #include <sys/mman.h>
 #include <sys/stat.h>
+#include <system_error>
 #include <thread>
 #include <unistd.h>
 #include <vector>
@@ -164,10 +165,16 @@ void parse_line(const char* d, size_t begin, size_t end,
 }
 
 // shared scaffolding of the typed readers: map, validate selection,
-// collect line spans, parse across threads
+// collect line spans, parse across threads.  When str_col >= 0, that
+// column's raw text is additionally extracted '\n'-joined into str_out
+// (str_cap bytes; *str_written set to bytes used) in the SAME pass —
+// Python's light-frame read then needs exactly one native call (and one
+// mmap + one quote scan + one line-span scan) per shard instead of three.
 template <typename T>
 long read_selected(const char* path, const int32_t* sel, int n_sel,
-                   T* out, long max_rows) {
+                   T* out, long max_rows, int32_t str_col = -1,
+                   char* str_out = nullptr, long str_cap = 0,
+                   long* str_written = nullptr) {
     Mapped m = map_file(path);
     if (!m.ok()) return -1;
     if (has_quotes(m.data, m.size)) {
@@ -270,13 +277,63 @@ long read_selected(const char* path, const int32_t* sel, int n_sel,
     } else {
         std::vector<std::thread> pool;
         long chunk = (n_rows + n_threads - 1) / n_threads;
+        long unstarted = 0;
         for (unsigned t = 0; t < n_threads; ++t) {
             long r0 = t * chunk;
             long r1 = std::min<long>(r0 + chunk, n_rows);
             if (r0 >= r1) break;
-            pool.emplace_back(worker, r0, r1);
+            try {
+                pool.emplace_back(worker, r0, r1);
+            } catch (const std::system_error&) {
+                break;  // thread creation failed: finish serially
+            }
+            unstarted = r1;
         }
         for (auto& th : pool) th.join();
+        if (unstarted < n_rows) worker(unstarted, n_rows);
+    }
+
+    // string-column extraction over the already-collected line spans:
+    // serial (variable-length appends don't parallelize without an offsets
+    // pre-pass, and the walk stops at the column anyway — for data_dir at
+    // index ~17 of 984 that's a few hundred bytes per row)
+    if (str_col >= 0) {
+        if (str_col >= total_cols) {
+            unmap(m);
+            return -2;
+        }
+        long written = 0;
+        for (long r = 0; r < n_rows; ++r) {
+            size_t fs = lines[r].first;
+            const size_t re = lines[r].second;
+            int col = 0;
+            while (col < str_col) {
+                const void* nx = (fs <= re)
+                    ? ::memchr(m.data + fs, ',', re - fs)
+                    : nullptr;
+                if (!nx) break;
+                fs = static_cast<size_t>(static_cast<const char*>(nx)
+                                         - m.data) + 1;
+                ++col;
+            }
+            if (col != str_col) {
+                unmap(m);
+                return -2;  // short row
+            }
+            const void* nx = ::memchr(m.data + fs, ',', re - fs);
+            size_t fe = nx ? static_cast<size_t>(
+                                 static_cast<const char*>(nx) - m.data)
+                           : re;
+            long need = static_cast<long>(fe - fs) + (r > 0 ? 1 : 0);
+            if (written + need > str_cap) {
+                unmap(m);
+                return -3;
+            }
+            if (r > 0) str_out[written++] = '\n';
+            ::memcpy(str_out + written, m.data + fs, fe - fs);
+            written += static_cast<long>(fe - fs);
+        }
+        if (str_written) *str_written = written;
     }
 
     unmap(m);
@@ -315,6 +372,18 @@ long fast_csv_read_f32(const char* path, const int32_t* sel, int n_sel,
 long fast_csv_read_f64(const char* path, const int32_t* sel, int n_sel,
                        double* out, long max_rows) {
     return read_selected<double>(path, sel, n_sel, out, max_rows);
+}
+
+// one-pass light-frame read: numeric columns into out (f64) AND the
+// str_col column's raw text '\n'-joined into str_out, in a single
+// mmap/scan.  Returns rows parsed (with *str_written set), or <0:
+// -1 unreadable, -2 bad column/short row, -3 str buffer too small,
+// -4 ragged first/last row, -5 quoted cells (use pandas).
+long fast_csv_read_light(const char* path, const int32_t* sel, int n_sel,
+                         double* out, long max_rows, int32_t str_col,
+                         char* str_out, long str_cap, long* str_written) {
+    return read_selected<double>(path, sel, n_sel, out, max_rows, str_col,
+                                 str_out, str_cap, str_written);
 }
 
 // Extract ONE column's raw text values, '\n'-joined, into out (cap bytes,

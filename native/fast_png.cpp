@@ -12,13 +12,14 @@
 // so the Python wrapper can fall back to PIL (alpha layouts must match PIL's
 // numpy view exactly, and the robot data has none).
 //
-// Build: g++ -O3 -std=c++17 -shared -fPIC native/fast_png.cpp -lpng -o
-//        native/libfastpng.so
+// Build: g++ -O3 -std=c++17 -shared -fPIC -pthread native/fast_png.cpp
+//        -lpng -o native/libfastpng.so
 
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <png.h>
+#include <system_error>
 #include <thread>
 #include <vector>
 
@@ -184,13 +185,20 @@ int fast_png_decode_batch(const char* paths_blob, const long* offsets,
   } else {
     std::vector<std::thread> pool;
     int chunk = (n + n_threads - 1) / n_threads;
+    int unstarted = 0;  // first index not yet claimed by a spawned thread
     for (int t = 0; t < n_threads; ++t) {
       int i0 = t * chunk;
       int i1 = i0 + chunk < n ? i0 + chunk : n;
       if (i0 >= i1) break;
-      pool.emplace_back(worker, i0, i1);
+      try {
+        pool.emplace_back(worker, i0, i1);
+      } catch (const std::system_error&) {
+        break;  // thread creation failed: finish the rest serially
+      }
+      unstarted = i1;
     }
     for (auto& th : pool) th.join();
+    if (unstarted < n) worker(unstarted, n);
   }
   return 0;
 }

@@ -1,8 +1,9 @@
 """Dataset-build phase profile (run from repo root): where does the cold
-TabularDataset build spend its time?  Phases: shard CSV read (pandas,
-usecols-pruned), PNG decode (native libpng), device fuse program
-(_preprocess_and_fuse incl. transfer), and the total.  Synthesizes its own
-shards under /tmp so the numbers isolate build cost from data layout."""
+TabularDataset build spend its time?  Phases: shard CSV read (native
+fast_csv.read_light_frame, pandas fallback), PNG decode (native libpng,
+batched), device fuse program (_preprocess_and_fuse incl. transfer), and
+the total.  Synthesizes its own shards under /tmp so the numbers isolate
+build cost from data layout."""
 import os
 import sys
 import time
@@ -34,6 +35,7 @@ def main():
     # warm pass compiles the fuse program so the timed pass is steady-state
     t0 = time.perf_counter()
     ds = dsmod.TabularDataset(cfg)
+    np.asarray(ds.data[0])  # fetch: forces the build program to complete
     warm_total = time.perf_counter() - t0
     n = len(ds)
 
@@ -53,17 +55,21 @@ def main():
 
     weight = df["cur_hand_weight"].to_numpy().astype(np.float32)[:, None]
     mfcc = df[dsmod.MFCC_COLS].to_numpy().astype(np.float32)
-    import jax
 
     t0 = time.perf_counter()
     out = dsmod._preprocess_and_fuse(
         ds.fusion_params, sensor="All", raw_r=raw_r, raw_d=raw_d,
         weight=weight, mfcc=mfcc)
-    jax.block_until_ready(out)
+    # fetch the result, don't just block: over the axon tunnel
+    # block_until_ready can return before device work/transfer completes
+    # (CLAUDE.md timing rule), which would misattribute fuse time to the
+    # full_build residual
+    np.asarray(out)
     t_fuse = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     ds2 = dsmod.TabularDataset(cfg)
+    np.asarray(ds2.data[0])  # fetch: forces the build program to complete
     total = time.perf_counter() - t0
     assert len(ds2) == n
 

@@ -168,6 +168,29 @@ def test_light_frame_matches_pandas(data_sum_path):
             assert (ours[c] == ref[c]).all(), c
 
 
+def test_light_frame_dtype_parity(data_sum_path):
+    """Frame dtypes must not depend on whether the native reader or the
+    pandas fallback built it (cache entries and ds.df consumers see both):
+    int columns int64, floats float64, data_dir str."""
+    ours = fast_csv.read_light_frame(data_sum_path, LIGHT)
+    if ours is None:
+        pytest.skip("native lib unavailable")
+    ref = pd.read_csv(data_sum_path, usecols=lambda c: c in LIGHT)
+    for c in ref.columns:
+        assert ours[c].dtype == ref[c].dtype, (
+            c, ours[c].dtype, ref[c].dtype)
+    assert ours["label"].dtype == np.int64
+
+
+def test_light_frame_header_only_falls_back(data_sum_path, tmp_path):
+    """ETL killed right after writing the header: the native path must
+    defer to pandas (which returns its usual empty frame), not raise."""
+    p = str(tmp_path / "empty_sum0.csv")
+    with open(data_sum_path) as f:
+        open(p, "w").write(f.readline())
+    assert fast_csv.read_light_frame(p, LIGHT) is None
+
+
 def test_light_frame_numeric_data_dir_dtype(data_sum_path, tmp_path):
     """Numeric episode names must come back int64 exactly as pandas infers
     them — the objectsplit isin() filter compares str-vs-int64 to an
