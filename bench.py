@@ -375,20 +375,30 @@ def main():
         t6 = time.perf_counter() - t0
         return Bt / max((t6 - t1) / 5, 1e-9)
 
-    def train_flops_per_step(train_loop, o0):
-        """FLOPs of ONE FULL train step (fwd + bwd + Adam).  The timed
-        loops return only the loss sum, so XLA dead-code-eliminates the
-        FINAL iteration's backward + optimizer update — an n=1 analysis
-        counts a forward only (caught: it reported exactly the forward's
-        20.5 MFLOP/window, a 3x MFU undercount).  The timing differences
-        (t_{n+1} - t_1) are unaffected (iterations 1..n feed the next, so
-        they keep their backward); difference the n=2 and n=1 analyses the
-        same way to isolate one full step."""
-        f1 = _flops_of(train_loop, params, state, o0, 1)
-        f2 = _flops_of(train_loop, params, state, o0, 2)
-        if f1 and f2 and f2 > f1:
-            return f2 - f1
-        return None
+    def train_flops_per_step(xtrain, o0):
+        """FLOPs of ONE FULL train step (fwd + bwd + Adam), from an
+        EXPLICIT single-step program that returns (params, state, opt,
+        loss) — returning everything means nothing is dead-code-eliminated.
+        Analyzing the timed fori_loop itself is wrong twice over (both
+        caught by cross-checks): the loop returns only the loss sum, so
+        the FINAL iteration's backward+Adam are DCE'd (an n=1 analysis
+        reports exactly the forward's 20.5 MFLOP/window), AND XLA's cost
+        analysis counts a while-loop body ONCE regardless of trip count
+        (n=2 and n=3 analyses are bit-equal), so differencing n=2 - n=1
+        yields (full body) - (DCE'd body) = 36.4 — a 1.56x MFU undercount
+        vs the true 56.9 MFLOP/window step.  The timing differences
+        (t_{n+1} - t_1) are unaffected: every timed iteration feeds the
+        next, so each keeps its backward."""
+        def step(p, s, o):
+            def loss_of(pp):
+                loss, new_s = ae_loss(model, pp, s, xtrain, train=True)
+                return loss, new_s
+            (loss, new_s), grads = jax.value_and_grad(
+                loss_of, has_aux=True)(p)
+            upd, o2 = optimizer.update(grads, o, p)
+            return optax.apply_updates(p, upd), new_s, o2, loss
+
+        return _flops_of(step, params, state, o0)
 
     train_tput, train_error = None, None
     try:
@@ -396,7 +406,7 @@ def main():
         opt_state = optimizer.init(params)
         train_tput = time_train_loop(train_loop)
         res["train_windows_per_sec"] = round(train_tput, 1)
-        f = train_flops_per_step(train_loop, opt_state)
+        f = train_flops_per_step(xt, opt_state)
         fpw_tr = f / Bt if f else None
         res["train_flops_per_window"] = (round(fpw_tr, 0) if fpw_tr
                                          else None)
@@ -414,7 +424,7 @@ def main():
         opt16 = optimizer.init(params)
         train16_tput = time_train_loop(loop16)
         res["train_bf16_windows_per_sec"] = round(train16_tput, 1)
-        f = train_flops_per_step(loop16, opt16)
+        f = train_flops_per_step(xt.astype(jnp.bfloat16), opt16)
         fpw16t = f / Bt if f else None
         res["mfu_train_bf16"] = _mfu(train16_tput, fpw16t,
                                      V5E_PEAK_BF16_FLOPS)
