@@ -234,7 +234,7 @@ def _load_images(root: str, data_dirs: Sequence[str], ids: Sequence[int],
     # 1-core TPU frontend, scales with cores elsewhere
     from icra2021_multimodal_ad_tpu.data.fast_png import decode_resized_batch
 
-    arrs = decode_resized_batch(unique, (32, 24))
+    arrs = decode_resized_batch(unique, (32, 24), n_threads=max_workers)
     if arrs is not None:
         decoded = dict(zip(unique, arrs))
     else:

@@ -46,10 +46,11 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.c_long,
     ]
     lib.fast_csv_read_f64.restype = ctypes.c_long
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     lib.fast_csv_read_col_str.argtypes = [
         ctypes.c_char_p,
         ctypes.c_int,
-        ctypes.c_char_p,
+        u8p,
         ctypes.c_long,
     ]
     lib.fast_csv_read_col_str.restype = ctypes.c_long
@@ -60,7 +61,7 @@ def _configure(lib: ctypes.CDLL) -> None:
         np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
         ctypes.c_long,
         ctypes.c_int,
-        ctypes.c_char_p,
+        u8p,
         ctypes.c_long,
         ctypes.POINTER(ctypes.c_long),
     ]
@@ -123,6 +124,16 @@ def _pandas_fallback(path: str, columns: Sequence[str]) -> np.ndarray:
     return df[list(columns)].to_numpy(dtype=np.float32)
 
 
+def _str_caps(path: str, n_cols: int):
+    """(initial, full) byte caps for one-column text extraction: start from
+    a rows-derived estimate (a whole-file buffer would transiently allocate
+    hundreds of MB to hold a ~0.1%-of-file column on canonical shards) and
+    grow to the file size — a true upper bound — on a -3 retry."""
+    size = os.path.getsize(path)
+    bound = size // max(n_cols, 1) + 1  # rows <= size / min row bytes
+    return min(size, max(4096, 32 * bound)), size
+
+
 def read_string_column(path: str, column: str) -> Optional[List[str]]:
     """All values of one string column, in row order; None when the native
     path is unavailable (caller falls back to pandas)."""
@@ -132,16 +143,17 @@ def read_string_column(path: str, column: str) -> Optional[List[str]]:
     try:
         header = read_header(path)
         col_idx = header.index(column)
-        cap = os.path.getsize(path)
-        buf = ctypes.create_string_buffer(cap)
-        got = lib.fast_csv_read_col_str(path.encode(), col_idx, buf, cap)
+        for cap in _str_caps(path, len(header)):
+            buf = np.empty(max(cap, 1), dtype=np.uint8)
+            got = lib.fast_csv_read_col_str(path.encode(), col_idx, buf,
+                                            cap)
+            if got != -3:  # -3: buffer too small, retry with the full cap
+                break
         if got < 0:
             raise IOError(f"fast_csv_read_col_str rc={got}")
         if got == 0:
             return []
-        return buf.raw[:got].decode("utf-8").split("\n")
-    except (KeyError, ValueError):
-        raise
+        return buf[:got].tobytes().decode("utf-8").split("\n")
     except Exception:
         return None
 
@@ -178,38 +190,47 @@ def read_light_frame(path: str, columns: Sequence[str],
         strs = [c for c in want if c in set(string_columns)]
         numeric = [c for c in want if c not in set(string_columns)]
         sel = np.asarray([header.index(c) for c in numeric], dtype=np.int32)
-
-        # rows <= file_size / minimal row bytes (total_cols 1-char fields +
-        # total_cols-1 commas): allocating for the bound lets ONE native
-        # call do the whole read, instead of a dims() pre-pass re-scanning
-        # the file just to size the buffer exactly
-        size = os.path.getsize(path)
-        bound = size // max(2 * len(header) - 1, 1) + 1
-        out = np.empty((bound, max(len(numeric), 1)), dtype=np.float64)
         if len(strs) > 1:  # not a data_sum schema; take the simple path
             return _light_frame_multi_str(lib, path, header, want, strs,
                                           numeric, sel, int_columns)
+
+        # rows <= file_size / minimal row bytes.  A row of EMPTY fields is
+        # (total_cols-1) commas + '\n' = total_cols bytes, so size//cols is
+        # a true upper bound even for shards whose NaNs pandas wrote as
+        # empty cells (the earlier 2*cols-1 bound assumed 1-char fields and
+        # silently truncated such shards).  Allocating for the bound lets
+        # ONE native call do the whole read, instead of a dims() pre-pass
+        # re-scanning the file just to size the buffer exactly.
+        size = os.path.getsize(path)
+        bound = size // max(len(header), 1) + 1
+        out = np.empty((bound, max(len(numeric), 1)), dtype=np.float64)
         str_col = header.index(strs[0]) if strs else -1
-        str_cap = size if strs else 1
-        str_buf = ctypes.create_string_buffer(str_cap)
         str_written = ctypes.c_long(0)
-        got = lib.fast_csv_read_light(path.encode(), sel, len(numeric),
-                                      out, bound, str_col, str_buf,
-                                      str_cap, ctypes.byref(str_written))
+        caps = _str_caps(path, len(header)) if strs else (1,)
+        for str_cap in caps:
+            str_buf = np.empty(max(str_cap, 1), dtype=np.uint8)
+            got = lib.fast_csv_read_light(path.encode(), sel, len(numeric),
+                                          out, bound, str_col, str_buf,
+                                          str_cap,
+                                          ctypes.byref(str_written))
+            if got != -3:  # -3: string buffer too small, retry full-size
+                break
         if got < 0:
             raise IOError(f"fast_csv_read_light rc={got}")
-        if got == 0:
-            # header-only shard (e.g. ETL killed after writing the
-            # header): the StringIO dtype-inference parse below would
-            # raise EmptyDataError — let pandas produce its usual empty
-            # frame via the fallback
+        if got == 0 or got >= bound:
+            # got==0: header-only shard (pandas produces its usual empty
+            # frame).  got>=bound: the bound math failed — never trust a
+            # possibly-capped read (silent truncation of training data).
             return None
         data = {}
         for c in want:
             if c in set(string_columns):
-                vals = str_buf.raw[: str_written.value].decode(
+                vals = str_buf[: str_written.value].tobytes().decode(
                     "utf-8").split("\n")
-                if len(vals) != got:
+                if len(vals) != got or "" in vals:
+                    # empty cells (pandas-written NaNs): the fallback's
+                    # NaN-in-object-column semantics are not worth
+                    # replicating here; the ETL never writes them
                     return None
                 data[c] = _infer_like_pandas(pd, vals)
             else:
@@ -219,8 +240,6 @@ def read_light_frame(path: str, columns: Sequence[str],
                     return None  # NaN/fractional id: pandas decides
                 data[c] = col
         return pd.DataFrame(data)
-    except (KeyError, ValueError):
-        raise
     except Exception:
         return None
 
@@ -265,8 +284,8 @@ def _light_frame_multi_str(lib, path, header, want, strs, numeric, sel,
     for c in want:
         if c in set(strs):
             vals = read_string_column(path, c)
-            if vals is None or len(vals) != got:
-                return None
+            if vals is None or len(vals) != got or "" in vals:
+                return None  # empty cells: pandas NaN semantics apply
             data[c] = _infer_like_pandas(pd, vals)
         else:
             col = _int_cast(out[:got, numeric.index(c)],

@@ -186,12 +186,14 @@ def _resized(arr: Optional[np.ndarray], path: str, size) -> np.ndarray:
     return np.asarray(Image.fromarray(arr).resize(size))
 
 
-def decode_resized_batch(paths, size=(32, 24)):
+def decode_resized_batch(paths, size=(32, 24),
+                         n_threads: Optional[int] = None):
     """Batched decode_resized: one native call per memory-bounded chunk,
     PIL fallback per failed image, PIL resize for off-target sizes —
     outputs bit-identical to [decode_resized(p, size) for p in paths].
-    Returns None when the native library is unavailable."""
-    decoded = decode_batch(paths)
+    Returns None when the native library is unavailable.  n_threads caps
+    the in-library worker count (default: host cores)."""
+    decoded = decode_batch(paths, n_threads=n_threads)
     if decoded is None:
         return None
     return [_resized(a, p, size) for a, p in zip(decoded, paths)]

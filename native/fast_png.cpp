@@ -105,22 +105,22 @@ int decode_mem(const unsigned char* data, long size, unsigned char* out,
 extern "C" {
 
 // Probe height/width/output-channels. Returns 0 on success, negative on
-// failure (unreadable, or alpha present -> caller falls back).
+// failure (unreadable, or alpha present -> caller falls back).  Stays on
+// the streamed libpng file API: a dims probe needs only the header, and
+// slurping a whole 0.9 MB camera frame to answer a 26-byte question would
+// double the first image's I/O in every decode_batch call.
 int fast_png_dims(const char* path, int* h, int* w, int* c) {
-  long size = 0;
-  unsigned char* data = read_file(path, &size);
-  if (!data) return -1;
-  if (ihdr_bit_depth_buf(data, static_cast<size_t>(size)) != 8) {
-    std::free(data);
-    return -2;  // only plain 8-bit handled here
-  }
+  unsigned char head[26];
+  std::FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  size_t n = std::fread(head, 1, sizeof head, f);
+  std::fclose(f);
+  if (ihdr_bit_depth_buf(head, n) != 8) return -2;  // plain 8-bit only
   png_image im;
   std::memset(&im, 0, sizeof im);
   im.version = PNG_IMAGE_VERSION;
-  if (!png_image_begin_read_from_memory(&im, data,
-                                        static_cast<size_t>(size))) {
+  if (!png_image_begin_read_from_file(&im, path)) {
     png_image_free(&im);
-    std::free(data);
     return -1;
   }
   const int ch = PNG_IMAGE_PIXEL_CHANNELS(im.format);
@@ -134,7 +134,6 @@ int fast_png_dims(const char* path, int* h, int* w, int* c) {
       (im.format & (PNG_FORMAT_FLAG_LINEAR | PNG_FORMAT_FLAG_COLORMAP));
   if (!unsupported) *c = (ch >= 3) ? 3 : 1;
   png_image_free(&im);
-  std::free(data);
   return unsupported ? -2 : 0;
 }
 

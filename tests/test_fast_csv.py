@@ -219,6 +219,62 @@ def test_light_frame_refuses_torn_tail_row(data_sum_path, tmp_path):
     assert fast_csv.read_light_frame(p, LIGHT) is None
 
 
+def test_light_frame_empty_cells_not_truncated(data_sum_path, tmp_path):
+    """Shards whose NaNs pandas wrote as EMPTY fields shrink each row well
+    below the 1-char-per-field estimate — the row bound must still cover
+    every row (an earlier bound silently returned 37 of 50 rows), and the
+    values must match the pandas fallback."""
+    df = pd.read_csv(data_sum_path)
+    for i in range(963):
+        df[f"LiDAR{i:03d}"] = np.nan  # -> empty cells on disk
+    p = str(tmp_path / "nan_sum0.csv")
+    df.to_csv(p, index=False)
+    ours = fast_csv.read_light_frame(p, LIGHT)
+    ref = pd.read_csv(p, usecols=lambda c: c in LIGHT)
+    if ours is None:
+        pytest.skip("native lib unavailable")
+    assert len(ours) == len(ref) == len(df)
+    for c in ref.columns:
+        if ours[c].dtype.kind in "if":
+            np.testing.assert_allclose(
+                ours[c].to_numpy().astype(float),
+                ref[c].to_numpy().astype(float), rtol=1e-11, err_msg=c)
+        else:
+            assert (ours[c] == ref[c]).all(), c
+
+
+def test_light_frame_empty_data_dir_falls_back(data_sum_path, tmp_path):
+    """An empty data_dir cell (trailing or mid-file) must defer to pandas
+    — the fallback's NaN-in-object-column semantics — not crash with a
+    length-mismatch ValueError from the frame constructor."""
+    df = pd.read_csv(data_sum_path)
+    df.loc[len(df) - 1, "data_dir"] = np.nan  # last row: empty cell
+    p = str(tmp_path / "lastnan_sum0.csv")
+    df.to_csv(p, index=False)
+    assert fast_csv.read_light_frame(p, LIGHT) is None
+
+    df2 = pd.read_csv(data_sum_path)
+    df2.loc[3, "data_dir"] = np.nan  # mid-file empty cell
+    p2 = str(tmp_path / "midnan_sum0.csv")
+    df2.to_csv(p2, index=False)
+    assert fast_csv.read_light_frame(p2, LIGHT) is None
+
+
+def test_string_column_grow_retry(tmp_path):
+    """Long string values overflow the rows-derived initial buffer; the
+    -3 grow-and-retry must return the full column, not fail."""
+    if fast_csv.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    n = 50
+    long_vals = ["x" * 500 + f"{i:04d}" for i in range(n)]
+    df = pd.DataFrame({"a": np.arange(n), "s": long_vals,
+                       "b": np.arange(n) * 2.0})
+    p = str(tmp_path / "long.csv")
+    df.to_csv(p, index=False)
+    got = fast_csv.read_string_column(p, "s")
+    assert got == long_vals
+
+
 def test_light_frame_missing_column_falls_back(data_sum_path):
     assert fast_csv.read_light_frame(data_sum_path, LIGHT + ["nope"]) is None
 
