@@ -1240,3 +1240,33 @@ def test_reference_hsrdataset_realtime_execution_parity(ref, monkeypatch):
     ref_m = ref.loaders.norm_vec(m).numpy()
     our_m = np.asarray(norm_minmax_global(jnp.asarray(mic_frames)))
     np.testing.assert_allclose(our_m, ref_m, atol=1e-6, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# result reporter (utils/reporter.py) — last uncovered utils module
+# ---------------------------------------------------------------------------
+
+
+def test_reference_reporter_export_parity(ref, tmp_path):
+    """Execute the reference's Reporter (utils/reporter.py:17-60) and ours
+    on the same add() stream: exported CSVs must be byte-identical
+    (column order = dict insertion order, str() value formatting)."""
+    from utils import reporter as ref_reporter  # cached ref package
+
+    from icra2021_multimodal_ad_tpu.utils.reporter import Reporter
+
+    rows = [
+        ({"btl_size": 10, "lr": 1e-3, "sensor": "All"},
+         {"auroc": 0.93125, "aupr": 0.5, "f1": np.float64(0.25)}),
+        ({"btl_size": 100, "lr": 3e-4, "sensor": "All"},
+         {"auroc": 1.0, "aupr": 0.999999, "f1": np.float64(1.0)}),
+    ]
+    theirs, ours = ref_reporter.Reporter(), Reporter()
+    for c, r in rows:
+        theirs.add(dict(c), dict(r))
+        ours.add(dict(c), dict(r))
+    p_ref = str(tmp_path / "ref.csv")
+    p_our = str(tmp_path / "ours.csv")
+    theirs.export(p_ref)
+    ours.export(p_our)
+    assert open(p_ref).read() == open(p_our).read()
