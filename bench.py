@@ -44,6 +44,8 @@ N_ITERS = 20
 #: over the matching peak.
 V5E_PEAK_BF16_FLOPS = 197e12
 V5E_PEAK_FP32_HIGHEST_FLOPS = V5E_PEAK_BF16_FLOPS / 6.0
+V5E_PEAK_INT8_FLOPS = 394e12  # the MXU int8 path: 2x bf16 (measured 356
+# TOP/s on the canonical NAP whitening shape, 90% of this nominal peak)
 #: v5e HBM bandwidth (public spec: 819 GB/s/chip).  The fused serving path
 #: is compute/bandwidth CO-limited (measured ~52% MXU + ~66% HBM at
 #: B=16384), so bench reports both sides of the roofline.
@@ -335,6 +337,46 @@ def main():
     except Exception as e:  # noqa: BLE001 — reason is recorded
         nap16_error = f"{type(e).__name__}: {e}"[:300]
 
+    # -- throughput: int8 NAP serving (nap_quant="int8": bf16 diff
+    # extraction + whitening matmul on the MXU int8 path at 2x the bf16
+    # peak; fp32 epilogue — ops/serving._nap_score_int8_xla semantics)
+    nap8_tput, nap8_rel, nap8_error = None, None, None
+    try:
+        from icra2021_multimodal_ad_tpu.ops.serving import (
+            _nap_score_int8_xla,
+            nap_int8_pack,
+        )
+
+        pk = nap_int8_pack(stats_f, precomputed=(offset_f, inv_std_f))
+
+        @jax.jit
+        def _score8(xb):
+            dfs = serving_diffs_batch(model, p16, state, xb)
+            cat = jnp.concatenate(dfs, axis=-1)
+            return _nap_score_int8_xla(pk.v8, pk.sv, pk.sk, pk.offset, pk.inv_std,
+                                       cat)
+
+        def make_rapp8():
+            def body(i, acc):
+                xb = small16 + (i.astype(jnp.float32) * 1e-9
+                                + acc * 0).astype(jnp.bfloat16)
+                return acc + jnp.sum(_score8(xb))
+            return body
+
+        t_nap8 = timed_loop(make_rapp8, n_iters=128)
+        nap8_tput = Bn / t_nap8
+        f = _flops_of(lambda xb: jnp.sum(_score8(xb)), small16)
+        fpw8n = f / Bn if f else None
+        res["mfu_nap_int8"] = _mfu(nap8_tput, fpw8n, V5E_PEAK_INT8_FLOPS)
+        s8n = _retry(lambda: _score8(small16))
+        nap8_rel = float(jnp.mean(jnp.abs(s8n - s32n)
+                                  / (jnp.abs(s32n) + 1e-6)))
+        res["rapp_nap_int8_windows_per_sec"] = round(nap8_tput, 1)
+        res["nap_int8_score_rel_err"] = round(nap8_rel, 5)
+        emit()
+    except Exception as e:  # noqa: BLE001 — reason is recorded
+        nap8_error = f"{type(e).__name__}: {e}"[:300]
+
     # -- throughput: training step (synthetic fori_loop upper bound) --------
     import optax
 
@@ -538,6 +580,10 @@ def main():
             round(nap16_tput, 1) if nap16_tput else None,
         "nap_bf16_score_rel_err":
             round(nap16_rel, 5) if nap16_rel is not None else None,
+        "rapp_nap_int8_windows_per_sec":
+            round(nap8_tput, 1) if nap8_tput else None,
+        "nap_int8_score_rel_err":
+            round(nap8_rel, 5) if nap8_rel is not None else None,
         "train_windows_per_sec": round(train_tput, 1) if train_tput else None,
         "train_bf16_windows_per_sec":
             round(train16_tput, 1) if train16_tput else None,
@@ -549,7 +595,7 @@ def main():
     errors = {
         k: v for k, v in {
             "fp32_error": fp32_error, "nap_error": nap_error,
-            "nap16_error": nap16_error,
+            "nap16_error": nap16_error, "nap8_error": nap8_error,
             "train_error": train_error, "train16_error": train16_error,
             "trainer_error": trainer_error,
             "build_error": build_error,

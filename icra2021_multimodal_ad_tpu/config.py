@@ -87,6 +87,11 @@ class Config:
     mesh_shape: Optional[int] = None  # devices on the 'data' mesh axis (None = all)
     param_dtype: str = "float32"
     compute_dtype: str = "float32"    # bfloat16 supported on the scoring path
+    nap_quant: Optional[str] = None   # "int8": NAP whitening matmul on the
+    # MXU int8 path (2x the bf16 peak; static per-feature scales from the
+    # train-diff abs-max recorded in the stats file + dynamic per-row x
+    # quant, per-column V quant, fp32 epilogue) — serving-only opt-in,
+    # deploy behind ops/serving.nap_accuracy_guard(nap_quant="int8").
     train_dtype: str = "float32"  # "bfloat16": opt-in mixed-precision
     # training — fp32 master params/Adam/BN stats, bf16 matmul operands
     # with fp32 MXU accumulation, fp32 loss.  The eval/NAP-fit path stays

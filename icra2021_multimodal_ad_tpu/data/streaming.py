@@ -284,6 +284,23 @@ def _tick_nap_bf16(model: AutoEncoder, fusion_params: FusionParams,
     return jnp.mean(tstd * tstd, axis=-1)
 
 
+@partial(jax.jit, static_argnames=("model",))
+def _tick_nap_int8(model: AutoEncoder, fusion_params: FusionParams,
+                   params16, state, v8, sv, sk, offset, inv_std, r, d, t, m):
+    """int8 NAP tick: bf16 mixed-precision diff extraction, whitening
+    matmul on the MXU int8 path (ops/serving._nap_score_int8_xla
+    semantics) — the --nap_quant int8 configuration as one program."""
+    from icra2021_multimodal_ad_tpu.ops.serving import (
+        _nap_score_int8_xla,
+        serving_diffs_batch,
+    )
+
+    x = _normalize_and_fuse(fusion_params, r, d, t, m).astype(jnp.bfloat16)
+    dfs = serving_diffs_batch(model, params16, state, x)
+    cat = jnp.concatenate(dfs, axis=-1)
+    return _nap_score_int8_xla(v8, sv, sk, offset, inv_std, cat)
+
+
 def get_realtime_dataloader(config: Config, fusion_params: FusionParams,
                             force_q, hand_q, depth_q, mic_q) -> jax.Array:
     """(data_loaders.py:734-737) queues -> fused (batch_size, 1728) windows."""
@@ -377,10 +394,15 @@ class StreamingDetector:
         bundle = self._nap_serving()
         if (getattr(self, "_nap_tick_cache", None) is None
                 or self._nap_tick_cache[0] is not bundle):
-            offset, inv_std = bundle.nap_pre
-            v16 = bundle.nap_stats.rotater.v.astype(jnp.bfloat16)
-            self._nap_tick_cache = (bundle, (bundle.params, v16, offset,
-                                             inv_std))
+            if bundle.nap_int8 is not None:
+                p = bundle.nap_int8
+                ops = (bundle.params, (p.v8, p.sv, p.sk, p.offset,
+                                       p.inv_std))
+            else:
+                offset, inv_std = bundle.nap_pre
+                v16 = bundle.nap_stats.rotater.v.astype(jnp.bfloat16)
+                ops = (bundle.params, (v16, offset, inv_std))
+            self._nap_tick_cache = (bundle, ops)
         return self._nap_tick_cache[1]
 
     def score_queues(self, force_q, hand_q, depth_q, mic_frames,
@@ -395,10 +417,14 @@ class StreamingDetector:
             if self.nap_stats is None:
                 raise ValueError("NAP streaming needs persisted NapStats")
             if self._dtype == jnp.bfloat16:
-                p16, v16, offset, inv_std = self._nap_bf16_tick_ops()
+                p16, wh_ops = self._nap_bf16_tick_ops()
+                if len(wh_ops) == 5:  # int8 (v8, sv, sk, offset, inv_std)
+                    return np.asarray(_tick_nap_int8(
+                        self.model, self.fusion_params, p16, self.state,
+                        *wh_ops, r, d, t, m))
                 return np.asarray(_tick_nap_bf16(
                     self.model, self.fusion_params, p16, self.state,
-                    v16, offset, inv_std, r, d, t, m))
+                    *wh_ops, r, d, t, m))
             return np.asarray(_tick_nap_exact(
                 self.model, self.fusion_params, self.params, self.state,
                 self.nap_stats, r, d, t, m))

@@ -38,6 +38,8 @@ from icra2021_multimodal_ad_tpu.ops.serving import (  # noqa: F401
     serving_diffs_batch,
     bf16_accuracy_guard,
     nap_accuracy_guard,
+    nap_int8_pack,
+    NapInt8Pack,
     export_base_scorer,
     export_nap_scorer,
     export_nap_window_scorer,

@@ -63,6 +63,11 @@ class ScoreReport(NamedTuple):
 class NapStats(NamedTuple):
     rotater: RotaterStats
     standardizer: StandardizerStats
+    #: per-feature abs-max of the train diffs the stats were fitted on
+    #: ((K,) fp32) — the int8 serving path's static quantization scales
+    #: (ops/serving.nap_int8_pack).  Optional: stats persisted before this
+    #: field existed load as None, and every fp32/bf16 path ignores it.
+    feat_absmax: Optional[jax.Array] = None
 
 
 def _slice_range(n_diffs: int, start_layer_index: int,
@@ -162,7 +167,8 @@ def nap_fit(train_diffs_cat: jax.Array, method: str = "svd") -> NapStats:
         raise ValueError(f"unknown NAP fit method {method!r}")
     rotated = rotater_run(rot, train_diffs_cat)
     std = standardizer_fit(rotated)
-    return NapStats(rotater=rot, standardizer=std)
+    return NapStats(rotater=rot, standardizer=std,
+                    feat_absmax=jnp.max(jnp.abs(train_diffs_cat), axis=0))
 
 
 def nap_fit_sharded(train_diffs, mesh,
@@ -291,6 +297,7 @@ def nap_effective_stats(stats: NapStats, var_floor_rel: float) -> NapStats:
     return NapStats(
         rotater=stats.rotater,
         standardizer=StandardizerStats(mu=stats.standardizer.mu, var=var_f),
+        feat_absmax=stats.feat_absmax,
     )
 
 
@@ -313,12 +320,15 @@ def save_nap_stats(path: str, stats: NapStats) -> None:
 
     parent = os.path.dirname(os.path.abspath(path))
     os.makedirs(parent, exist_ok=True)
+    extra = ({"feat_absmax": np.asarray(stats.feat_absmax)}
+             if stats.feat_absmax is not None else {})
     np.savez(
         path,
         rot_mu=np.asarray(stats.rotater.mu),
         rot_v=np.asarray(stats.rotater.v),
         std_mu=np.asarray(stats.standardizer.mu),
         std_var=np.asarray(stats.standardizer.var),
+        **extra,
     )
 
 
@@ -331,6 +341,9 @@ def load_nap_stats(path: str) -> NapStats:
         standardizer=StandardizerStats(
             mu=jnp.asarray(z["std_mu"]), var=jnp.asarray(z["std_var"])
         ),
+        # absent in stats files written before the int8 serving path
+        feat_absmax=(jnp.asarray(z["feat_absmax"])
+                     if "feat_absmax" in z.files else None),
     )
 
 

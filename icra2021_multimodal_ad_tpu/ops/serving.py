@@ -69,6 +69,7 @@ class ServingModel(NamedTuple):
     mesh: Optional[object] = None
     nap_pack: Optional[object] = None  # padded Pallas operands (single-chip)
     nap_v: Optional[jax.Array] = None  # dtype-cast V (mesh XLA path)
+    nap_int8: Optional[object] = None  # NapInt8Pack (nap_quant='int8')
 
     def _shard(self, x: jax.Array):
         """Pad + shard the leading axis; returns (x, n_real_rows)."""
@@ -103,9 +104,15 @@ class ServingModel(NamedTuple):
     def score_nap(self, x_cat: jax.Array) -> jax.Array:
         """Fused NAP score of concat diffs; bf16 streams the matrix at half
         bandwidth, accumulation and score stay fp32.  Single-chip takes the
-        Pallas kernel; mesh serving takes the XLA matmul (shardable)."""
+        Pallas kernel; mesh serving takes the XLA matmul (shardable);
+        nap_quant='int8' bundles take the int8 MXU matmul on either."""
         if self.nap_stats is None:
             raise ValueError("score_nap needs nap_stats")
+        if self.nap_int8 is not None:
+            x_cat, n = self._shard(x_cat)
+            p = self.nap_int8
+            return _nap_score_int8_xla(p.v8, p.sv, p.sk, p.offset, p.inv_std,
+                                       x_cat)[:n]
         if self.mesh is not None:
             offset, inv_std = (self.nap_pre if self.nap_pre is not None
                                else nap_precompute(self.nap_stats))
@@ -155,6 +162,16 @@ class ServingModel(NamedTuple):
         else:
             xp, n = self._shard(x.astype(self.compute_dtype))
             d = serving_diffs_batch(self.model, self.params, self.state, xp)
+        if self.nap_int8 is not None:
+            # quantize the fp32 diff taps directly — an intermediate bf16
+            # rounding would shift per-row scales and int8 rounding
+            # decisions vs the single-device path (measured ~2% score
+            # drift), for zero bandwidth benefit (the quantizer reads the
+            # taps once either way)
+            cat32 = jnp.concatenate(d, axis=-1)
+            p = self.nap_int8
+            return _nap_score_int8_xla(p.v8, p.sv, p.sk, p.offset, p.inv_std,
+                                       cat32)[:n]
         cat = jnp.concatenate(d, axis=-1).astype(self.compute_dtype)
         offset, inv_std = (self.nap_pre if self.nap_pre is not None
                            else nap_precompute(self.nap_stats))
@@ -192,7 +209,8 @@ NAP_VAR_FLOOR_REL_BF16 = 1e-6
 def make_serving(config, model: AutoEncoder, params, state,
                  fusion_params: Optional[FusionParams] = None,
                  nap_stats: Optional[NapStats] = None,
-                 nap_var_floor_rel="auto", mesh=None) -> ServingModel:
+                 nap_var_floor_rel="auto", mesh=None,
+                 nap_quant="auto") -> ServingModel:
     """Build the serving bundle; `config.compute_dtype` ('float32' |
     'bfloat16') selects the operand dtype — the previously-dormant knob.
 
@@ -203,19 +221,33 @@ def make_serving(config, model: AutoEncoder, params, state,
     override, or None/0 to disable.
 
     `mesh`: a 1-D window-axis Mesh — every scorer then shards its batch
-    over the mesh (multi-chip serving; see ServingModel docstring)."""
+    over the mesh (multi-chip serving; see ServingModel docstring).
+
+    `nap_quant`: 'int8' runs the NAP whitening matmul on the MXU's int8
+    path (2x the bf16 peak; see NapInt8Pack) — diff extraction stays at
+    compute_dtype, the epilogue fp32.  "auto" reads config.nap_quant when
+    the config carries one; None disables.  int8 requires a variance floor
+    (the same near-null amplification argument as bf16, but ~2 fewer
+    mantissa bits), so it implies the bf16 floor when the caller left
+    nap_var_floor_rel on "auto" with an fp32 compute_dtype."""
     from icra2021_multimodal_ad_tpu.ops.scoring import nap_effective_stats
 
     dtype = _DTYPES[getattr(config, "compute_dtype", "float32")]
+    if nap_quant == "auto":
+        nap_quant = getattr(config, "nap_quant", None)
+    if nap_quant not in (None, "int8"):
+        raise ValueError(f"unknown nap_quant: {nap_quant!r}")
     if nap_var_floor_rel == "auto":
         nap_var_floor_rel = (NAP_VAR_FLOOR_REL_BF16
-                             if dtype == jnp.bfloat16 else None)
+                             if dtype == jnp.bfloat16 or nap_quant
+                             else None)
     if nap_stats is not None and nap_var_floor_rel:
         nap_stats = nap_effective_stats(nap_stats, nap_var_floor_rel)
     # fold the whitening means + pad/cast the rotation matrix ONCE at build
     # time — score_nap calls must not re-dispatch the mu @ V GEMV or the
     # O(K*J) pad of V per streaming tick
     nap_pre = nap_precompute(nap_stats) if nap_stats is not None else None
+    quantized = nap_stats is not None and nap_quant == "int8"
     return ServingModel(
         model=model,
         params=cast_floats(params, dtype),
@@ -227,9 +259,13 @@ def make_serving(config, model: AutoEncoder, params, state,
         nap_pre=nap_pre,
         mesh=mesh,
         nap_pack=(nap_pallas_pack(nap_stats, dtype=dtype, precomputed=nap_pre)
-                  if nap_stats is not None and mesh is None else None),
+                  if nap_stats is not None and mesh is None and not quantized
+                  else None),
         nap_v=(nap_stats.rotater.v.astype(dtype)
-               if nap_stats is not None and mesh is not None else None),
+               if nap_stats is not None and mesh is not None
+               and not quantized else None),
+        nap_int8=(nap_int8_pack(nap_stats, precomputed=nap_pre)
+                  if quantized else None),
     )
 
 
@@ -320,6 +356,82 @@ def serving_diffs_batch(model: AutoEncoder, params, state, x):
     return tuple(diffs)
 
 
+class NapInt8Pack(NamedTuple):
+    """int8-quantized whitening operands, built once at make_serving time.
+
+    The NAP whitening matmul is the MXU-bound stage of NAP serving (it runs
+    at ~79% of the bf16 peak), and the v5e MXU's int8 path has 2x the bf16
+    peak (measured on the canonical (16384,5504)x(5504,5504) shape: 356 vs
+    166 TOP/s).
+
+    Quantization scheme (two-level, clip-free):
+    - **static per-feature scales** `sk` ((1, K) fp32): the per-feature
+      abs-max of the TRAIN diffs, recorded by `nap_fit` as
+      `NapStats.feat_absmax` and folded into V at pack time
+      (V' = sk^T * V).  Concat diff taps span decades across layers AND
+      the whitening divides by tiny train stds, so a single per-row scale
+      buries exactly the small-magnitude features the near-null whitened
+      directions read — measured 115% mean score error on a random-init
+      model; per-feature normalization brings it to 1.7%.
+    - **dynamic per-row scales** at score time on the normalized features
+      (row abs-max / 127) — no clipping, so anomalous windows whose diffs
+      exceed the calibration range stay representable (their scores
+      compress toward the quantization noise floor but remain orders of
+      magnitude above normal — separation is tested, and magnitudes come
+      from thresholds fit on guard-certified normal scores).
+    - V' quantized per COLUMN (whitening rescales per column anyway);
+      accumulation is int32 (exact), the epilogue (rescale, offset,
+      standardize, square, mean) fp32.
+
+    Stats persisted before `feat_absmax` existed fall back to sk = 1
+    (global per-row quantization) — the guard then decides whether that is
+    accurate enough for the fit at hand.  Deploy behind
+    nap_accuracy_guard(..., nap_quant='int8')."""
+
+    v8: jax.Array       # (K, J) int8 of sk^T * V
+    sv: jax.Array       # (1, J) fp32 per-column scales of sk^T * V
+    sk: jax.Array       # (1, K) fp32 static per-feature scales (or ones)
+    offset: jax.Array   # (1, J) fp32 folded means (rot_mu @ V + std_mu)
+    inv_std: jax.Array  # (1, J) fp32
+    k: int
+    j: int
+
+
+def nap_int8_pack(nap_stats: NapStats, precomputed=None) -> NapInt8Pack:
+    offset, inv_std = (precomputed if precomputed is not None
+                       else nap_precompute(nap_stats))
+    v = nap_stats.rotater.v.astype(jnp.float32)
+    k, j = v.shape
+    am = getattr(nap_stats, "feat_absmax", None)
+    if am is not None:
+        sk = jnp.where(am > 0, am, 1.0).astype(jnp.float32).reshape(1, -1)
+        v = v * sk.reshape(-1, 1)
+    else:
+        sk = jnp.ones((1, k), jnp.float32)
+    col_max = jnp.max(jnp.abs(v), axis=0, keepdims=True)
+    sv = jnp.where(col_max > 0, col_max / 127.0, 1.0)
+    v8 = jnp.round(v / sv).astype(jnp.int8)
+    return NapInt8Pack(v8, sv, sk, offset.reshape(1, -1),
+                       inv_std.reshape(1, -1), k, j)
+
+
+@jax.jit
+def _nap_score_int8_xla(v8, sv, sk, offset, inv_std, x):
+    """Static per-feature + dynamic per-row int8 quantization, int8 MXU
+    matmul, fp32 whitening epilogue (see NapInt8Pack).  XLA partitions the
+    row axis over a mesh exactly like the bf16 _nap_score_xla."""
+    y = x.astype(jnp.float32) / sk
+    row_max = jnp.max(jnp.abs(y), axis=1, keepdims=True)
+    sx = jnp.where(row_max > 0, row_max / 127.0, 1.0)
+    x8 = jnp.round(y / sx).astype(jnp.int8)
+    rot = jax.lax.dot_general(
+        x8, v8, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * sx * sv
+    t = (rot - offset) * inv_std
+    return jnp.mean(t * t, axis=-1)
+
+
 def _forward(model, params, state, x):
     """fp32 serving keeps the exact HIGHEST-precision path; low-precision
     serving takes the fast mixed-precision forward.  Serving is always
@@ -378,33 +490,37 @@ def bf16_accuracy_guard(config, model, params, state, x,
 
 def nap_accuracy_guard(config, model, params, state, nap_stats, x,
                        tol: float = 5e-2,
-                       nap_var_floor_rel=NAP_VAR_FLOOR_REL_BF16) -> float:
-    """Mean relative NAP-score error of the bf16 serving path (mixed-
-    precision diff extraction + bf16 whitening matmul) vs the fp32 path on a
-    probe batch of fused windows; raises above tol.
+                       nap_var_floor_rel=NAP_VAR_FLOOR_REL_BF16,
+                       nap_quant=None) -> float:
+    """Mean relative NAP-score error of the low-precision serving path
+    (mixed-precision diff extraction + bf16 — or, with nap_quant='int8',
+    int8 — whitening matmul) vs the fp32 path on a probe batch of fused
+    windows; raises above tol.
 
     NAP is the risky score to run at low precision: whitening divides each
     rotated column by the train-diff std, so forward-pass rounding on a
     well-trained model (whose diffs are small) is amplified relative to the
     signal.  Both bundles here use the SAME variance floor (the bf16
     default), so the guard isolates the precision error — run it before
-    enabling bf16 NAP serving.  Pass nap_var_floor_rel=0 to compare against
-    un-floored whitening (expected to fail on degenerate fits; that failure
-    is the guard doing its job)."""
+    enabling bf16/int8 NAP serving.  Pass nap_var_floor_rel=0 to compare
+    against un-floored whitening (expected to fail on degenerate fits; that
+    failure is the guard doing its job)."""
     import numpy as np
 
     fp32 = make_serving(config.replace(compute_dtype="float32"),
                         model, params, state, nap_stats=nap_stats,
-                        nap_var_floor_rel=nap_var_floor_rel)
-    bf16 = make_serving(config.replace(compute_dtype="bfloat16"),
+                        nap_var_floor_rel=nap_var_floor_rel, nap_quant=None)
+    fast = make_serving(config.replace(compute_dtype="bfloat16"),
                         model, params, state, nap_stats=nap_stats,
-                        nap_var_floor_rel=nap_var_floor_rel)
+                        nap_var_floor_rel=nap_var_floor_rel,
+                        nap_quant=nap_quant)
     x = jnp.asarray(x)
     s32 = np.asarray(fp32.score_nap_windows(x))
-    s16 = np.asarray(bf16.score_nap_windows(x))
+    s16 = np.asarray(fast.score_nap_windows(x))
     rel = float(np.mean(np.abs(s16 - s32) / (np.abs(s32) + 1e-6)))
     if rel > tol:
-        raise ValueError(f"bf16 NAP serving rel err {rel:.4f} > tol {tol}")
+        kind = "int8" if nap_quant == "int8" else "bf16"
+        raise ValueError(f"{kind} NAP serving rel err {rel:.4f} > tol {tol}")
     return rel
 
 
@@ -494,6 +610,13 @@ def export_nap_window_scorer(serving: ServingModel, batch_size: int,
             d = diffs_batch(model, params, state, x)
             return nap_score_device(stats, jnp.concatenate(d, axis=-1))
         d = serving_diffs_batch(model, params, state, x.astype(dtype))
+        if serving.nap_int8 is not None:
+            # ship exactly the live int8 path the accuracy guard certified
+            # (fp32 concat taps -> dynamic per-row quant -> int8 GEMM)
+            p = serving.nap_int8
+            cat32 = jnp.concatenate(d, axis=-1)
+            return _nap_score_int8_xla(p.v8, p.sv, p.sk, p.offset, p.inv_std,
+                                       cat32)
         cat = jnp.concatenate(d, axis=-1).astype(dtype)
         offset, inv_std = (serving.nap_pre if serving.nap_pre is not None
                            else nap_precompute(stats))

@@ -60,16 +60,25 @@ def main():
                         " with --nap it scores against variance-floored "
                         "effective-rank whitening (ops/serving.py), so "
                         "scores can differ from fp32 NAP on degenerate fits")
+    p.add_argument("--nap_quant", type=str, default=None,
+                   choices=["int8"],
+                   help="int8 = NAP whitening matmul on the MXU int8 path "
+                        "(2x the bf16 peak; fp32 epilogue, variance-floored "
+                        "stats) — deploy-guarded like bfloat16")
     p.add_argument("--connection_timeout_s", type=float, default=None,
                    help="raise if a sensor queue is silent this long "
                         "(reference default 10 s, realtime_tester.py:52-57)")
     args = p.parse_args()
+    if args.nap_quant and args.compute_dtype != "bfloat16":
+        p.error("--nap_quant int8 rides the serving fast path; pass "
+                "--compute_dtype bfloat16 with it")
 
     cfg = Config(
         batch_size=args.batch_size, btl_size=args.btl_size,
         n_layers=args.n_layers, sensor=args.sensor,
         saved_name=args.saved_name, train_diffs=args.train_diffs,
         seed=args.seed, compute_dtype=args.compute_dtype,
+        nap_quant=args.nap_quant,
     )
     cfg = cfg.replace(input_size=get_input_size(cfg))
 

@@ -389,6 +389,18 @@ def test_exported_nap_window_scorer_matches_live_pipeline():
             rtol=rtol, atol=1e-6,
         )
 
+    # an int8-quantized bundle must export the SAME int8 program the
+    # accuracy guard certified, not silently fall back to bf16 whitening
+    serving8 = make_serving(cfg.replace(compute_dtype="bfloat16"),
+                            model, params, state, nap_stats=stats,
+                            nap_quant="int8")
+    scorer8 = load_scorer(export_nap_window_scorer(serving8, 16, 1728))
+    np.testing.assert_allclose(
+        np.asarray(scorer8(x)),
+        np.asarray(serving8.score_nap_windows(x)),
+        rtol=5e-3, atol=1e-6,
+    )
+
 
 def test_serving_forward_matches_exact_forward():
     """The mixed-precision serving forward must track the exact fp32
@@ -440,3 +452,185 @@ def test_fp32_serving_is_deterministic_for_stochastic_vib():
     s1 = np.asarray(serving.score_fused(x))
     s2 = np.asarray(serving.score_fused(x))
     np.testing.assert_array_equal(s1, s2)  # deterministic, no key needed
+
+
+# ---------------------------------------------------------------------------
+# int8 NAP serving (nap_quant="int8")
+# ---------------------------------------------------------------------------
+
+
+def _trained_with_stats(seed=0):
+    from icra2021_multimodal_ad_tpu.ops.rapp import get_diffs
+    from icra2021_multimodal_ad_tpu.ops.scoring import concat_diffs, nap_fit
+    from icra2021_multimodal_ad_tpu.train import NoveltyDetecter
+
+    cfg = Config(sensor="force_torque", n_layers=3, btl_size=10,
+                 verbose=0, n_epochs=8, batch_size=64, seed=seed)
+    cfg = cfg.replace(input_size=get_input_size(cfg))
+    model, params, state = get_model(cfg)
+    rng = np.random.default_rng(seed)
+    z = rng.normal(size=(512, 6))
+    w = np.linalg.qr(rng.normal(size=(6, cfg.input_size)).T)[0].T
+    xtr = (z @ w + 0.05 * rng.normal(size=(512, cfg.input_size))).astype(
+        np.float32)
+    xva = xtr[:96]
+    from icra2021_multimodal_ad_tpu.train import NoveltyDetecter as ND
+
+    res = ND(cfg).train(model, jax.tree.map(jnp.copy, params),
+                        jax.tree.map(jnp.copy, state),
+                        jnp.asarray(xtr[96:]), jnp.asarray(xva))
+    stats = nap_fit(concat_diffs(
+        get_diffs(xtr[96:], model, res.params, res.state)))
+    return cfg, model, res.params, res.state, stats, xtr
+
+
+def test_int8_nap_serving_tracks_fp32():
+    from icra2021_multimodal_ad_tpu.ops.serving import nap_accuracy_guard
+
+    cfg, model, params, state, stats, x = _trained_with_stats()
+    assert stats.feat_absmax is not None  # nap_fit records the calibration
+    rel = nap_accuracy_guard(cfg, model, params, state, stats,
+                             x[:64], tol=0.05, nap_quant="int8")
+    assert rel < 0.05, rel
+
+
+def test_int8_nap_calibration_persistence_and_fallback(tmp_path):
+    """feat_absmax (the int8 static scales) round-trips through the stats
+    npz; pre-int8 stats files (no feat_absmax key) still load and the int8
+    pack falls back to sk=1 global per-row quantization."""
+    from icra2021_multimodal_ad_tpu.ops.scoring import (
+        load_nap_stats,
+        save_nap_stats,
+    )
+    from icra2021_multimodal_ad_tpu.ops.serving import nap_int8_pack
+
+    cfg, model, params, state, stats, x = _trained_with_stats()
+    p = str(tmp_path / "stats")
+    save_nap_stats(p, stats)
+    st2 = load_nap_stats(p)
+    np.testing.assert_allclose(np.asarray(st2.feat_absmax),
+                               np.asarray(stats.feat_absmax))
+
+    # legacy file: same arrays minus the calibration key
+    import numpy as _np
+    _np.savez(str(tmp_path / "old"),
+              rot_mu=_np.asarray(stats.rotater.mu),
+              rot_v=_np.asarray(stats.rotater.v),
+              std_mu=_np.asarray(stats.standardizer.mu),
+              std_var=_np.asarray(stats.standardizer.var))
+    old = load_nap_stats(str(tmp_path / "old"))
+    assert old.feat_absmax is None
+    pk = nap_int8_pack(old)
+    np.testing.assert_array_equal(np.asarray(pk.sk),
+                                  np.ones((1, pk.k), np.float32))
+    s8 = make_serving(cfg.replace(compute_dtype="bfloat16"),
+                      model, params, state, nap_stats=old,
+                      nap_quant="int8")
+    scores = np.asarray(s8.score_nap_windows(jnp.asarray(x[:16])))
+    assert scores.shape == (16,) and np.all(np.isfinite(scores))
+
+
+def test_int8_nap_bundle_and_anomaly_separation():
+    cfg, model, params, state, stats, x = _trained_with_stats()
+    s8 = make_serving(cfg.replace(compute_dtype="bfloat16"),
+                      model, params, state, nap_stats=stats,
+                      nap_quant="int8")
+    assert s8.nap_int8 is not None
+    assert s8.nap_int8.v8.dtype == jnp.int8
+    assert s8.nap_pack is None  # the Pallas bf16 pack is not also built
+    scores = np.asarray(s8.score_nap_windows(jnp.asarray(x[:32])))
+    assert scores.shape == (32,) and np.all(np.isfinite(scores))
+
+    # score_nap on concat diffs routes through the same int8 program
+    d = s8.nap_diffs(jnp.asarray(x[:32]))
+    scores2 = np.asarray(s8.score_nap(d))
+    np.testing.assert_allclose(scores2, scores, rtol=1e-5)
+
+    # anomalous windows must stay separated under quantization
+    rng = np.random.default_rng(9)
+    x_anom = (x[:32] * 4.0 + rng.normal(size=(32, x.shape[1])).astype(
+        np.float32))
+    s_anom = np.asarray(s8.score_nap_windows(jnp.asarray(x_anom)))
+    assert s_anom.mean() > 2.0 * scores.mean()
+
+
+def test_int8_nap_config_knob_and_cli_guard():
+    """Config(nap_quant='int8') flows through make_serving's 'auto'."""
+    cfg, model, params, state, stats, x = _trained_with_stats()
+    bundle = make_serving(
+        cfg.replace(compute_dtype="bfloat16", nap_quant="int8"),
+        model, params, state, nap_stats=stats)
+    assert bundle.nap_int8 is not None
+    with pytest.raises(ValueError, match="nap_quant"):
+        make_serving(cfg, model, params, state, nap_stats=stats,
+                     nap_quant="int4")
+
+
+def test_int8_nap_mesh_matches_single_device():
+    from icra2021_multimodal_ad_tpu.parallel.mesh import get_mesh
+
+    cfg, model, params, state, stats, x = _trained_with_stats()
+    kw = dict(nap_stats=stats, nap_quant="int8")
+    s1 = make_serving(cfg.replace(compute_dtype="bfloat16"),
+                      model, params, state, **kw)
+    sm = make_serving(cfg.replace(compute_dtype="bfloat16"),
+                      model, params, state, mesh=get_mesh(8), **kw)
+    xq = jnp.asarray(x[:19])  # non-divisible rows: padding path
+    a = np.asarray(s1.score_nap_windows(xq))
+    b = np.asarray(sm.score_nap_windows(xq))
+    # int32 accumulation is exact; rows are quantized per-row, so sharding
+    # the row axis must be bit-identical up to fp32 epilogue reassociation
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_int8_streaming_tick_matches_serving_bundle():
+    from icra2021_multimodal_ad_tpu.data.streaming import (
+        SimulatedSensors,
+        StreamingDetector,
+        get_realtime_dataloader,
+    )
+    from icra2021_multimodal_ad_tpu.ops.rapp import get_diffs
+    from icra2021_multimodal_ad_tpu.ops.scoring import concat_diffs, nap_fit
+    from icra2021_multimodal_ad_tpu.train import NoveltyDetecter
+
+    cfg = Config(sensor="All", batch_size=10, n_layers=3, btl_size=16,
+                 verbose=0, n_epochs=6, lr=3e-3, seed=0,
+                 compute_dtype="bfloat16", nap_quant="int8")
+    cfg = cfg.replace(input_size=get_input_size(cfg))
+    model, params, state = get_model(cfg)
+    fusion_params = fusion_init(jax.random.PRNGKey(cfg.seed))
+    src = SimulatedSensors(batch_size=10, seed=7)
+    src.fill()
+    rows = []
+    for _ in range(12):
+        src.tick()
+        rows.append(np.asarray(get_realtime_dataloader(
+            cfg, fusion_params,
+            src.force_q.snapshot(), src.hand_q.snapshot(),
+            src.depth_q.snapshot(), src.mic_q.snapshot())))
+    windows = np.concatenate(rows, axis=0)
+    res = NoveltyDetecter(cfg.replace(batch_size=32)).train(
+        model, params, state, jnp.asarray(windows[24:]),
+        jnp.asarray(windows[:24]))
+    stats = nap_fit(concat_diffs(
+        get_diffs(windows[24:], model, res.params, res.state)))
+
+    det = StreamingDetector(cfg, model, res.params, res.state,
+                            fusion_params, nap_stats=stats)
+    from icra2021_multimodal_ad_tpu.data.streaming import hsr_window_batch
+
+    det_mfcc = _mic_frames(cfg, src)
+    tick = det.score_queues(src.force_q.snapshot(), src.hand_q.snapshot(),
+                            src.depth_q.snapshot(), det_mfcc, nap=True)
+    x = hsr_window_batch(cfg, fusion_params,
+                         src.force_q.snapshot(), src.hand_q.snapshot(),
+                         src.depth_q.snapshot(), det_mfcc)
+    via_batch = det.score_batch(x, nap=True)
+    np.testing.assert_allclose(tick, via_batch, rtol=2e-2, atol=1e-7)
+
+
+def _mic_frames(cfg, src):
+    from icra2021_multimodal_ad_tpu.ops.mfcc import mfcc_from_int16_chunks
+
+    return mfcc_from_int16_chunks(src.mic_q.snapshot(), cfg,
+                                  length=cfg.batch_size / 10.0)
