@@ -291,14 +291,26 @@ def main():
         serving_diffs_batch,
     )
 
-    nap16_tput, nap16_rel, nap16_error = None, None, None
+    # shared setup for BOTH low-precision NAP sections (bf16 and int8):
+    # floored stats, folded operands, the bf16 probe batch, and the fp32
+    # reference scores the rel-err fields compare against.  Its own try so
+    # a tunnel blip here fails both sections with the real reason, and a
+    # blip inside ONE section cannot NameError the other.
+    nap_lowp_setup_error = None
     try:
-        # setup dispatches device ops over the flaky tunnel too — a blip
-        # here must be recorded as nap16_error, not kill the whole bench
         stats_f = nap_effective_stats(stats, NAP_VAR_FLOOR_REL_BF16)
         offset_f, inv_std_f = nap_precompute(stats_f)
         v16 = v.astype(jnp.bfloat16)
         small16 = small.astype(jnp.bfloat16)
+        cat32 = jnp.concatenate(diffs, axis=-1)
+        s32n = _retry(lambda: jax.jit(nap_score_device)(stats_f, cat32))
+    except Exception as e:  # noqa: BLE001 — reason is recorded
+        nap_lowp_setup_error = f"{type(e).__name__}: {e}"[:300]
+
+    nap16_tput, nap16_rel, nap16_error = None, None, nap_lowp_setup_error
+    try:
+        if nap_lowp_setup_error is not None:
+            raise RuntimeError(f"setup failed: {nap_lowp_setup_error}")
 
         @jax.jit
         def _score16(xb):
@@ -323,14 +335,13 @@ def main():
         nap16_tput = Bn / t_nap16
         f = _flops_of(lambda xb: jnp.sum(_score16(xb)), small16)
         fpw16n = f / Bn if f else None
-        res["mfu_nap_bf16"] = _mfu(nap16_tput, fpw16n, V5E_PEAK_BF16_FLOPS)
         # precision agreement on the SAME floored stats AND the same bf16
         # whitening the timed loop runs (isolates the full dtype effect)
-        cat32 = jnp.concatenate(diffs, axis=-1)
-        s32n = _retry(lambda: jax.jit(nap_score_device)(stats_f, cat32))
         s16n = _retry(lambda: _score16(small16))
         nap16_rel = float(jnp.mean(jnp.abs(s16n - s32n)
                                    / (jnp.abs(s32n) + 1e-6)))
+        # res writes LAST: a blip above must leave no partial section fields
+        res["mfu_nap_bf16"] = _mfu(nap16_tput, fpw16n, V5E_PEAK_BF16_FLOPS)
         res["rapp_nap_bf16_windows_per_sec"] = round(nap16_tput, 1)
         res["nap_bf16_score_rel_err"] = round(nap16_rel, 5)
         emit()
@@ -340,8 +351,10 @@ def main():
     # -- throughput: int8 NAP serving (nap_quant="int8": bf16 diff
     # extraction + whitening matmul on the MXU int8 path at 2x the bf16
     # peak; fp32 epilogue — ops/serving._nap_score_int8_xla semantics)
-    nap8_tput, nap8_rel, nap8_error = None, None, None
+    nap8_tput, nap8_rel, nap8_error = None, None, nap_lowp_setup_error
     try:
+        if nap_lowp_setup_error is not None:
+            raise RuntimeError(f"setup failed: {nap_lowp_setup_error}")
         from icra2021_multimodal_ad_tpu.ops.serving import (
             _nap_score_int8_xla,
             nap_int8_pack,
@@ -367,10 +380,11 @@ def main():
         nap8_tput = Bn / t_nap8
         f = _flops_of(lambda xb: jnp.sum(_score8(xb)), small16)
         fpw8n = f / Bn if f else None
-        res["mfu_nap_int8"] = _mfu(nap8_tput, fpw8n, V5E_PEAK_INT8_FLOPS)
         s8n = _retry(lambda: _score8(small16))
         nap8_rel = float(jnp.mean(jnp.abs(s8n - s32n)
                                   / (jnp.abs(s32n) + 1e-6)))
+        # res writes LAST: a blip above must leave no partial section fields
+        res["mfu_nap_int8"] = _mfu(nap8_tput, fpw8n, V5E_PEAK_INT8_FLOPS)
         res["rapp_nap_int8_windows_per_sec"] = round(nap8_tput, 1)
         res["nap_int8_score_rel_err"] = round(nap8_rel, 5)
         emit()

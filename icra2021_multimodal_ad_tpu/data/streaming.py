@@ -386,22 +386,24 @@ class StreamingDetector:
                              x.astype(self._dtype))
         )
 
-    def _nap_bf16_tick_ops(self):
-        """(params16, v16, offset, inv_std) for the one-program bf16 NAP
-        tick — the serving bundle's variance-floored precomputes plus a
-        once-cast bf16 whitening matrix (a per-tick cast would add a
-        dispatch).  Cached on the identity of self.nap_stats."""
+    def _nap_fast_tick_ops(self):
+        """(kind, params16, whitening_ops) for the one-program low-precision
+        NAP tick, where kind is "int8" (nap_quant bundles: the NapInt8Pack
+        operands (v8, sv, sk, offset, inv_std)) or "bf16" (the bundle's
+        variance-floored precomputes plus a once-cast bf16 whitening matrix
+        — a per-tick cast would add a dispatch).  Cached on the identity of
+        the serving bundle."""
         bundle = self._nap_serving()
         if (getattr(self, "_nap_tick_cache", None) is None
                 or self._nap_tick_cache[0] is not bundle):
             if bundle.nap_int8 is not None:
                 p = bundle.nap_int8
-                ops = (bundle.params, (p.v8, p.sv, p.sk, p.offset,
-                                       p.inv_std))
+                ops = ("int8", bundle.params,
+                       (p.v8, p.sv, p.sk, p.offset, p.inv_std))
             else:
                 offset, inv_std = bundle.nap_pre
                 v16 = bundle.nap_stats.rotater.v.astype(jnp.bfloat16)
-                ops = (bundle.params, (v16, offset, inv_std))
+                ops = ("bf16", bundle.params, (v16, offset, inv_std))
             self._nap_tick_cache = (bundle, ops)
         return self._nap_tick_cache[1]
 
@@ -417,12 +419,9 @@ class StreamingDetector:
             if self.nap_stats is None:
                 raise ValueError("NAP streaming needs persisted NapStats")
             if self._dtype == jnp.bfloat16:
-                p16, wh_ops = self._nap_bf16_tick_ops()
-                if len(wh_ops) == 5:  # int8 (v8, sv, sk, offset, inv_std)
-                    return np.asarray(_tick_nap_int8(
-                        self.model, self.fusion_params, p16, self.state,
-                        *wh_ops, r, d, t, m))
-                return np.asarray(_tick_nap_bf16(
+                kind, p16, wh_ops = self._nap_fast_tick_ops()
+                tick = _tick_nap_int8 if kind == "int8" else _tick_nap_bf16
+                return np.asarray(tick(
                     self.model, self.fusion_params, p16, self.state,
                     *wh_ops, r, d, t, m))
             return np.asarray(_tick_nap_exact(

@@ -491,7 +491,7 @@ def bf16_accuracy_guard(config, model, params, state, x,
 def nap_accuracy_guard(config, model, params, state, nap_stats, x,
                        tol: float = 5e-2,
                        nap_var_floor_rel=NAP_VAR_FLOOR_REL_BF16,
-                       nap_quant=None) -> float:
+                       nap_quant="auto") -> float:
     """Mean relative NAP-score error of the low-precision serving path
     (mixed-precision diff extraction + bf16 — or, with nap_quant='int8',
     int8 — whitening matmul) vs the fp32 path on a probe batch of fused
@@ -504,9 +504,16 @@ def nap_accuracy_guard(config, model, params, state, nap_stats, x,
     default), so the guard isolates the precision error — run it before
     enabling bf16/int8 NAP serving.  Pass nap_var_floor_rel=0 to compare
     against un-floored whitening (expected to fail on degenerate fits; that
-    failure is the guard doing its job)."""
+    failure is the guard doing its job).
+
+    `nap_quant` follows make_serving's contract: "auto" (default) reads
+    `config.nap_quant`, so the guard certifies the SAME path the config
+    deploys — a Config(nap_quant='int8') deployment must not be certified
+    by a bf16 measurement.  Pass None/'int8' to pin a path explicitly."""
     import numpy as np
 
+    if nap_quant == "auto":
+        nap_quant = getattr(config, "nap_quant", None)
     fp32 = make_serving(config.replace(compute_dtype="float32"),
                         model, params, state, nap_stats=nap_stats,
                         nap_var_floor_rel=nap_var_floor_rel, nap_quant=None)
@@ -606,17 +613,23 @@ def export_nap_window_scorer(serving: ServingModel, batch_size: int,
     dtype = serving.compute_dtype
 
     def fn(x):
+        # diff extraction at the bundle's precision, exactly like the live
+        # score_nap_windows path
         if dtype == jnp.float32:
             d = diffs_batch(model, params, state, x)
-            return nap_score_device(stats, jnp.concatenate(d, axis=-1))
-        d = serving_diffs_batch(model, params, state, x.astype(dtype))
+        else:
+            d = serving_diffs_batch(model, params, state, x.astype(dtype))
         if serving.nap_int8 is not None:
             # ship exactly the live int8 path the accuracy guard certified
-            # (fp32 concat taps -> dynamic per-row quant -> int8 GEMM)
+            # (concat taps -> dynamic per-row quant -> int8 GEMM) — for
+            # fp32 AND bf16 bundles; an fp32-compute int8 bundle must not
+            # silently export the exact scorer its guard never measured
             p = serving.nap_int8
             cat32 = jnp.concatenate(d, axis=-1)
             return _nap_score_int8_xla(p.v8, p.sv, p.sk, p.offset, p.inv_std,
                                        cat32)
+        if dtype == jnp.float32:
+            return nap_score_device(stats, jnp.concatenate(d, axis=-1))
         cat = jnp.concatenate(d, axis=-1).astype(dtype)
         offset, inv_std = (serving.nap_pre if serving.nap_pre is not None
                            else nap_precompute(stats))

@@ -72,6 +72,10 @@ def main():
     if args.nap_quant and args.compute_dtype != "bfloat16":
         p.error("--nap_quant int8 rides the serving fast path; pass "
                 "--compute_dtype bfloat16 with it")
+    if args.nap_quant and not args.nap:
+        p.error("--nap_quant int8 quantizes the NAP whitening matmul; "
+                "pass --nap with it (BASE streaming has no NAP stage "
+                "to quantize)")
 
     cfg = Config(
         batch_size=args.batch_size, btl_size=args.btl_size,

@@ -2,6 +2,8 @@
 track the fp32 path within tolerance (the explicit fast path of CLAUDE.md /
 BASELINE.md's throughput configuration)."""
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -390,16 +392,18 @@ def test_exported_nap_window_scorer_matches_live_pipeline():
         )
 
     # an int8-quantized bundle must export the SAME int8 program the
-    # accuracy guard certified, not silently fall back to bf16 whitening
-    serving8 = make_serving(cfg.replace(compute_dtype="bfloat16"),
-                            model, params, state, nap_stats=stats,
-                            nap_quant="int8")
-    scorer8 = load_scorer(export_nap_window_scorer(serving8, 16, 1728))
-    np.testing.assert_allclose(
-        np.asarray(scorer8(x)),
-        np.asarray(serving8.score_nap_windows(x)),
-        rtol=5e-3, atol=1e-6,
-    )
+    # accuracy guard certified, not silently fall back to bf16 (or, for
+    # fp32-compute int8 bundles, exact fp32) whitening
+    for dtype_name in ("bfloat16", "float32"):
+        serving8 = make_serving(cfg.replace(compute_dtype=dtype_name),
+                                model, params, state, nap_stats=stats,
+                                nap_quant="int8")
+        scorer8 = load_scorer(export_nap_window_scorer(serving8, 16, 1728))
+        np.testing.assert_allclose(
+            np.asarray(scorer8(x)),
+            np.asarray(serving8.score_nap_windows(x)),
+            rtol=5e-3, atol=1e-6,
+        )
 
 
 def test_serving_forward_matches_exact_forward():
@@ -459,7 +463,10 @@ def test_fp32_serving_is_deterministic_for_stochastic_vib():
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=2)
 def _trained_with_stats(seed=0):
+    # cached: five int8 tests share one trained fixture instead of paying
+    # the 8-epoch train + NAP fit each on the single-core CPU host
     from icra2021_multimodal_ad_tpu.ops.rapp import get_diffs
     from icra2021_multimodal_ad_tpu.ops.scoring import concat_diffs, nap_fit
     from icra2021_multimodal_ad_tpu.train import NoveltyDetecter
@@ -474,11 +481,9 @@ def _trained_with_stats(seed=0):
     xtr = (z @ w + 0.05 * rng.normal(size=(512, cfg.input_size))).astype(
         np.float32)
     xva = xtr[:96]
-    from icra2021_multimodal_ad_tpu.train import NoveltyDetecter as ND
-
-    res = ND(cfg).train(model, jax.tree.map(jnp.copy, params),
-                        jax.tree.map(jnp.copy, state),
-                        jnp.asarray(xtr[96:]), jnp.asarray(xva))
+    res = NoveltyDetecter(cfg).train(model, jax.tree.map(jnp.copy, params),
+                                     jax.tree.map(jnp.copy, state),
+                                     jnp.asarray(xtr[96:]), jnp.asarray(xva))
     stats = nap_fit(concat_diffs(
         get_diffs(xtr[96:], model, res.params, res.state)))
     return cfg, model, res.params, res.state, stats, xtr
@@ -555,15 +560,33 @@ def test_int8_nap_bundle_and_anomaly_separation():
 
 
 def test_int8_nap_config_knob_and_cli_guard():
-    """Config(nap_quant='int8') flows through make_serving's 'auto'."""
+    """Config(nap_quant='int8') flows through make_serving's 'auto' — and
+    through nap_accuracy_guard's, so the guard certifies the path the
+    config actually deploys, not silently the bf16 one."""
+    from unittest import mock
+
+    from icra2021_multimodal_ad_tpu.ops import serving as serving_mod
+
     cfg, model, params, state, stats, x = _trained_with_stats()
-    bundle = make_serving(
-        cfg.replace(compute_dtype="bfloat16", nap_quant="int8"),
-        model, params, state, nap_stats=stats)
+    cfg8 = cfg.replace(compute_dtype="bfloat16", nap_quant="int8")
+    bundle = make_serving(cfg8, model, params, state, nap_stats=stats)
     assert bundle.nap_int8 is not None
     with pytest.raises(ValueError, match="nap_quant"):
         make_serving(cfg, model, params, state, nap_stats=stats,
                      nap_quant="int4")
+
+    seen = []
+    real = serving_mod.make_serving
+
+    def spy(config, *a, **kw):
+        seen.append(kw.get("nap_quant", "auto"))
+        return real(config, *a, **kw)
+
+    with mock.patch.object(serving_mod, "make_serving", side_effect=spy):
+        serving_mod.nap_accuracy_guard(cfg8, model, params, state, stats,
+                                       x[:16], tol=0.15)
+    # fp32 reference bundle pins None; the fast bundle must carry int8
+    assert seen == [None, "int8"], seen
 
 
 def test_int8_nap_mesh_matches_single_device():
