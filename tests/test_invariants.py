@@ -200,3 +200,27 @@ def test_bench_cost_of_reports_true_gemm_flops_and_survives_none():
         f2, by2 = bench._cost_of(mm, a, b)
     assert f2 == 2 * M * K * N, f2
     assert by2 and by2 > 0
+
+
+def test_int8_nap_program_runs_an_int8_mxu_dot():
+    """The nap_quant='int8' whitening program must contain an i8 x i8 ->
+    i32 dot_general (the MXU int8 path the 2x-peak claim rides on) and no
+    fp32/bf16 fallback dot — CPU numerics cannot distinguish a silent
+    upcast, the lowered program can."""
+    from icra2021_multimodal_ad_tpu.ops.scoring import nap_fit
+    from icra2021_multimodal_ad_tpu.ops.serving import (
+        _nap_score_int8_xla,
+        nap_int8_pack,
+    )
+
+    stats = nap_fit(jnp.asarray(
+        np.random.default_rng(0).normal(size=(32, 16)), jnp.float32))
+    pk = nap_int8_pack(stats)
+    x = jnp.zeros((4, 16), jnp.float32)
+    txt = jax.jit(_nap_score_int8_xla).lower(
+        pk.v8, pk.sv, pk.sk, pk.offset, pk.inv_std, x).as_text()
+    dots = [ln for ln in txt.splitlines() if "dot_general" in ln]
+    assert len(dots) == 1, dots
+    assert "tensor<4x16xi8>" in dots[0] and "tensor<16x16xi8>" in dots[0], \
+        dots[0]
+    assert "-> tensor<4x16xi32>" in dots[0], dots[0]
