@@ -52,18 +52,42 @@ def run_full_test(config: Config, fixture_path: str, plot: bool = False,
     df = pd.read_csv(fixture_path)
     x = fixture_to_features(df, config)
 
-    t0 = time.time()
-    diffs = get_diffs(x, model, params, state)
-    print("test_diff_time", time.time() - t0)
+    fast = getattr(config, "compute_dtype", "float32") != "float32"
+    if fast:
+        # serving fast path (--compute_dtype bfloat16 [--nap_quant int8]):
+        # one fused diffs+whitening program at the serving precision,
+        # scored against variance-floored effective-rank stats — the same
+        # guarded configuration realtime_tester streams with.  Golden
+        # `nap_score` columns were produced by the exact path, so the
+        # correlation printed by main() is informational here, not a pin.
+        if (config.start_layer_index, config.end_layer_index) != (0, -1):
+            raise ValueError(
+                "--start_layer_index/--end_layer_index need the exact "
+                "fp32 path (serving scorers whiten the full diff concat); "
+                "drop --compute_dtype bfloat16 to use layer windows")
+        from icra2021_multimodal_ad_tpu.ops.serving import make_serving
 
-    t0 = time.time()
-    end = config.n_layers + 1 - config.end_layer_index
-    scores = np.asarray(
-        nap_score_from_diffs(stats, diffs,
-                             start_layer_index=config.start_layer_index,
-                             end_layer_index=end)
-    )
-    print("nap_time", time.time() - t0)
+        serving = make_serving(config, model, params, state,
+                               nap_stats=stats)
+        t0 = time.time()
+        scores = np.asarray(serving.score_nap_windows(x))
+        print(f"nap_time ({config.compute_dtype}"
+              f"{'+int8' if serving.nap_int8 is not None else ''} serving)",
+              time.time() - t0)
+        diffs = None
+    else:
+        t0 = time.time()
+        diffs = get_diffs(x, model, params, state)
+        print("test_diff_time", time.time() - t0)
+
+        t0 = time.time()
+        end = config.n_layers + 1 - config.end_layer_index
+        scores = np.asarray(
+            nap_score_from_diffs(stats, diffs,
+                                 start_layer_index=config.start_layer_index,
+                                 end_layer_index=end)
+        )
+        print("nap_time", time.time() - t0)
 
     if show_mode or slip_plot_path:
         from icra2021_multimodal_ad_tpu.utils.plotting import (
@@ -72,9 +96,14 @@ def run_full_test(config: Config, fixture_path: str, plot: bool = False,
 
         labels = (df["label"].to_numpy() if "label" in df.columns
                   else np.zeros(len(df), dtype=int))
-        # diffs[0] IS x_hat - x — derive the per-window MSE-sum from it
-        # instead of dispatching a second full forward pass
-        loss = np.asarray(np.sum(np.asarray(diffs[0]) ** 2, axis=-1))
+        if diffs is not None:
+            # diffs[0] IS x_hat - x — derive the per-window MSE-sum from it
+            # instead of dispatching a second full forward pass
+            loss = np.asarray(np.sum(np.asarray(diffs[0]) ** 2, axis=-1))
+        else:
+            # serving path: BASE score is the mean square — rescale to the
+            # reference's MSE-sum trace (FullTest.py:54-98 semantics)
+            loss = np.asarray(serving.score_fused(x)) * config.input_size
         out = show_detect_slip(loss, labels, save_path=slip_plot_path,
                                show=show_mode, verbose=show_mode)
         if out:
@@ -119,12 +148,25 @@ def main():
                         "(FullTest.py show_detect_slip)")
     p.add_argument("--slip_plot_path", type=str, default=None)
     p.add_argument("--score_plot_path", type=str, default=None)
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16 = serving fast path (variance-floored "
+                        "effective-rank whitening; scores differ from the "
+                        "exact fp32 NAP on degenerate fits)")
+    p.add_argument("--nap_quant", type=str, default=None,
+                   choices=["int8"],
+                   help="int8 = NAP whitening on the MXU int8 path "
+                        "(needs --compute_dtype bfloat16)")
     args = p.parse_args()
+    if args.nap_quant and args.compute_dtype != "bfloat16":
+        p.error("--nap_quant int8 rides the serving fast path; pass "
+                "--compute_dtype bfloat16 with it")
 
     cfg = Config(
         sensor=args.sensor, n_layers=args.n_layers, btl_size=args.btl_size,
         saved_name=args.saved_name, train_diffs=args.train_diffs,
-        seed=args.seed,
+        seed=args.seed, compute_dtype=args.compute_dtype,
+        nap_quant=args.nap_quant,
     )
     cfg = cfg.replace(input_size=get_input_size(cfg))
     scores, df = run_full_test(cfg, args.fixture, plot=args.plot,

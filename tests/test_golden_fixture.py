@@ -107,3 +107,34 @@ def test_nap_scores_match_golden_column():
     # CPU (generation) vs any backend (replay): SVD-whitened scores agree to
     # float32 tolerance
     np.testing.assert_allclose(scores, golden, rtol=2e-3)
+
+def test_full_test_serving_fast_path(tmp_path):
+    """run_full_test(--compute_dtype bfloat16 [--nap_quant int8]) scores
+    the fixture through the guarded serving pipeline: finite scores,
+    strong rank agreement with the exact path (the absolute values differ
+    by design — floored effective-rank stats), layer windows rejected."""
+    import pytest
+
+    from full_test import run_full_test
+    from icra2021_multimodal_ad_tpu.config import Config, get_input_size
+
+    base = Config(sensor="All", n_layers=5, btl_size=100,
+                  saved_name=os.path.join(GOLDEN, "model"),
+                  train_diffs=os.path.join(GOLDEN, "nap_stats.npz"))
+    base = base.replace(input_size=get_input_size(base))
+    fixture = os.path.join(GOLDEN, "caltime_test.csv")
+
+    exact, _ = run_full_test(base, fixture)
+    for quant in (None, "int8"):
+        cfg = base.replace(compute_dtype="bfloat16", nap_quant=quant)
+        fast, _ = run_full_test(cfg, fixture)
+        assert fast.shape == exact.shape and np.all(np.isfinite(fast))
+        # Pearson, not rank: the golden fit is degenerate, so flooring
+        # reshuffles near-tied NORMAL windows (rank corr ~0.77) while the
+        # anomaly-vs-normal structure — what the score is for — agrees
+        corr = np.corrcoef(exact, fast)[0, 1]
+        assert corr > 0.99, (quant, corr)
+
+    with pytest.raises(ValueError, match="layer windows"):
+        run_full_test(base.replace(compute_dtype="bfloat16",
+                                   start_layer_index=1), fixture)
