@@ -32,7 +32,8 @@ from icra2021_multimodal_ad_tpu.data.fixture import fixture_to_features
 def run_full_test(config: Config, fixture_path: str, plot: bool = False,
                   show_mode: bool = False,
                   slip_plot_path: str | None = None,
-                  score_plot_path: str | None = None):
+                  score_plot_path: str | None = None,
+                  guard_tol: float | None = None):
     """Returns (scores, df).  Mirrors FullTest.py main: everything is test
     split (ratios [0,0,1], FullTest.py:179), batch = whole fixture.
 
@@ -67,6 +68,17 @@ def run_full_test(config: Config, fixture_path: str, plot: bool = False,
                 "drop --compute_dtype bfloat16 to use layer windows")
         from icra2021_multimodal_ad_tpu.ops.serving import make_serving
 
+        if guard_tol is not None:
+            # deploy guard on the fixture windows themselves: low-precision
+            # bundle vs fp32 on the same variance floor, abort above tol
+            from icra2021_multimodal_ad_tpu.ops.serving import (
+                nap_accuracy_guard,
+            )
+
+            rel = nap_accuracy_guard(config, model, params, state, stats,
+                                     x, tol=guard_tol)
+            print(f"serving guard (fixture batch): rel err {rel:.4f} "
+                  f"<= tol {guard_tol}")
         serving = make_serving(config, model, params, state,
                                nap_stats=stats)
         t0 = time.time()
@@ -157,7 +169,16 @@ def main():
                    choices=["int8"],
                    help="int8 = NAP whitening on the MXU int8 path "
                         "(needs --compute_dtype bfloat16)")
+    p.add_argument("--guard_tol", type=float, default=None,
+                   help="deploy guard: score the fixture on BOTH the "
+                        "low-precision and fp32 paths (same variance "
+                        "floor) and abort above this relative tolerance; "
+                        "only meaningful with --compute_dtype bfloat16")
     args = p.parse_args()
+    if args.guard_tol is not None and args.compute_dtype == "float32":
+        p.error("--guard_tol guards the low-precision serving path; pass "
+                "--compute_dtype bfloat16 with it (fp32 is the exact "
+                "reference path, nothing to guard)")
     if args.nap_quant and args.compute_dtype != "bfloat16":
         p.error("--nap_quant int8 rides the serving fast path; pass "
                 "--compute_dtype bfloat16 with it")
@@ -172,7 +193,8 @@ def main():
     scores, df = run_full_test(cfg, args.fixture, plot=args.plot,
                                show_mode=args.show_mode,
                                slip_plot_path=args.slip_plot_path,
-                               score_plot_path=args.score_plot_path)
+                               score_plot_path=args.score_plot_path,
+                               guard_tol=args.guard_tol)
     print("max, min", scores.max(), scores.min())
     if "nap_score" in df.columns:
         golden = df["nap_score"].to_numpy()

@@ -431,12 +431,51 @@ class StreamingDetector:
             self.model, self.fusion_params, self._serve_params, self.state,
             r, d, t, m, dtype=self._dtype))
 
+    def _guard_live(self, source: SensorSource, mic_frames,
+                    nap: bool, tol: float) -> Optional[float]:
+        """Deploy guard on LIVE data: fuse the first ready ring snapshot
+        into windows and run the library accuracy guard (low-precision
+        bundle vs fp32 on the same variance floor) before any score is
+        trusted.  Raises ValueError above tol; returns the measured rel
+        err, or None when the configuration has no low-precision path to
+        guard.  This is the CLI-facing teeth of the 'deploy behind the
+        guard' contract the serving docstrings state."""
+        if self._dtype != jnp.bfloat16:
+            return None
+        x = hsr_window_batch(self.config, self.fusion_params,
+                             source.force_q.snapshot(),
+                             source.hand_q.snapshot(),
+                             source.depth_q.snapshot(), mic_frames)
+        from icra2021_multimodal_ad_tpu.ops.serving import (
+            bf16_accuracy_guard,
+            nap_accuracy_guard,
+        )
+
+        if nap:
+            rel = nap_accuracy_guard(self.config, self.model, self.params,
+                                     self.state, self.nap_stats, x, tol=tol)
+            kind = ("int8" if getattr(self.config, "nap_quant", None)
+                    == "int8" else "bf16")
+            print(f"serving guard ({kind} NAP vs fp32, live batch): "
+                  f"rel err {rel:.4f} <= tol {tol}")
+        else:
+            rel = bf16_accuracy_guard(self.config, self.model, self.params,
+                                      self.state, x, tol=tol)
+            print(f"serving guard (bf16 BASE vs fp32, live batch): "
+                  f"rel err {rel:.4f} <= tol {tol}")
+        return rel
+
     def run(self, source: SensorSource, n_ticks: int = 300,
             nap: bool = False,
             on_tick: Optional[Callable] = None,
             tick_hook: Optional[Callable] = None,
-            connection_timeout_s: Optional[float] = None) -> np.ndarray:
+            connection_timeout_s: Optional[float] = None,
+            guard_tol: Optional[float] = None) -> np.ndarray:
         """Returns the (n_ticks, batch_size) score trace.
+
+        guard_tol: run _guard_live on the first ready snapshot — refuse to
+        stream low-precision scores whose live-data disagreement with fp32
+        exceeds the tolerance (no-op on exact fp32 configurations).
 
         With connection_timeout_s, every tick checks sensor liveness and
         raises SensorTimeout when any queue has been silent too long — the
@@ -496,6 +535,8 @@ class StreamingDetector:
                 source.mic_q.snapshot(), self.config,
                 length=self.config.batch_size / 10.0,
             )
+            if guard_tol is not None and not traces:
+                self._guard_live(source, mic_frames, nap, guard_tol)
             scores = self.score_queues(
                 source.force_q.snapshot(), source.hand_q.snapshot(),
                 source.depth_q.snapshot(), mic_frames, nap=nap,

@@ -132,6 +132,32 @@ def nap_pallas_pack(stats: NapStats, dtype=jnp.float32, tj: int = 256,
     return NapPallasPack(v_p, offset_p, inv_std_p, k, j)
 
 
+#: scoped-VMEM budget for one grid step's blocks.  The hardware limit is
+#: 16 MB; Mosaic double-buffers each input block, so the fit model is
+#: 2*(x_block + v_block) + rot/out scratch.  14 MB keeps the measured-fast
+#: canonical bf16 tiling (tb=tj=256 at K=5504: ~11.6 MB) untouched while
+#: shrinking tiles for shapes that would OOM — an fp32 K=3584 pack hit
+#: "Scoped allocation with size 21.10M and limit 16.00M" on v5e before
+#: this existed (exposed by the live deploy guard, which builds the fp32
+#: comparison bundle through this kernel).
+_VMEM_BUDGET_BYTES = 14 * 1024 * 1024
+
+
+def _fit_tiles(kp: int, jp: int, itemsize: int, tb: int, tj: int):
+    """Largest (tb, tj) at or below the requested tiles whose per-step VMEM
+    footprint fits the budget.  tj halves first (the V block is the shared
+    cost across the batch grid), then tb; both stop at the 128-lane /
+    8-sublane hardware granularity."""
+    def cost(tb_, tj_):
+        return (2 * (tb_ * kp + kp * tj_) * itemsize  # double-buffered ins
+                + tb_ * tj_ * 4 + tb_ * 4 + 2 * tj_ * 4)  # rot/out/eps
+    while cost(tb, tj) > _VMEM_BUDGET_BYTES and tj > 128 and jp % (tj // 2) == 0:
+        tj //= 2
+    while cost(tb, tj) > _VMEM_BUDGET_BYTES and tb > 8:
+        tb //= 2
+    return tb, tj
+
+
 def nap_score_pallas(stats: NapStats, x: jax.Array,
                      tb: int = 256, tj: int = 256,
                      dtype=jnp.float32,
@@ -142,7 +168,9 @@ def nap_score_pallas(stats: NapStats, x: jax.Array,
     fp32); scores stay fp32.  `precomputed` amortizes per-call setup:
     pass `nap_pallas_pack(stats, ...)` (full amortization — the hot-path
     form) or `nap_precompute(stats)` (means folded, V still padded per
-    call).
+    call).  `tb`/`tj` are UPPER bounds — the kernel shrinks them when the
+    (K-unrolled) blocks would exceed the v5e scoped-VMEM limit (see
+    _VMEM_BUDGET_BYTES).
     """
     if isinstance(precomputed, NapPallasPack):
         pack = precomputed
@@ -153,12 +181,13 @@ def nap_score_pallas(stats: NapStats, x: jax.Array,
     b, k = x.shape
     if k != pack.k:
         raise ValueError(f"x has {k} diff dims, stats were fit on {pack.k}")
+    kp, jp = pack.v_p.shape
+    tb, tj = _fit_tiles(kp, jp, jnp.dtype(dtype).itemsize, tb, tj)
     bp = _round_up(b, tb)
-    x_p = jnp.zeros((bp, pack.v_p.shape[0]), dtype).at[:b, :k].set(
-        x.astype(dtype))
-    if pack.v_p.shape[1] % tj != 0:
+    x_p = jnp.zeros((bp, kp), dtype).at[:b, :k].set(x.astype(dtype))
+    if jp % tj != 0:
         raise ValueError(f"pack was built with an incompatible tj "
-                         f"(jp={pack.v_p.shape[1]} not divisible by {tj})")
+                         f"(jp={jp} not divisible by {tj})")
     scores = _nap_score_padded(x_p, pack.v_p, pack.offset_p, pack.inv_std_p,
                                tb, tj)
     return scores[:b] / pack.j

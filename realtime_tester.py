@@ -68,6 +68,13 @@ def main():
     p.add_argument("--connection_timeout_s", type=float, default=None,
                    help="raise if a sensor queue is silent this long "
                         "(reference default 10 s, realtime_tester.py:52-57)")
+    p.add_argument("--guard_tol", type=float, default=None,
+                   help="deploy guard: before streaming any low-precision "
+                        "(--compute_dtype bfloat16 / --nap_quant int8) "
+                        "score, compare it against fp32 on the first live "
+                        "ring snapshot and abort above this relative "
+                        "tolerance (ops/serving accuracy guards; no-op on "
+                        "exact fp32 runs)")
     args = p.parse_args()
     if args.nap_quant and args.compute_dtype != "bfloat16":
         p.error("--nap_quant int8 rides the serving fast path; pass "
@@ -120,7 +127,8 @@ def main():
 
     trace = detector.run(source, n_ticks=args.ticks, nap=args.nap,
                          on_tick=on_tick, tick_hook=tick_hook,
-                         connection_timeout_s=args.connection_timeout_s)
+                         connection_timeout_s=args.connection_timeout_s,
+                         guard_tol=args.guard_tol)
     stats = detector.latency_stats()
     print("latency:", stats)
     # the anomaly takes one full ring-buffer turnover (batch_size ticks) to

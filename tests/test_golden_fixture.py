@@ -138,3 +138,11 @@ def test_full_test_serving_fast_path(tmp_path):
     with pytest.raises(ValueError, match="layer windows"):
         run_full_test(base.replace(compute_dtype="bfloat16",
                                    start_layer_index=1), fixture)
+
+    # --guard_tol: certify against fp32 before scoring; an impossible
+    # tolerance aborts
+    cfg16 = base.replace(compute_dtype="bfloat16")
+    scores, _ = run_full_test(cfg16, fixture, guard_tol=0.5)
+    assert np.all(np.isfinite(scores))
+    with pytest.raises(ValueError, match="rel err"):
+        run_full_test(cfg16, fixture, guard_tol=1e-12)

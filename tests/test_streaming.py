@@ -377,3 +377,52 @@ def test_one_program_tick_matches_two_step_path():
             np.testing.assert_allclose(
                 got, want, rtol=2e-4, atol=1e-6,
                 err_msg=f"dtype={dtype_name} nap={nap}")
+
+
+def test_run_guard_tol_gates_low_precision_streaming(capsys):
+    """guard_tol on run(): a low-precision NAP stream is certified against
+    fp32 on the first live snapshot (prints the measured rel err), an
+    impossible tolerance aborts before any tick is trusted, and exact fp32
+    runs treat the flag as a no-op."""
+    from icra2021_multimodal_ad_tpu.ops.rapp import get_diffs
+    from icra2021_multimodal_ad_tpu.ops.scoring import concat_diffs, nap_fit
+    from icra2021_multimodal_ad_tpu.train import NoveltyDetecter
+
+    cfg = _cfg(n_epochs=10, lr=3e-3, seed=0,
+               compute_dtype="bfloat16", nap_quant="int8")
+    model, params, state = get_model(cfg)
+    fusion_params = fusion_init(jax.random.PRNGKey(cfg.seed))
+    windows = _collect_normal_windows(cfg, fusion_params, n_ticks=15)
+    res = NoveltyDetecter(cfg.replace(batch_size=64)).train(
+        model, params, state, windows[30:], windows[:30])
+    stats = nap_fit(concat_diffs(
+        get_diffs(windows[30:], model, res.params, res.state)))
+
+    det = StreamingDetector(cfg, model, res.params, res.state,
+                            fusion_params, nap_stats=stats)
+    src = SimulatedSensors(batch_size=10, seed=3)
+    src.fill()
+    trace = det.run(src, n_ticks=3, nap=True, guard_tol=0.25,
+                    tick_hook=lambda i: src.tick())
+    assert trace.shape == (3, 10)
+    out = capsys.readouterr().out
+    assert "serving guard (int8 NAP vs fp32, live batch)" in out
+
+    # impossible tolerance: abort before streaming
+    src2 = SimulatedSensors(batch_size=10, seed=3)
+    src2.fill()
+    det2 = StreamingDetector(cfg, model, res.params, res.state,
+                             fusion_params, nap_stats=stats)
+    with pytest.raises(ValueError, match="rel err"):
+        det2.run(src2, n_ticks=3, nap=True, guard_tol=1e-12,
+                 tick_hook=lambda i: src2.tick())
+
+    # exact fp32: nothing to guard, flag is a no-op
+    cfg32 = _cfg(seed=0)
+    det32 = StreamingDetector(cfg32, model, res.params, res.state,
+                              fusion_params, nap_stats=stats)
+    src3 = SimulatedSensors(batch_size=10, seed=3)
+    src3.fill()
+    trace32 = det32.run(src3, n_ticks=2, nap=True, guard_tol=1e-12,
+                        tick_hook=lambda i: src3.tick())
+    assert trace32.shape == (2, 10)
