@@ -68,24 +68,44 @@ def run_full_test(config: Config, fixture_path: str, plot: bool = False,
                 "drop --compute_dtype bfloat16 to use layer windows")
         from icra2021_multimodal_ad_tpu.ops.serving import make_serving
 
+        serving = make_serving(config, model, params, state,
+                               nap_stats=stats)
+        kind = (f"{config.compute_dtype}"
+                f"{'+int8' if serving.nap_int8 is not None else ''}")
+        scores = None
         if guard_tol is not None:
             # deploy guard on the fixture windows themselves: low-precision
-            # bundle vs fp32 on the same variance floor, abort above tol
+            # bundle vs fp32 on the same variance floor, abort above tol.
+            # The guard certifies THIS bundle and hands back its fast-path
+            # scores, so the fixture is scored twice total (fp32 + fast),
+            # not re-scored a third time below.
             from icra2021_multimodal_ad_tpu.ops.serving import (
                 nap_accuracy_guard,
             )
 
-            rel = nap_accuracy_guard(config, model, params, state, stats,
-                                     x, tol=guard_tol)
+            rel, s_fast = nap_accuracy_guard(config, model, params, state,
+                                             stats, x, tol=guard_tol,
+                                             fast_serving=serving,
+                                             return_scores=True)
             print(f"serving guard (fixture batch): rel err {rel:.4f} "
                   f"<= tol {guard_tol}")
-        serving = make_serving(config, model, params, state,
-                               nap_stats=stats)
+            scores = np.asarray(s_fast)
+        fast_loss = None
         t0 = time.time()
-        scores = np.asarray(serving.score_nap_windows(x))
-        print(f"nap_time ({config.compute_dtype}"
-              f"{'+int8' if serving.nap_int8 is not None else ''} serving)",
-              time.time() - t0)
+        if show_mode or slip_plot_path:
+            # one diff-extraction forward yields both the loss trace and
+            # (when un-guarded) the scores: nap_diffs' first input_size
+            # columns ARE x_hat - x, so no second forward is dispatched
+            import jax.numpy as jnp
+
+            d = serving.nap_diffs(x)
+            fast_loss = np.asarray(jnp.sum(
+                d[:, :config.input_size].astype(jnp.float32) ** 2, axis=-1))
+            if scores is None:
+                scores = np.asarray(serving.score_nap(d))
+        elif scores is None:
+            scores = np.asarray(serving.score_nap_windows(x))
+        print(f"nap_time ({kind} serving)", time.time() - t0)
         diffs = None
     else:
         t0 = time.time()
@@ -113,9 +133,9 @@ def run_full_test(config: Config, fixture_path: str, plot: bool = False,
             # instead of dispatching a second full forward pass
             loss = np.asarray(np.sum(np.asarray(diffs[0]) ** 2, axis=-1))
         else:
-            # serving path: BASE score is the mean square — rescale to the
-            # reference's MSE-sum trace (FullTest.py:54-98 semantics)
-            loss = np.asarray(serving.score_fused(x)) * config.input_size
+            # serving path: derived above from the same nap_diffs forward
+            # that produced the scores (FullTest.py:54-98 MSE-sum semantics)
+            loss = fast_loss
         out = show_detect_slip(loss, labels, save_path=slip_plot_path,
                                show=show_mode, verbose=show_mode)
         if out:

@@ -442,6 +442,11 @@ class StreamingDetector:
         guard' contract the serving docstrings state."""
         if self._dtype != jnp.bfloat16:
             return None
+        if nap and self.nap_stats is None:
+            # same diagnostic score_queues raises — without this the guard's
+            # internal bundle fails deep inside ops/serving with an obscure
+            # 'score_nap needs nap_stats'
+            raise ValueError("NAP streaming needs persisted NapStats")
         x = hsr_window_batch(self.config, self.fusion_params,
                              source.force_q.snapshot(),
                              source.hand_q.snapshot(),

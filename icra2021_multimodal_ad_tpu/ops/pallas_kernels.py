@@ -143,19 +143,48 @@ def nap_pallas_pack(stats: NapStats, dtype=jnp.float32, tj: int = 256,
 _VMEM_BUDGET_BYTES = 14 * 1024 * 1024
 
 
+#: Mosaic's real fp32 footprint runs well above the block-size model: the
+#: motivating fp32 K=3584 (256,256) shape models at ~14.25 MB but Mosaic
+#: reported 21.10 MB (~1.5x).  The gap does NOT show for bf16 (the measured
+#: -fast canonical bf16 (256,256) tiling models ~11.6 MB and compiles fine,
+#: which a universal 1.5x would forbid), so the factor applies to fp32
+#: operands only.  _retry_shrink below is the backstop for shapes the model
+#: still gets wrong.
+_FP32_VMEM_MODEL_FACTOR = 1.5
+
+
 def _fit_tiles(kp: int, jp: int, itemsize: int, tb: int, tj: int):
     """Largest (tb, tj) at or below the requested tiles whose per-step VMEM
     footprint fits the budget.  tj halves first (the V block is the shared
     cost across the batch grid), then tb; both stop at the 128-lane /
     8-sublane hardware granularity."""
+    factor = _FP32_VMEM_MODEL_FACTOR if itemsize >= 4 else 1.0
+
     def cost(tb_, tj_):
-        return (2 * (tb_ * kp + kp * tj_) * itemsize  # double-buffered ins
-                + tb_ * tj_ * 4 + tb_ * 4 + 2 * tj_ * 4)  # rot/out/eps
+        return factor * (
+            2 * (tb_ * kp + kp * tj_) * itemsize  # double-buffered ins
+            + tb_ * tj_ * 4 + tb_ * 4 + 2 * tj_ * 4)  # rot/out/eps
     while cost(tb, tj) > _VMEM_BUDGET_BYTES and tj > 128 and jp % (tj // 2) == 0:
         tj //= 2
     while cost(tb, tj) > _VMEM_BUDGET_BYTES and tb > 8:
         tb //= 2
     return tb, tj
+
+
+def _shrink_tiles(jp: int, tb: int, tj: int):
+    """One halving step (tj first, then tb) for the VMEM-OOM retry path;
+    returns the same tiles when already at the hardware minimum."""
+    if tj > 128 and jp % (tj // 2) == 0:
+        return tb, tj // 2
+    if tb > 8:
+        return tb // 2, tj
+    return tb, tj
+
+
+def _is_vmem_oom(err: Exception) -> bool:
+    msg = str(err).lower()
+    return ("scoped allocation" in msg or "vmem" in msg
+            or "resource exhausted" in msg or "resource_exhausted" in msg)
 
 
 def nap_score_pallas(stats: NapStats, x: jax.Array,
@@ -188,8 +217,22 @@ def nap_score_pallas(stats: NapStats, x: jax.Array,
     if jp % tj != 0:
         raise ValueError(f"pack was built with an incompatible tj "
                          f"(jp={jp} not divisible by {tj})")
-    scores = _nap_score_padded(x_p, pack.v_p, pack.offset_p, pack.inv_std_p,
-                               tb, tj)
+    # _fit_tiles is a model, not Mosaic's real allocator — when a shape it
+    # accepted still trips the 16 MB scoped-VMEM limit at compile, halve
+    # the tiles and recompile instead of crashing the caller.  tb only ever
+    # halves, so bp stays divisible and x_p needs no rebuild.
+    while True:
+        try:
+            scores = _nap_score_padded(x_p, pack.v_p, pack.offset_p,
+                                       pack.inv_std_p, tb, tj)
+            break
+        except Exception as e:  # noqa: BLE001 — inspect, re-raise non-OOM
+            if not _is_vmem_oom(e):
+                raise
+            ntb, ntj = _shrink_tiles(jp, tb, tj)
+            if (ntb, ntj) == (tb, tj):
+                raise
+            tb, tj = ntb, ntj
     return scores[:b] / pack.j
 
 

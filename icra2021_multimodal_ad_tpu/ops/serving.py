@@ -491,7 +491,9 @@ def bf16_accuracy_guard(config, model, params, state, x,
 def nap_accuracy_guard(config, model, params, state, nap_stats, x,
                        tol: float = 5e-2,
                        nap_var_floor_rel=NAP_VAR_FLOOR_REL_BF16,
-                       nap_quant="auto") -> float:
+                       nap_quant="auto",
+                       fast_serving: Optional[ServingModel] = None,
+                       return_scores: bool = False):
     """Mean relative NAP-score error of the low-precision serving path
     (mixed-precision diff extraction + bf16 — or, with nap_quant='int8',
     int8 — whitening matmul) vs the fp32 path on a probe batch of fused
@@ -509,7 +511,16 @@ def nap_accuracy_guard(config, model, params, state, nap_stats, x,
     `nap_quant` follows make_serving's contract: "auto" (default) reads
     `config.nap_quant`, so the guard certifies the SAME path the config
     deploys — a Config(nap_quant='int8') deployment must not be certified
-    by a bf16 measurement.  Pass None/'int8' to pin a path explicitly."""
+    by a bf16 measurement.  Pass None/'int8' to pin a path explicitly.
+
+    `fast_serving`: a pre-built low-precision bundle to certify instead of
+    building a fresh one — callers that will serve with that exact bundle
+    (full_test.py) pass it here so the probe batch is scored once, not
+    twice.  It must have been built on the SAME variance floor as
+    `nap_var_floor_rel` (make_serving's "auto" default IS this guard's
+    default), or the guard would measure floor drift, not precision error.
+    `return_scores=True` returns (rel, fast_scores) so the caller can
+    reuse the certified fast-path scores outright."""
     import numpy as np
 
     if nap_quant == "auto":
@@ -517,10 +528,16 @@ def nap_accuracy_guard(config, model, params, state, nap_stats, x,
     fp32 = make_serving(config.replace(compute_dtype="float32"),
                         model, params, state, nap_stats=nap_stats,
                         nap_var_floor_rel=nap_var_floor_rel, nap_quant=None)
-    fast = make_serving(config.replace(compute_dtype="bfloat16"),
-                        model, params, state, nap_stats=nap_stats,
-                        nap_var_floor_rel=nap_var_floor_rel,
-                        nap_quant=nap_quant)
+    if fast_serving is not None:
+        if fast_serving.compute_dtype == jnp.float32 and nap_quant is None:
+            raise ValueError("fast_serving has no low-precision path to "
+                             "guard (fp32 compute_dtype, no nap_quant)")
+        fast = fast_serving
+    else:
+        fast = make_serving(config.replace(compute_dtype="bfloat16"),
+                            model, params, state, nap_stats=nap_stats,
+                            nap_var_floor_rel=nap_var_floor_rel,
+                            nap_quant=nap_quant)
     x = jnp.asarray(x)
     s32 = np.asarray(fp32.score_nap_windows(x))
     s16 = np.asarray(fast.score_nap_windows(x))
@@ -528,7 +545,7 @@ def nap_accuracy_guard(config, model, params, state, nap_stats, x,
     if rel > tol:
         kind = "int8" if nap_quant == "int8" else "bf16"
         raise ValueError(f"{kind} NAP serving rel err {rel:.4f} > tol {tol}")
-    return rel
+    return (rel, s16) if return_scores else rel
 
 
 # ---------------------------------------------------------------------------

@@ -113,8 +113,6 @@ def test_full_test_serving_fast_path(tmp_path):
     the fixture through the guarded serving pipeline: finite scores,
     strong rank agreement with the exact path (the absolute values differ
     by design — floored effective-rank stats), layer windows rejected."""
-    import pytest
-
     from full_test import run_full_test
     from icra2021_multimodal_ad_tpu.config import Config, get_input_size
 
@@ -140,9 +138,19 @@ def test_full_test_serving_fast_path(tmp_path):
                                    start_layer_index=1), fixture)
 
     # --guard_tol: certify against fp32 before scoring; an impossible
-    # tolerance aborts
+    # tolerance aborts.  The guard certifies the CLI's own bundle, so the
+    # guarded scores equal the un-guarded fast-path scores exactly.
     cfg16 = base.replace(compute_dtype="bfloat16")
     scores, _ = run_full_test(cfg16, fixture, guard_tol=0.5)
     assert np.all(np.isfinite(scores))
+    np.testing.assert_allclose(scores, run_full_test(cfg16, fixture)[0],
+                               rtol=1e-6)
     with pytest.raises(ValueError, match="rel err"):
         run_full_test(cfg16, fixture, guard_tol=1e-12)
+
+    # slip trace on the fast path: loss derived from the SAME nap_diffs
+    # forward that produced the scores (no second forward dispatch)
+    slip = str(tmp_path / "slip.png")
+    s2, _ = run_full_test(cfg16, fixture, slip_plot_path=slip)
+    assert os.path.exists(slip)
+    np.testing.assert_allclose(s2, scores, rtol=1e-6)

@@ -660,3 +660,29 @@ def _mic_frames(cfg, src):
 
     return mfcc_from_int16_chunks(src.mic_q.snapshot(), cfg,
                                   length=cfg.batch_size / 10.0)
+
+
+def test_guard_fast_serving_reuse_and_return_scores():
+    """nap_accuracy_guard(fast_serving=..., return_scores=True): the guard
+    certifies the CALLER's bundle and hands back its fast-path scores, so
+    eval CLIs (full_test.py) score the batch twice total (fp32 + fast)
+    instead of three times; an fp32 bundle is rejected as unguardable."""
+    from icra2021_multimodal_ad_tpu.ops.serving import nap_accuracy_guard
+
+    cfg, model, params, state, stats, x = _trained_with_stats()
+    cfg16 = cfg.replace(compute_dtype="bfloat16")
+    bundle = make_serving(cfg16, model, params, state, nap_stats=stats)
+    rel, s_fast = nap_accuracy_guard(cfg16, model, params, state, stats,
+                                     x[:64], tol=0.2,
+                                     fast_serving=bundle,
+                                     return_scores=True)
+    assert rel < 0.2, rel
+    # the returned scores ARE the certified bundle's own scores
+    np.testing.assert_allclose(
+        s_fast, np.asarray(bundle.score_nap_windows(jnp.asarray(x[:64]))),
+        rtol=1e-6)
+
+    fp32 = make_serving(cfg, model, params, state, nap_stats=stats)
+    with pytest.raises(ValueError, match="no low-precision path"):
+        nap_accuracy_guard(cfg, model, params, state, stats, x[:64],
+                           fast_serving=fp32)

@@ -426,3 +426,19 @@ def test_run_guard_tol_gates_low_precision_streaming(capsys):
     trace32 = det32.run(src3, n_ticks=2, nap=True, guard_tol=1e-12,
                         tick_hook=lambda i: src3.tick())
     assert trace32.shape == (2, 10)
+
+
+def test_guard_live_missing_nap_stats_clear_error():
+    """A bf16 NAP run with guard_tol but no persisted NapStats surfaces the
+    streaming path's clear diagnostic, not an obscure 'score_nap needs
+    nap_stats' from deep inside the guard's internal bundle."""
+    cfg = _cfg(seed=0, compute_dtype="bfloat16")
+    model, params, state = get_model(cfg)
+    fusion_params = fusion_init(jax.random.PRNGKey(cfg.seed))
+    det = StreamingDetector(cfg, model, params, state, fusion_params,
+                            nap_stats=None)
+    src = SimulatedSensors(batch_size=10, seed=3)
+    src.fill()
+    with pytest.raises(ValueError, match="NAP streaming needs persisted"):
+        det.run(src, n_ticks=1, nap=True, guard_tol=0.5,
+                tick_hook=lambda i: src.tick())
