@@ -581,8 +581,29 @@ def main():
         t0 = time.perf_counter()
         ds = TabularDataset(ccfg)
         jax.block_until_ready(ds.data)
+        cached_s = time.perf_counter() - t0
         res["dataset_build_cached_rows_per_sec"] = round(
-            len(ds) / (time.perf_counter() - t0), 1)
+            len(ds) / cached_s, 1)
+        # Both paths end with the same host->device put of the fused
+        # features, and over the tunnel that fixed transfer dominates the
+        # cache-hit time (measured: ~17x host-side speedup on CPU collapses
+        # to ~1.2x end-to-end here) — the same way naive block_until_ready
+        # loops lie (module docstring).  Measure the put alone (min of 3)
+        # and report the host-side rate a PCIe-local deployment would see;
+        # the transfer figure itself is emitted for transparency.
+        h_data, h_tgt = np.asarray(ds.data), np.asarray(ds.targets)
+
+        def _put():
+            t = time.perf_counter()
+            jax.block_until_ready((jnp.asarray(h_data), jnp.asarray(h_tgt)))
+            return time.perf_counter() - t
+
+        _put()  # warm (allocator / tunnel session)
+        xfer_s = min(_put() for _ in range(3))
+        res["dataset_build_cached_transfer_s"] = round(xfer_s, 4)
+        host_s = cached_s - xfer_s
+        res["dataset_build_cached_host_rows_per_sec"] = (
+            round(len(ds) / host_s, 1) if host_s > 1e-3 else None)
     except Exception as e:  # noqa: BLE001 — reason is recorded
         build_error = f"{type(e).__name__}: {e}"[:300]
 
