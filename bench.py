@@ -366,8 +366,7 @@ def main():
         def _score8(xb):
             dfs = serving_diffs_batch(model, p16, state, xb)
             cat = jnp.concatenate(dfs, axis=-1)
-            return _nap_score_int8_xla(pk.v8, pk.sv, pk.sk, pk.offset, pk.inv_std,
-                                       cat)
+            return _nap_score_int8_xla(pk, cat)
 
         def make_rapp8():
             def body(i, acc):
@@ -387,6 +386,8 @@ def main():
         res["mfu_nap_int8"] = _mfu(nap8_tput, fpw8n, V5E_PEAK_INT8_FLOPS)
         res["rapp_nap_int8_windows_per_sec"] = round(nap8_tput, 1)
         res["nap_int8_score_rel_err"] = round(nap8_rel, 5)
+        res["nap_int8_bf16_tail_cols"] = (
+            int(pk.v16.shape[1]) if pk.v16 is not None else 0)
         emit()
     except Exception as e:  # noqa: BLE001 — reason is recorded
         nap8_error = f"{type(e).__name__}: {e}"[:300]

@@ -286,10 +286,11 @@ def _tick_nap_bf16(model: AutoEncoder, fusion_params: FusionParams,
 
 @partial(jax.jit, static_argnames=("model",))
 def _tick_nap_int8(model: AutoEncoder, fusion_params: FusionParams,
-                   params16, state, v8, sv, sk, offset, inv_std, r, d, t, m):
+                   params16, state, pack, r, d, t, m):
     """int8 NAP tick: bf16 mixed-precision diff extraction, whitening
-    matmul on the MXU int8 path (ops/serving._nap_score_int8_xla
-    semantics) — the --nap_quant int8 configuration as one program."""
+    matmul on the MXU int8 path with the split-precision bf16 tail
+    (ops/serving._nap_score_int8_xla semantics) — the --nap_quant int8
+    configuration as one program."""
     from icra2021_multimodal_ad_tpu.ops.serving import (
         _nap_score_int8_xla,
         serving_diffs_batch,
@@ -298,7 +299,7 @@ def _tick_nap_int8(model: AutoEncoder, fusion_params: FusionParams,
     x = _normalize_and_fuse(fusion_params, r, d, t, m).astype(jnp.bfloat16)
     dfs = serving_diffs_batch(model, params16, state, x)
     cat = jnp.concatenate(dfs, axis=-1)
-    return _nap_score_int8_xla(v8, sv, sk, offset, inv_std, cat)
+    return _nap_score_int8_xla(pack, cat)
 
 
 def get_realtime_dataloader(config: Config, fusion_params: FusionParams,
@@ -388,18 +389,15 @@ class StreamingDetector:
 
     def _nap_fast_tick_ops(self):
         """(kind, params16, whitening_ops) for the one-program low-precision
-        NAP tick, where kind is "int8" (nap_quant bundles: the NapInt8Pack
-        operands (v8, sv, sk, offset, inv_std)) or "bf16" (the bundle's
-        variance-floored precomputes plus a once-cast bf16 whitening matrix
-        — a per-tick cast would add a dispatch).  Cached on the identity of
-        the serving bundle."""
+        NAP tick, where kind is "int8" (nap_quant bundles: the whole
+        NapInt8Pack) or "bf16" (the bundle's variance-floored precomputes
+        plus a once-cast bf16 whitening matrix — a per-tick cast would add
+        a dispatch).  Cached on the identity of the serving bundle."""
         bundle = self._nap_serving()
         if (getattr(self, "_nap_tick_cache", None) is None
                 or self._nap_tick_cache[0] is not bundle):
             if bundle.nap_int8 is not None:
-                p = bundle.nap_int8
-                ops = ("int8", bundle.params,
-                       (p.v8, p.sv, p.sk, p.offset, p.inv_std))
+                ops = ("int8", bundle.params, (bundle.nap_int8,))
             else:
                 offset, inv_std = bundle.nap_pre
                 v16 = bundle.nap_stats.rotater.v.astype(jnp.bfloat16)

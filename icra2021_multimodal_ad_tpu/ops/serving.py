@@ -110,9 +110,7 @@ class ServingModel(NamedTuple):
             raise ValueError("score_nap needs nap_stats")
         if self.nap_int8 is not None:
             x_cat, n = self._shard(x_cat)
-            p = self.nap_int8
-            return _nap_score_int8_xla(p.v8, p.sv, p.sk, p.offset, p.inv_std,
-                                       x_cat)[:n]
+            return _nap_score_int8_xla(self.nap_int8, x_cat)[:n]
         if self.mesh is not None:
             offset, inv_std = (self.nap_pre if self.nap_pre is not None
                                else nap_precompute(self.nap_stats))
@@ -169,9 +167,7 @@ class ServingModel(NamedTuple):
             # drift), for zero bandwidth benefit (the quantizer reads the
             # taps once either way)
             cat32 = jnp.concatenate(d, axis=-1)
-            p = self.nap_int8
-            return _nap_score_int8_xla(p.v8, p.sv, p.sk, p.offset, p.inv_std,
-                                       cat32)[:n]
+            return _nap_score_int8_xla(self.nap_int8, cat32)[:n]
         cat = jnp.concatenate(d, axis=-1).astype(self.compute_dtype)
         offset, inv_std = (self.nap_pre if self.nap_pre is not None
                            else nap_precompute(self.nap_stats))
@@ -382,54 +378,115 @@ class NapInt8Pack(NamedTuple):
     - V' quantized per COLUMN (whitening rescales per column anyway);
       accumulation is int32 (exact), the epilogue (rescale, offset,
       standardize, square, mean) fp32.
+    - **split-precision bf16 tail**: the residual int8 error is
+      concentrated in the whitened directions whose per-column quant step
+      is amplified most by the standardization — ordering columns by
+      sv_j * inv_std_j, the top 1/8 carry >half of it (measured on the
+      bench fit, scripts/int8_split_probe.py).  Those NAP_INT8_TAIL_FRAC
+      columns are computed as a narrow bf16 matmul of the ORIGINAL V
+      columns instead (no quantization), the rest stay int8: at the
+      canonical 5482x4096 whitening shape that is ~1.125x the pure-int8
+      GEMM cost (int8 runs 2x bf16 peak, the tail is 1/8 the columns) for
+      a 5.6% -> 1.3% mean score error — inside the guard's 5e-2 default
+      tolerance with margin, where pure int8 measured just outside it.
 
     Stats persisted before `feat_absmax` existed fall back to sk = 1
     (global per-row quantization) — the guard then decides whether that is
     accurate enough for the fit at hand.  Deploy behind
     nap_accuracy_guard(..., nap_quant='int8')."""
 
-    v8: jax.Array       # (K, J) int8 of sk^T * V
-    sv: jax.Array       # (1, J) fp32 per-column scales of sk^T * V
+    v8: jax.Array       # (K, J8) int8 of sk^T * V (int8-kept columns)
+    sv: jax.Array       # (1, J8) fp32 per-column scales of sk^T * V
     sk: jax.Array       # (1, K) fp32 static per-feature scales (or ones)
-    offset: jax.Array   # (1, J) fp32 folded means (rot_mu @ V + std_mu)
-    inv_std: jax.Array  # (1, J) fp32
+    offset: jax.Array   # (1, J8) fp32 folded means (rot_mu @ V + std_mu)
+    inv_std: jax.Array  # (1, J8) fp32
+    v16: Optional[jax.Array]       # (K, JT) bf16 tail columns of V, or None
+    offset16: Optional[jax.Array]  # (1, JT) fp32
+    inv_std16: Optional[jax.Array]  # (1, JT) fp32
     k: int
-    j: int
+    j: int              # TOTAL whitened width J8 + JT (the score mean's n)
 
 
-def nap_int8_pack(nap_stats: NapStats, precomputed=None) -> NapInt8Pack:
+#: Fraction of whitened directions the int8 NAP path computes in bf16
+#: (by descending sv*inv_std — the noisiest-under-quantization columns).
+#: 1/8 measured 5.6% -> 1.3% mean score error at ~1.125x the pure-int8
+#: whitening cost on the canonical bench fit; 1/4 reaches 0.33% at 1.25x.
+NAP_INT8_TAIL_FRAC = 1 / 8
+
+
+def nap_int8_pack(nap_stats: NapStats, precomputed=None,
+                  tail_frac: float = NAP_INT8_TAIL_FRAC) -> NapInt8Pack:
     offset, inv_std = (precomputed if precomputed is not None
                        else nap_precompute(nap_stats))
-    v = nap_stats.rotater.v.astype(jnp.float32)
-    k, j = v.shape
+    offset = offset.reshape(1, -1)
+    inv_std = inv_std.reshape(1, -1)
+    v_orig = nap_stats.rotater.v.astype(jnp.float32)
+    k, j = v_orig.shape
     am = getattr(nap_stats, "feat_absmax", None)
     if am is not None:
         sk = jnp.where(am > 0, am, 1.0).astype(jnp.float32).reshape(1, -1)
-        v = v * sk.reshape(-1, 1)
+        v = v_orig * sk.reshape(-1, 1)
     else:
         sk = jnp.ones((1, k), jnp.float32)
+        v = v_orig
     col_max = jnp.max(jnp.abs(v), axis=0, keepdims=True)
     sv = jnp.where(col_max > 0, col_max / 127.0, 1.0)
-    v8 = jnp.round(v / sv).astype(jnp.int8)
-    return NapInt8Pack(v8, sv, sk, offset.reshape(1, -1),
-                       inv_std.reshape(1, -1), k, j)
+
+    # bf16 tail size: round toward the 128-lane granularity on fits large
+    # enough for GEMM tiling to matter; tiny test fits just take the
+    # un-padded count (accuracy there is not the concern)
+    jt = int(round(j * tail_frac))
+    if tail_frac > 0 and j > 1:
+        jt = max(jt, 1)
+        if j >= 512:
+            jt = min(((jt + 127) // 128) * 128, j - 128)
+        jt = min(jt, j - 1)
+    else:
+        jt = 0
+    if jt <= 0:
+        v8 = jnp.round(v / sv).astype(jnp.int8)
+        return NapInt8Pack(v8, sv, sk, offset, inv_std,
+                           None, None, None, k, j)
+
+    noise_key = sv[0] * inv_std[0]  # per-column quant step x amplification
+    order = jnp.argsort(-noise_key)
+    tail_ix, main_ix = order[:jt], order[jt:]
+    v_main = jnp.take(v, main_ix, axis=1)
+    sv_main = jnp.take(sv, main_ix, axis=1)
+    v8 = jnp.round(v_main / sv_main).astype(jnp.int8)
+    return NapInt8Pack(
+        v8, sv_main, sk,
+        jnp.take(offset, main_ix, axis=1), jnp.take(inv_std, main_ix, axis=1),
+        jnp.take(v_orig, tail_ix, axis=1).astype(jnp.bfloat16),
+        jnp.take(offset, tail_ix, axis=1), jnp.take(inv_std, tail_ix, axis=1),
+        k, j)
 
 
 @jax.jit
-def _nap_score_int8_xla(v8, sv, sk, offset, inv_std, x):
+def _nap_score_int8_xla(pack: NapInt8Pack, x):
     """Static per-feature + dynamic per-row int8 quantization, int8 MXU
-    matmul, fp32 whitening epilogue (see NapInt8Pack).  XLA partitions the
-    row axis over a mesh exactly like the bf16 _nap_score_xla."""
-    y = x.astype(jnp.float32) / sk
+    matmul for the bulk of the whitened directions plus a narrow bf16
+    matmul for the quantization-noisiest tail, fp32 epilogue (see
+    NapInt8Pack).  The score is a mean over ALL J directions — column
+    order between the two partitions is irrelevant to it.  XLA partitions
+    the row axis over a mesh exactly like the bf16 _nap_score_xla."""
+    x = x.astype(jnp.float32)
+    y = x / pack.sk
     row_max = jnp.max(jnp.abs(y), axis=1, keepdims=True)
     sx = jnp.where(row_max > 0, row_max / 127.0, 1.0)
     x8 = jnp.round(y / sx).astype(jnp.int8)
     rot = jax.lax.dot_general(
-        x8, v8, (((1,), (0,)), ((), ())),
+        x8, pack.v8, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
-    ).astype(jnp.float32) * sx * sv
-    t = (rot - offset) * inv_std
-    return jnp.mean(t * t, axis=-1)
+    ).astype(jnp.float32) * sx * pack.sv
+    t = (rot - pack.offset) * pack.inv_std
+    acc = jnp.sum(t * t, axis=-1)
+    if pack.v16 is not None:
+        rot16 = jnp.dot(x.astype(jnp.bfloat16), pack.v16,
+                        preferred_element_type=jnp.float32)
+        t16 = (rot16 - pack.offset16) * pack.inv_std16
+        acc = acc + jnp.sum(t16 * t16, axis=-1)
+    return acc / pack.j
 
 
 def _forward(model, params, state, x):
@@ -641,10 +698,8 @@ def export_nap_window_scorer(serving: ServingModel, batch_size: int,
             # (concat taps -> dynamic per-row quant -> int8 GEMM) — for
             # fp32 AND bf16 bundles; an fp32-compute int8 bundle must not
             # silently export the exact scorer its guard never measured
-            p = serving.nap_int8
             cat32 = jnp.concatenate(d, axis=-1)
-            return _nap_score_int8_xla(p.v8, p.sv, p.sk, p.offset, p.inv_std,
-                                       cat32)
+            return _nap_score_int8_xla(serving.nap_int8, cat32)
         if dtype == jnp.float32:
             return nap_score_device(stats, jnp.concatenate(d, axis=-1))
         cat = jnp.concatenate(d, axis=-1).astype(dtype)

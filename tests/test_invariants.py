@@ -204,9 +204,10 @@ def test_bench_cost_of_reports_true_gemm_flops_and_survives_none():
 
 def test_int8_nap_program_runs_an_int8_mxu_dot():
     """The nap_quant='int8' whitening program must contain an i8 x i8 ->
-    i32 dot_general (the MXU int8 path the 2x-peak claim rides on) and no
-    fp32/bf16 fallback dot — CPU numerics cannot distinguish a silent
-    upcast, the lowered program can."""
+    i32 dot_general (the MXU int8 path the 2x-peak claim rides on) over
+    the bulk of the whitened directions, plus exactly one narrow bf16
+    dot for the split-precision tail — and no fp32 fallback dot.  CPU
+    numerics cannot distinguish a silent upcast, the lowered program can."""
     from icra2021_multimodal_ad_tpu.ops.scoring import nap_fit
     from icra2021_multimodal_ad_tpu.ops.serving import (
         _nap_score_int8_xla,
@@ -216,11 +217,23 @@ def test_int8_nap_program_runs_an_int8_mxu_dot():
     stats = nap_fit(jnp.asarray(
         np.random.default_rng(0).normal(size=(32, 16)), jnp.float32))
     pk = nap_int8_pack(stats)
+    jt = pk.v16.shape[1]
+    assert jt == 2, jt  # round(16 * 1/8) on a small (unpadded) fit
     x = jnp.zeros((4, 16), jnp.float32)
-    txt = jax.jit(_nap_score_int8_xla).lower(
-        pk.v8, pk.sv, pk.sk, pk.offset, pk.inv_std, x).as_text()
+    txt = jax.jit(_nap_score_int8_xla).lower(pk, x).as_text()
     dots = [ln for ln in txt.splitlines() if "dot_general" in ln]
-    assert len(dots) == 1, dots
-    assert "tensor<4x16xi8>" in dots[0] and "tensor<16x16xi8>" in dots[0], \
-        dots[0]
-    assert "-> tensor<4x16xi32>" in dots[0], dots[0]
+    assert len(dots) == 2, dots
+    i8 = [ln for ln in dots if "tensor<4x16xi8>" in ln]
+    assert len(i8) == 1 and f"tensor<16x{16 - jt}xi8>" in i8[0] \
+        and f"-> tensor<4x{16 - jt}xi32>" in i8[0], dots
+    b16 = [ln for ln in dots if "bf16" in ln]
+    assert len(b16) == 1 and f"tensor<16x{jt}xbf16>" in b16[0], dots
+    assert not any("f32>, tensor" in ln and "xf32>) ->" in ln
+                   for ln in dots), dots
+
+    # tail_frac=0 recovers the pure-int8 single-dot program
+    pk0 = nap_int8_pack(stats, tail_frac=0)
+    assert pk0.v16 is None
+    txt0 = jax.jit(_nap_score_int8_xla).lower(pk0, x).as_text()
+    dots0 = [ln for ln in txt0.splitlines() if "dot_general" in ln]
+    assert len(dots0) == 1 and "tensor<16x16xi8>" in dots0[0], dots0

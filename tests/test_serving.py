@@ -559,6 +559,43 @@ def test_int8_nap_bundle_and_anomaly_separation():
     assert s_anom.mean() > 2.0 * scores.mean()
 
 
+def test_int8_split_precision_tail_beats_pure_int8():
+    """The split-precision bf16 tail (NAP_INT8_TAIL_FRAC of the whitened
+    directions, ordered by sv*inv_std) must track fp32 strictly better
+    than the pure-int8 pack on the same fit (tail_frac=0), and the two
+    packs must partition the same J total (the score mean's denominator).
+    Measured on the bench fit: 5.6% -> 1.3% (scripts/int8_split_probe.py);
+    this pins the mechanism, not the bench magnitudes."""
+    from icra2021_multimodal_ad_tpu.ops.scoring import nap_score_device
+    from icra2021_multimodal_ad_tpu.ops.serving import (
+        _nap_score_int8_xla,
+        nap_int8_pack,
+    )
+
+    cfg, model, params, state, stats, x = _trained_with_stats()
+    d = jnp.concatenate(
+        get_diffs_for(cfg, model, params, state, x[:64]), axis=-1)
+    s32 = np.asarray(nap_score_device(stats, d))
+
+    pk_split = nap_int8_pack(stats)
+    pk_pure = nap_int8_pack(stats, tail_frac=0)
+    assert pk_split.v16 is not None and pk_pure.v16 is None
+    assert pk_split.v8.shape[1] + pk_split.v16.shape[1] == pk_pure.j
+    assert pk_split.j == pk_pure.j
+
+    rel = lambda s: float(np.mean(np.abs(np.asarray(s) - s32)
+                                  / (np.abs(s32) + 1e-6)))
+    r_split = rel(_nap_score_int8_xla(pk_split, d))
+    r_pure = rel(_nap_score_int8_xla(pk_pure, d))
+    assert r_split < r_pure, (r_split, r_pure)
+
+
+def get_diffs_for(cfg, model, params, state, x):
+    from icra2021_multimodal_ad_tpu.ops.rapp import diffs_batch
+
+    return diffs_batch(model, params, state, jnp.asarray(x))
+
+
 def test_int8_nap_config_knob_and_cli_guard():
     """Config(nap_quant='int8') flows through make_serving's 'auto' — and
     through nap_accuracy_guard's, so the guard certifies the path the
