@@ -53,19 +53,23 @@ def run_full_test(config: Config, fixture_path: str, plot: bool = False,
     df = pd.read_csv(fixture_path)
     x = fixture_to_features(df, config)
 
-    fast = getattr(config, "compute_dtype", "float32") != "float32"
+    fast = (getattr(config, "compute_dtype", "float32") != "float32"
+            or getattr(config, "nap_quant", None) == "int8")
     if fast:
-        # serving fast path (--compute_dtype bfloat16 [--nap_quant int8]):
-        # one fused diffs+whitening program at the serving precision,
-        # scored against variance-floored effective-rank stats — the same
-        # guarded configuration realtime_tester streams with.  Golden
-        # `nap_score` columns were produced by the exact path, so the
-        # correlation printed by main() is informational here, not a pin.
+        # serving fast path (--compute_dtype bfloat16 and/or --nap_quant
+        # int8 — fp32 + int8 keeps exact diff extraction and quantizes
+        # only the whitening matmul): one fused diffs+whitening program at
+        # the serving precision, scored against variance-floored
+        # effective-rank stats — the same guarded configuration
+        # realtime_tester streams with.  Golden `nap_score` columns were
+        # produced by the exact path, so the correlation printed by
+        # main() is informational here, not a pin.
         if (config.start_layer_index, config.end_layer_index) != (0, -1):
             raise ValueError(
                 "--start_layer_index/--end_layer_index need the exact "
                 "fp32 path (serving scorers whiten the full diff concat); "
-                "drop --compute_dtype bfloat16 to use layer windows")
+                "drop --compute_dtype bfloat16 / --nap_quant int8 to use "
+                "layer windows")
         from icra2021_multimodal_ad_tpu.ops.serving import make_serving
 
         serving = make_serving(config, model, params, state,
@@ -187,21 +191,21 @@ def main():
                         "exact fp32 NAP on degenerate fits)")
     p.add_argument("--nap_quant", type=str, default=None,
                    choices=["int8"],
-                   help="int8 = NAP whitening on the MXU int8 path "
-                        "(needs --compute_dtype bfloat16)")
+                   help="int8 = NAP whitening on the MXU int8 path; with "
+                        "--compute_dtype float32 the diff extraction stays "
+                        "exact and only the whitening matmul is quantized")
     p.add_argument("--guard_tol", type=float, default=None,
                    help="deploy guard: score the fixture on BOTH the "
                         "low-precision and fp32 paths (same variance "
                         "floor) and abort above this relative tolerance; "
-                        "only meaningful with --compute_dtype bfloat16")
+                        "needs --compute_dtype bfloat16 or --nap_quant")
     args = p.parse_args()
-    if args.guard_tol is not None and args.compute_dtype == "float32":
+    if (args.guard_tol is not None and args.compute_dtype == "float32"
+            and not args.nap_quant):
         p.error("--guard_tol guards the low-precision serving path; pass "
-                "--compute_dtype bfloat16 with it (fp32 is the exact "
-                "reference path, nothing to guard)")
-    if args.nap_quant and args.compute_dtype != "bfloat16":
-        p.error("--nap_quant int8 rides the serving fast path; pass "
-                "--compute_dtype bfloat16 with it")
+                "--compute_dtype bfloat16 or --nap_quant int8 with it "
+                "(plain fp32 is the exact reference path, nothing to "
+                "guard)")
 
     cfg = Config(
         sensor=args.sensor, n_layers=args.n_layers, btl_size=args.btl_size,

@@ -317,18 +317,18 @@ class TabularDataset:
                                          fusion_fp)
                 cache_path = _feature_cache_path(config, key)
                 if os.path.exists(cache_path):
-                    z = np.load(cache_path, allow_pickle=False)
-                    self.data = jnp.asarray(z["data"])
-                    self.targets = jnp.asarray(z["targets"])
-                    # the FULL light-column frame round-trips through the
-                    # cache (dtypes included) so a warm TabularDataset is
-                    # indistinguishable from a cold one — consumers must
-                    # not see a different df interface depending on hidden
-                    # on-disk state
-                    cols = [str(c) for c in z["light_columns"]]
-                    self.df = pd.DataFrame(
-                        {c: np.asarray(z[f"col_{c}"]) for c in cols}
-                    )
+                    with np.load(cache_path, allow_pickle=False) as z:
+                        self.data = jnp.asarray(z["data"])
+                        self.targets = jnp.asarray(z["targets"])
+                        # the FULL light-column frame round-trips through
+                        # the cache (dtypes included) so a warm
+                        # TabularDataset is indistinguishable from a cold
+                        # one — consumers must not see a different df
+                        # interface depending on hidden on-disk state
+                        cols = [str(c) for c in z["light_columns"]]
+                        self.df = pd.DataFrame(
+                            {c: np.asarray(z[f"col_{c}"]) for c in cols}
+                        )
                     if config.verbose >= 1:
                         print(f"feature cache hit: {cache_path}")
                     return

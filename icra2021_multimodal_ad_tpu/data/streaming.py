@@ -85,9 +85,14 @@ class MicRing(RingBuffer):
     enough chunks) or hoards memory for large chunks.  Eviction keeps at
     least `budget_samples`; memory is bounded by budget + one chunk."""
 
-    def __init__(self, budget_samples: int, clock=None):
+    def __init__(self, budget_samples: int, clock=None,
+                 ready_samples: Optional[int] = None):
         super().__init__(maxlen=None, clock=clock)
         self._budget = int(budget_samples)
+        # sample threshold that `full` reports against — the readiness
+        # idiom the other rings expose; defaults to the eviction budget
+        self._ready_samples = (int(ready_samples) if ready_samples
+                               is not None else self._budget)
         self._samples = 0
 
     def append(self, item) -> None:
@@ -107,6 +112,15 @@ class MicRing(RingBuffer):
         the bytes->samples accounting)."""
         with self._lock:
             return self._samples
+
+    @property
+    def full(self) -> bool:
+        """Readiness in SAMPLES, not chunk count.  The inherited deque
+        predicate (len == maxlen) is meaningless for the unbounded deque —
+        it would read False forever and silently break any caller applying
+        the `.full` readiness idiom of the other three rings to mic_q."""
+        with self._lock:
+            return self._samples >= self._ready_samples
 
 
 class SensorSource:
@@ -129,7 +143,8 @@ class SensorSource:
         # window so eviction racing a concurrent publisher can't dip the
         # ring below readiness
         self.mic_q = MicRing(
-            self._MIC_WINDOW_SAMPLES * (batch_size + 2)
+            self._MIC_WINDOW_SAMPLES * (batch_size + 2),
+            ready_samples=self._MIC_WINDOW_SAMPLES * (batch_size + 1),
         )
 
     def ready(self) -> bool:
@@ -137,10 +152,8 @@ class SensorSource:
         batch_size MFCC frames (one chunk is not enough: the fused batch
         needs batch_size 0.1 s windows, and a short mic queue would produce
         mismatched modality row counts)."""
-        if not (self.force_q.full and self.hand_q.full and self.depth_q.full):
-            return False
-        n_samples = self.mic_q.sample_count()
-        return n_samples >= self._MIC_WINDOW_SAMPLES * (self.batch_size + 1)
+        return (self.force_q.full and self.hand_q.full
+                and self.depth_q.full and self.mic_q.full)
 
     def stale_topics(self, timeout_s: float, now: Optional[float] = None):
         """Queues silent for longer than timeout_s (the reference's per-
@@ -284,11 +297,13 @@ def _tick_nap_bf16(model: AutoEncoder, fusion_params: FusionParams,
     return jnp.mean(tstd * tstd, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("model",))
+@partial(jax.jit, static_argnames=("model", "dtype"))
 def _tick_nap_int8(model: AutoEncoder, fusion_params: FusionParams,
-                   params16, state, pack, r, d, t, m):
-    """int8 NAP tick: bf16 mixed-precision diff extraction, whitening
-    matmul on the MXU int8 path with the split-precision bf16 tail
+                   params, state, pack, r, d, t, m, *, dtype):
+    """int8 NAP tick: diff extraction at the serving compute dtype (bf16
+    mixed-precision taps, or the exact fp32 path for a
+    compute_dtype=float32 + nap_quant=int8 config), whitening matmul on
+    the MXU int8 path with the split-precision bf16 tail
     (ops/serving._nap_score_int8_xla semantics) — the --nap_quant int8
     configuration as one program."""
     from icra2021_multimodal_ad_tpu.ops.serving import (
@@ -296,8 +311,11 @@ def _tick_nap_int8(model: AutoEncoder, fusion_params: FusionParams,
         serving_diffs_batch,
     )
 
-    x = _normalize_and_fuse(fusion_params, r, d, t, m).astype(jnp.bfloat16)
-    dfs = serving_diffs_batch(model, params16, state, x)
+    x = _normalize_and_fuse(fusion_params, r, d, t, m)
+    if dtype == jnp.float32:
+        dfs = diffs_batch(model, params, state, x)
+    else:
+        dfs = serving_diffs_batch(model, params, state, x.astype(dtype))
     cat = jnp.concatenate(dfs, axis=-1)
     return _nap_score_int8_xla(pack, cat)
 
@@ -338,6 +356,11 @@ class StreamingDetector:
             if getattr(config, "compute_dtype", "float32") == "bfloat16"
             else jnp.float32
         )
+        # nap_quant='int8' is honored INDEPENDENTLY of compute_dtype, like
+        # make_serving / full_test / export_nap_window_scorer: an fp32 +
+        # int8 config streams exact fp32 diff taps into the int8 whitening
+        # matmul, so the live trace matches the exported artifact's numerics
+        self._nap_quant = getattr(config, "nap_quant", None)
         if self._dtype == jnp.bfloat16:
             from icra2021_multimodal_ad_tpu.ops.serving import cast_floats
 
@@ -377,7 +400,7 @@ class StreamingDetector:
         if nap:
             if self.nap_stats is None:
                 raise ValueError("NAP streaming needs persisted NapStats")
-            if self._dtype == jnp.bfloat16:
+            if self._dtype == jnp.bfloat16 or self._nap_quant == "int8":
                 return np.asarray(self._nap_serving().score_nap_windows(x))
             diffs = diffs_batch(self.model, self.params, self.state, x)
             cat = jnp.concatenate(diffs, axis=-1)
@@ -388,11 +411,13 @@ class StreamingDetector:
         )
 
     def _nap_fast_tick_ops(self):
-        """(kind, params16, whitening_ops) for the one-program low-precision
-        NAP tick, where kind is "int8" (nap_quant bundles: the whole
-        NapInt8Pack) or "bf16" (the bundle's variance-floored precomputes
-        plus a once-cast bf16 whitening matrix — a per-tick cast would add
-        a dispatch).  Cached on the identity of the serving bundle."""
+        """(kind, serve_params, whitening_ops) for the one-program
+        low-precision NAP tick, where kind is "int8" (nap_quant bundles:
+        the whole NapInt8Pack; serve_params at the compute dtype — fp32
+        for a float32 + int8 config) or "bf16" (the bundle's variance-
+        floored precomputes plus a once-cast bf16 whitening matrix — a
+        per-tick cast would add a dispatch).  Cached on the identity of
+        the serving bundle."""
         bundle = self._nap_serving()
         if (getattr(self, "_nap_tick_cache", None) is None
                 or self._nap_tick_cache[0] is not bundle):
@@ -416,11 +441,14 @@ class StreamingDetector:
         if nap:
             if self.nap_stats is None:
                 raise ValueError("NAP streaming needs persisted NapStats")
-            if self._dtype == jnp.bfloat16:
-                kind, p16, wh_ops = self._nap_fast_tick_ops()
-                tick = _tick_nap_int8 if kind == "int8" else _tick_nap_bf16
-                return np.asarray(tick(
-                    self.model, self.fusion_params, p16, self.state,
+            if self._dtype == jnp.bfloat16 or self._nap_quant == "int8":
+                kind, p_serve, wh_ops = self._nap_fast_tick_ops()
+                if kind == "int8":
+                    return np.asarray(_tick_nap_int8(
+                        self.model, self.fusion_params, p_serve, self.state,
+                        *wh_ops, r, d, t, m, dtype=self._dtype))
+                return np.asarray(_tick_nap_bf16(
+                    self.model, self.fusion_params, p_serve, self.state,
                     *wh_ops, r, d, t, m))
             return np.asarray(_tick_nap_exact(
                 self.model, self.fusion_params, self.params, self.state,
@@ -438,7 +466,9 @@ class StreamingDetector:
         err, or None when the configuration has no low-precision path to
         guard.  This is the CLI-facing teeth of the 'deploy behind the
         guard' contract the serving docstrings state."""
-        if self._dtype != jnp.bfloat16:
+        has_low_precision = (self._dtype == jnp.bfloat16
+                             or (nap and self._nap_quant == "int8"))
+        if not has_low_precision:
             return None
         if nap and self.nap_stats is None:
             # same diagnostic score_queues raises — without this the guard's
@@ -455,10 +485,14 @@ class StreamingDetector:
         )
 
         if nap:
+            # certify the EXACT cached bundle the ticks score with (not a
+            # rebuilt twin): _nap_serving() is what _nap_fast_tick_ops
+            # reads its operands from, and fast_serving= skips the guard's
+            # own bundle build + duplicate device prep
             rel = nap_accuracy_guard(self.config, self.model, self.params,
-                                     self.state, self.nap_stats, x, tol=tol)
-            kind = ("int8" if getattr(self.config, "nap_quant", None)
-                    == "int8" else "bf16")
+                                     self.state, self.nap_stats, x, tol=tol,
+                                     fast_serving=self._nap_serving())
+            kind = "int8" if self._nap_quant == "int8" else "bf16"
             print(f"serving guard ({kind} NAP vs fp32, live batch): "
                   f"rel err {rel:.4f} <= tol {tol}")
         else:

@@ -182,9 +182,13 @@ def _shrink_tiles(jp: int, tb: int, tj: int):
 
 
 def _is_vmem_oom(err: Exception) -> bool:
+    """Only VMEM/scoped-allocation overflows are retryable by tile
+    shrinking.  A generic RESOURCE_EXHAUSTED (an HBM OOM from a too-large
+    x_p/v_p) must NOT match: smaller tiles cannot shrink operands already
+    materialized in HBM, and each futile retry recompiles (20-120 s over
+    the tunnel) before the real error finally surfaces."""
     msg = str(err).lower()
-    return ("scoped allocation" in msg or "vmem" in msg
-            or "resource exhausted" in msg or "resource_exhausted" in msg)
+    return "scoped allocation" in msg or "vmem" in msg
 
 
 def nap_score_pallas(stats: NapStats, x: jax.Array,

@@ -586,9 +586,23 @@ def nap_accuracy_guard(config, model, params, state, nap_stats, x,
                         model, params, state, nap_stats=nap_stats,
                         nap_var_floor_rel=nap_var_floor_rel, nap_quant=None)
     if fast_serving is not None:
-        if fast_serving.compute_dtype == jnp.float32 and nap_quant is None:
+        # the bundle must BE the path the resolved nap_quant names — a
+        # guard that scores a bf16 bundle but raises/reports as 'int8'
+        # (or vice versa) certifies a path it never measured
+        fast_kind = ("int8" if fast_serving.nap_int8 is not None
+                     else "bf16"
+                     if fast_serving.compute_dtype == jnp.bfloat16
+                     else None)
+        want_kind = "int8" if nap_quant == "int8" else (
+            "bf16" if fast_serving.compute_dtype == jnp.bfloat16 else None)
+        if fast_kind is None:
             raise ValueError("fast_serving has no low-precision path to "
                              "guard (fp32 compute_dtype, no nap_quant)")
+        if fast_kind != want_kind:
+            raise ValueError(
+                f"fast_serving is the {fast_kind} path but the resolved "
+                f"nap_quant asks the guard to certify {want_kind or 'bf16'}"
+                " — build the bundle and the guard from the same config")
         fast = fast_serving
     else:
         fast = make_serving(config.replace(compute_dtype="bfloat16"),

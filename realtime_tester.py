@@ -64,7 +64,9 @@ def main():
                    choices=["int8"],
                    help="int8 = NAP whitening matmul on the MXU int8 path "
                         "(2x the bf16 peak; fp32 epilogue, variance-floored "
-                        "stats) — deploy-guarded like bfloat16")
+                        "stats) — deploy-guarded like bfloat16; with "
+                        "--compute_dtype float32 the diff extraction stays "
+                        "exact and only the whitening is quantized")
     p.add_argument("--connection_timeout_s", type=float, default=None,
                    help="raise if a sensor queue is silent this long "
                         "(reference default 10 s, realtime_tester.py:52-57)")
@@ -76,9 +78,6 @@ def main():
                         "tolerance (ops/serving accuracy guards; no-op on "
                         "exact fp32 runs)")
     args = p.parse_args()
-    if args.nap_quant and args.compute_dtype != "bfloat16":
-        p.error("--nap_quant int8 rides the serving fast path; pass "
-                "--compute_dtype bfloat16 with it")
     if args.nap_quant and not args.nap:
         p.error("--nap_quant int8 quantizes the NAP whitening matmul; "
                 "pass --nap with it (BASE streaming has no NAP stage "

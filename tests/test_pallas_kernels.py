@@ -123,3 +123,19 @@ def test_fused_mlp_kernel_matches_serving_forward():
     full = fused_module_forward(dec_l, dec_a, z)
     assert full.shape[1] >= 1792
     np.testing.assert_array_equal(np.asarray(full[:, 1728:]), 0.0)
+
+def test_vmem_oom_matcher_ignores_hbm_oom():
+    """Only VMEM/scoped-allocation overflows are retryable by tile
+    shrinking; a generic RESOURCE_EXHAUSTED (HBM OOM) must not trigger the
+    retry loop — each futile retry recompiles (20-120 s over the tunnel)
+    without shrinking the HBM-resident operands."""
+    from icra2021_multimodal_ad_tpu.ops.pallas_kernels import _is_vmem_oom
+
+    assert _is_vmem_oom(Exception(
+        "Mosaic failed: scoped allocation of 20971520 bytes exceeds limit"))
+    assert _is_vmem_oom(Exception(
+        "RESOURCE_EXHAUSTED: exceeded VMEM limit of 16777216 bytes"))
+    assert not _is_vmem_oom(Exception(
+        "RESOURCE_EXHAUSTED: Out of memory while trying to allocate "
+        "17179869184 bytes in hbm"))
+    assert not _is_vmem_oom(Exception("unrelated compile error"))

@@ -691,6 +691,18 @@ def test_int8_streaming_tick_matches_serving_bundle():
     via_batch = det.score_batch(x, nap=True)
     np.testing.assert_allclose(tick, via_batch, rtol=2e-2, atol=1e-7)
 
+    # fp32 + int8 (exact diffs into the int8 whitening): the one-program
+    # tick must route through the int8 path at dtype float32 and match the
+    # bundle exactly (no bf16 rounding anywhere in the diff extraction)
+    cfg32 = cfg.replace(compute_dtype="float32")
+    det32 = StreamingDetector(cfg32, model, res.params, res.state,
+                              fusion_params, nap_stats=stats)
+    tick32 = det32.score_queues(
+        src.force_q.snapshot(), src.hand_q.snapshot(),
+        src.depth_q.snapshot(), det_mfcc, nap=True)
+    via_batch32 = det32.score_batch(x, nap=True)
+    np.testing.assert_allclose(tick32, via_batch32, rtol=1e-5)
+
 
 def _mic_frames(cfg, src):
     from icra2021_multimodal_ad_tpu.ops.mfcc import mfcc_from_int16_chunks
@@ -723,3 +735,59 @@ def test_guard_fast_serving_reuse_and_return_scores():
     with pytest.raises(ValueError, match="no low-precision path"):
         nap_accuracy_guard(cfg, model, params, state, stats, x[:64],
                            fast_serving=fp32)
+
+def test_fp32_int8_nap_combo_end_to_end():
+    """compute_dtype=float32 + nap_quant=int8: exact fp32 diff extraction
+    feeding the int8 whitening matmul — honored consistently by
+    make_serving, nap_accuracy_guard, and StreamingDetector (the detector
+    used to silently fall back to exact fp32 NAP and the live guard to
+    no-op for this combo, diverging from the exported artifact)."""
+    from icra2021_multimodal_ad_tpu.data.streaming import StreamingDetector
+    from icra2021_multimodal_ad_tpu.ops.serving import (
+        _nap_score_int8_xla,
+        nap_accuracy_guard,
+    )
+
+    cfg, model, params, state, stats, x = _trained_with_stats()
+    cfg8 = cfg.replace(nap_quant="int8")  # compute_dtype stays float32
+    bundle = make_serving(cfg8, model, params, state, nap_stats=stats)
+    assert bundle.nap_int8 is not None
+    assert bundle.compute_dtype == jnp.float32
+    xq = jnp.asarray(x[:32])
+    scores = np.asarray(bundle.score_nap_windows(xq))
+
+    # reference: EXACT fp32 diffs -> the bundle's int8 whitening
+    d = jnp.concatenate(get_diffs_for(cfg8, model, params, state, xq),
+                        axis=-1)
+    ref = np.asarray(_nap_score_int8_xla(bundle.nap_int8, d))
+    np.testing.assert_allclose(scores, ref, rtol=1e-6)
+
+    # the guard certifies the combo — and accepts the bundle itself
+    rel = nap_accuracy_guard(cfg8, model, params, state, stats, x[:64],
+                             tol=0.05, fast_serving=bundle)
+    assert rel < 0.05, rel
+
+    # StreamingDetector honors it (score_batch routes through the bundle)
+    det = StreamingDetector(cfg8, model, params, state, fusion_params=None,
+                            nap_stats=stats)
+    det_scores = det.score_batch(xq, nap=True)
+    np.testing.assert_allclose(det_scores, scores, rtol=1e-6)
+
+
+def test_guard_fast_serving_kind_mismatch_raises():
+    """The guard must refuse a fast_serving bundle whose quantization path
+    is not the one the resolved nap_quant names — otherwise it certifies
+    (and reports) a path it never measured."""
+    from icra2021_multimodal_ad_tpu.ops.serving import nap_accuracy_guard
+
+    cfg, model, params, state, stats, x = _trained_with_stats()
+    cfg16 = cfg.replace(compute_dtype="bfloat16")
+    bf16_bundle = make_serving(cfg16, model, params, state, nap_stats=stats)
+    with pytest.raises(ValueError, match="same config"):
+        nap_accuracy_guard(cfg16.replace(nap_quant="int8"), model, params,
+                           state, stats, x[:16], fast_serving=bf16_bundle)
+    int8_bundle = make_serving(cfg16.replace(nap_quant="int8"), model,
+                               params, state, nap_stats=stats)
+    with pytest.raises(ValueError, match="same config"):
+        nap_accuracy_guard(cfg16, model, params, state, stats, x[:16],
+                           fast_serving=int8_bundle)

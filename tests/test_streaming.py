@@ -442,3 +442,56 @@ def test_guard_live_missing_nap_stats_clear_error():
     with pytest.raises(ValueError, match="NAP streaming needs persisted"):
         det.run(src, n_ticks=1, nap=True, guard_tol=0.5,
                 tick_hook=lambda i: src.tick())
+
+def test_mic_ring_full_is_sample_readiness():
+    """MicRing.full must reflect the SAMPLE threshold, not the inherited
+    deque len==maxlen predicate (always False on an unbounded deque) —
+    callers applying the .full readiness idiom of the other three rings to
+    mic_q would otherwise conclude the mic never fills."""
+    from icra2021_multimodal_ad_tpu.data.streaming import MicRing
+
+    src = SimulatedSensors(batch_size=4, seed=0)
+    assert not src.mic_q.full
+    src.fill()
+    while not src.mic_q.full:
+        src.tick()
+    # full <-> ready()'s audio requirement: (batch+1) MFCC windows
+    assert src.mic_q.sample_count() >= src._MIC_WINDOW_SAMPLES * 5
+    assert src.ready()
+
+    ring = MicRing(1000)  # standalone default: full at the eviction budget
+    assert not ring.full
+    ring.append(np.zeros(1000, np.int16).tobytes())
+    assert ring.full
+
+
+def test_guard_live_certifies_cached_bundle(monkeypatch):
+    """_guard_live must certify the EXACT cached serving bundle the ticks
+    score with (fast_serving=self._nap_serving()), not a rebuilt twin —
+    a twin duplicates device prep per process start and certifies
+    different array instances than the ones streaming."""
+    from icra2021_multimodal_ad_tpu.ops import serving as serving_mod
+    from icra2021_multimodal_ad_tpu.ops.rapp import get_diffs
+    from icra2021_multimodal_ad_tpu.ops.scoring import concat_diffs, nap_fit
+
+    cfg = _cfg(seed=0, compute_dtype="bfloat16")
+    model, params, state = get_model(cfg)
+    fusion_params = fusion_init(jax.random.PRNGKey(cfg.seed))
+    windows = _collect_normal_windows(cfg, fusion_params, n_ticks=12)
+    stats = nap_fit(concat_diffs(get_diffs(windows, model, params, state)))
+    det = StreamingDetector(cfg, model, params, state, fusion_params,
+                            nap_stats=stats)
+    src = SimulatedSensors(batch_size=10, seed=3)
+    src.fill()
+
+    seen = {}
+    real = serving_mod.nap_accuracy_guard
+
+    def spy(*a, **kw):
+        seen.update(kw)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(serving_mod, "nap_accuracy_guard", spy)
+    det.run(src, n_ticks=1, nap=True, guard_tol=1e9,
+            tick_hook=lambda i: src.tick())
+    assert seen.get("fast_serving") is det._nap_serving()
