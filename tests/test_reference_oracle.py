@@ -1270,3 +1270,108 @@ def test_reference_reporter_export_parity(ref, tmp_path):
     theirs.export(p_ref)
     ours.export(p_our)
     assert open(p_ref).read() == open(p_our).read()
+
+# ---------------------------------------------------------------------------
+# randomized architecture sweep — execution parity across the config space
+# ---------------------------------------------------------------------------
+
+
+def test_randomized_architecture_sweep_execution_parity(ref, tmp_path):
+    """Fuzz the architecture space through BOTH implementations: randomly
+    drawn (n_layers, btl_size, input_size, batch tail) configs, weights
+    transplanted into the reference's OWN model, identical windows, full
+    get_diffs + BASE/SAP/NAP chain per draw.  The fixed-case oracles above
+    pin one shape each; shape-dependent divergences (1-layer nets,
+    expansion bottlenecks btl > input, odd interpolated widths, chunking
+    tails) only surface under a sweep.
+
+    Draws 0 and 1 are forced edges (single-layer net; expanding
+    bottleneck); the rest are random but seeded.  NAP fit rows are kept
+    >= 3x the concat-diff width so the whitening stays well-conditioned
+    (torch.svd vs jnp.linalg.svd agree only away from degenerate spectra
+    — see test_full_score_pipeline_parity's conditioning note); NAP
+    scores are compared reference-scorer-on-OUR-diffs (identical fit
+    inputs) with bit-equal AUROC."""
+    from icra2021_multimodal_ad_tpu.models.builder import get_model
+    from icra2021_multimodal_ad_tpu.ops.rapp import get_diffs
+    from icra2021_multimodal_ad_tpu.ops.scoring import (
+        get_d_loss,
+        get_d_norm_loss,
+        get_recon_loss,
+    )
+
+    rng = np.random.default_rng(20240818)
+    draws = [(1, 8, 48), (2, 96, 64)]  # forced edges: 1-layer; btl > input
+    while len(draws) < 6:
+        draws.append((int(rng.integers(1, 5)),      # n_layers
+                      int(rng.integers(3, 49)),     # btl_size
+                      int(rng.integers(24, 97))))   # input_size
+    for di, (n_layers, btl, input_size) in enumerate(draws):
+        cfg = _our_config(sensor="force_torque", n_layers=n_layers,
+                          btl_size=btl, seed=100 + di)
+        cfg = cfg.replace(input_size=input_size)
+        model, params, state = get_model(cfg)
+        ref_model = _ref_model_from_ours(ref, cfg, model, params, state)
+
+        # concat width = input + every encoder tap width; read it off a
+        # probe diff instead of re-deriving the interpolation here
+        probe = get_diffs(np.zeros((2, input_size), np.float32), model,
+                          params, state, batch_size=2)
+        k_total = sum(np.asarray(d).shape[1] for d in probe)
+        n_train = max(3 * k_total, 96)
+        bs = int(rng.integers(13, 40))  # odd chunking with a tail
+        xtr = rng.normal(0, 1, (n_train, input_size)).astype(np.float32)
+        xva = rng.normal(0, 1, (64, input_size)).astype(np.float32)
+        label = rng.uniform(size=48) < 0.35
+        label[0], label[1] = True, False  # both classes always present
+        xte = (rng.normal(0, 1, (48, input_size))
+               * np.where(label, 3.0, 1.0)[:, None]).astype(np.float32)
+
+        ref_tr = _ref_get_diffs(ref, xtr, ref_model, bs)
+        ref_va = _ref_get_diffs(ref, xva, ref_model, bs)
+        ref_te = _ref_get_diffs(ref, xte, ref_model, bs)
+        our_tr = get_diffs(xtr, model, params, state, batch_size=bs)
+        our_va = get_diffs(xva, model, params, state, batch_size=bs)
+        our_te = get_diffs(xte, model, params, state, batch_size=bs)
+
+        tag = f"draw {di}: L={n_layers} btl={btl} in={input_size} bs={bs}"
+        assert len(ref_te) == len(our_te) == n_layers + 1, tag
+        for i, (a, b) in enumerate(zip(ref_te, our_te)):
+            a, b = np.asarray(a), np.asarray(b)
+            denom = np.abs(a).max() + 1e-8
+            np.testing.assert_allclose(
+                b, a, atol=1e-4 * denom, rtol=0,
+                err_msg=f"{tag} diff layer {i}")
+
+        r_base = ref.metric.get_recon_loss(ref_va[0], ref_te[0], label)
+        o_base = get_recon_loss(our_va[0], our_te[0], label)
+        np.testing.assert_allclose(o_base.score, r_base[0], rtol=1e-4,
+                                   atol=1e-6, err_msg=tag)
+        assert o_base.auroc == pytest.approx(r_base[1], abs=1e-6), tag
+
+        r_sap = ref.metric.get_d_loss(ref_tr, ref_va, ref_te, label)
+        o_sap = get_d_loss(our_tr, our_va, our_te, label)
+        np.testing.assert_allclose(o_sap.score, r_sap[0], rtol=1e-4,
+                                   atol=1e-6, err_msg=tag)
+        assert o_sap.auroc == pytest.approx(r_sap[1], abs=1e-6), tag
+
+        # NAP on identical fit inputs (reference scorer fed OUR diffs)
+        ref_cfg = SimpleNamespace(
+            train_diffs=str(tmp_path / f"d{di}.pt"))
+        r_nap = ref.metric.get_d_norm_loss(
+            [np.asarray(d) for d in our_tr],
+            [np.asarray(d) for d in our_va],
+            [np.asarray(d) for d in our_te],
+            label, ref_cfg,
+        )
+        o_nap = get_d_norm_loss(our_tr, our_va, our_te, label,
+                                save_stats_path=False)
+        # even on identical fit inputs, fp32 torch.svd vs jnp svd resolve
+        # the covariance's small-singular-value tail differently and the
+        # whitening amplifies that by 1/std — measured <=22% per row on
+        # untrained draws (same mechanism as the <=12% trained case above,
+        # test_full_score_pipeline_parity).  The deployment contract —
+        # identical ranking, bit-equal AUROC — must hold exactly.
+        np.testing.assert_allclose(o_nap.score, r_nap[0], rtol=0.3,
+                                   err_msg=tag)
+        assert o_nap.auroc == pytest.approx(r_nap[1], abs=1e-9), tag
