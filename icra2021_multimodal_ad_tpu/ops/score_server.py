@@ -1,0 +1,304 @@
+"""Network scoring service — the deployment surface around ops/serving.
+
+The reference's only "serving" was a ROS node scoring its own ring buffers
+in-process (test_file/realtime_tester.py:260-309).  This module serves the
+same scorers over a socket so a robot host (or any client) can score window
+batches against one resident TPU process: checkpoint + NAP stats load once,
+programs compile once, every request is a single device dispatch.
+
+    server = ScoreServer(config, model, params, state, nap_stats=stats)
+    port = server.start()                      # background thread
+    client = ScoreClient(("127.0.0.1", port))
+    scores = client.score(windows, op="score_nap")   # (B,) fp32
+    client.close(); server.stop()
+
+Design points (TPU-shaped, not an afterthought):
+  * **Bucketed padding**: jit programs are compiled per (bucket, op) where
+    bucket = next power of two >= the request's row count (capped at
+    max_batch) — a stream of ragged batch sizes costs O(log max_batch)
+    compiles total instead of one 20-120 s tunnel compile per new size.
+    Rows are padded with zeros and the pad scores sliced off (eval-mode BN
+    has no cross-row coupling — ops/serving.ServingModel docstring).
+  * **One chip, one scorer**: requests are scored under a lock; the
+    accept loop is threaded so slow clients don't block handshakes, but
+    device dispatch is serialized (concurrent programs on the single chip
+    would contend — CLAUDE.md environment note).
+  * **Deploy guard at startup**, not per request: serve_guard() runs the
+    ops/serving accuracy guards on a probe batch before the socket opens,
+    so a server that would stream uncertified low-precision scores never
+    comes up (same contract as the eval CLIs' --guard_tol).
+  * Wire format: 4-byte big-endian length frames; request = one JSON
+    header line + raw little-endian float32 row-major array bytes.  No
+    dependencies beyond the stdlib; a ~30-line client exists in any
+    language.
+
+Ops: score_base | score_sap | score_nap (fused (B, input) windows ->
+(B,) fp32 scores) and info (JSON metadata: input size, dtype, quant,
+guard measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import struct
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_HDR = struct.Struct(">I")
+#: absolute frame-size ceiling (guards the server against a garbage length
+#: prefix allocating gigabytes): 1 GiB covers 16384 x 8192 fp32 windows
+_MAX_FRAME = 1 << 30
+
+
+def _read_exact(sock: socket.socket, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed mid-frame")
+        buf += chunk
+    return bytes(buf)
+
+
+def _send_frame(sock: socket.socket, header: dict,
+                payload: bytes = b"") -> None:
+    head = json.dumps(header).encode() + b"\n"
+    sock.sendall(_HDR.pack(len(head) + len(payload)) + head + payload)
+
+
+def _recv_frame(sock: socket.socket) -> Tuple[dict, bytes]:
+    (n,) = _HDR.unpack(_read_exact(sock, _HDR.size))
+    if n > _MAX_FRAME:
+        raise ValueError(f"frame of {n} bytes exceeds the 1 GiB ceiling")
+    blob = _read_exact(sock, n)
+    head, _, payload = blob.partition(b"\n")
+    return json.loads(head.decode()), payload
+
+
+def _next_bucket(n: int, max_batch: int) -> int:
+    b = 1
+    while b < n:
+        b <<= 1
+    return min(b, max_batch)
+
+
+class ScoreServer:
+    """Serve a ServingModel's three window scorers over TCP (loopback by
+    default).  start() binds, spawns the accept thread, and returns the
+    port; stop() shuts it down.  Thread-safe for many clients; device
+    work is serialized (single chip)."""
+
+    OPS = ("score_base", "score_sap", "score_nap")
+
+    def __init__(self, config, model, params, state,
+                 nap_stats=None, max_batch: int = 16384,
+                 host: str = "127.0.0.1"):
+        from icra2021_multimodal_ad_tpu.ops.serving import make_serving
+
+        self.config = config
+        self.serving = make_serving(config, model, params, state,
+                                    nap_stats=nap_stats)
+        self.max_batch = int(max_batch)
+        self.host = host
+        self.input_size = int(config.input_size)
+        self.guard_rel: Optional[float] = None
+        self._sock: Optional[socket.socket] = None
+        self._thread: Optional[threading.Thread] = None
+        self._score_lock = threading.Lock()
+        self._stopping = threading.Event()
+        # model/params/stats for the startup guard
+        self._guard_args = (model, params, state, nap_stats)
+
+    # -- deploy guard -------------------------------------------------------
+
+    def serve_guard(self, probe: np.ndarray, tol: float) -> Optional[float]:
+        """Run the ops/serving accuracy guard for this bundle's precision
+        on a probe batch of fused windows; raises above tol.  Returns the
+        measured rel err, or None for exact-fp32 bundles (nothing to
+        guard).  Call before start() — the eval CLIs' --guard_tol
+        contract, applied to the server."""
+        import jax.numpy as jnp
+
+        from icra2021_multimodal_ad_tpu.ops.serving import (
+            bf16_accuracy_guard,
+            nap_accuracy_guard,
+        )
+
+        model, params, state, nap_stats = self._guard_args
+        low_nap = (nap_stats is not None
+                   and (self.serving.compute_dtype == jnp.bfloat16
+                        or self.serving.nap_int8 is not None))
+        if low_nap:
+            rel = nap_accuracy_guard(self.config, model, params, state,
+                                     nap_stats, probe, tol=tol,
+                                     fast_serving=self.serving)
+        elif self.serving.compute_dtype == jnp.bfloat16:
+            rel = bf16_accuracy_guard(self.config, model, params, state,
+                                      probe, tol=tol)
+        else:
+            return None
+        self.guard_rel = float(rel)
+        return self.guard_rel
+
+    # -- scoring ------------------------------------------------------------
+
+    def _score(self, op: str, x: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+
+        n = x.shape[0]
+        out = np.empty(n, np.float32)
+        done = 0
+        # requests larger than max_batch score in max_batch chunks — the
+        # compile-count bound stays O(log max_batch)
+        while done < n:
+            take = min(n - done, self.max_batch)
+            xb = np.zeros((_next_bucket(take, self.max_batch),
+                           x.shape[1]), np.float32)
+            xb[:take] = x[done:done + take]
+            xj = jnp.asarray(xb)
+            with self._score_lock:
+                if op == "score_base":
+                    s = self.serving.score_fused(xj)
+                elif op == "score_sap":
+                    s = self.serving.score_sap_windows(xj)
+                else:
+                    s = self.serving.score_nap_windows(xj)
+            out[done:done + take] = np.asarray(s)[:take]
+            done += take
+        return out
+
+    def _info(self) -> dict:
+        import jax.numpy as jnp
+
+        return {
+            "input_size": self.input_size,
+            "max_batch": self.max_batch,
+            "compute_dtype": ("bfloat16"
+                              if self.serving.compute_dtype == jnp.bfloat16
+                              else "float32"),
+            "nap_quant": ("int8" if self.serving.nap_int8 is not None
+                          else None),
+            "has_nap_stats": self.serving.nap_stats is not None,
+            "guard_rel_err": self.guard_rel,
+            "ops": list(self.OPS) + ["info"],
+        }
+
+    # -- wire loop ----------------------------------------------------------
+
+    def _handle(self, conn: socket.socket) -> None:
+        try:
+            conn.settimeout(600.0)
+            while not self._stopping.is_set():
+                try:
+                    head, payload = _recv_frame(conn)
+                except (ConnectionError, OSError):
+                    return
+                try:
+                    op = head.get("op")
+                    if op == "info":
+                        _send_frame(conn, {"ok": True, **self._info()})
+                        continue
+                    if op not in self.OPS:
+                        raise ValueError(f"unknown op {op!r}; have "
+                                         f"{list(self.OPS) + ['info']}")
+                    if op == "score_nap" and self.serving.nap_stats is None:
+                        raise ValueError(
+                            "score_nap needs the server started with NAP "
+                            "stats (--train_diffs)")
+                    shape = head.get("shape")
+                    if (not isinstance(shape, list) or len(shape) != 2
+                            or shape[1] != self.input_size):
+                        raise ValueError(
+                            f"shape must be [n, {self.input_size}], got "
+                            f"{shape}")
+                    n, d = int(shape[0]), int(shape[1])
+                    if head.get("dtype", "float32") != "float32":
+                        raise ValueError("payload dtype must be float32")
+                    if len(payload) != n * d * 4:
+                        raise ValueError(
+                            f"payload is {len(payload)} bytes, expected "
+                            f"{n * d * 4} for shape {shape}")
+                    x = np.frombuffer(payload, "<f4").reshape(n, d)
+                    scores = self._score(op, x)
+                    _send_frame(conn, {"ok": True, "shape": [n],
+                                       "dtype": "float32"},
+                                scores.astype("<f4").tobytes())
+                except Exception as e:  # noqa: BLE001 — sent to the client
+                    _send_frame(conn, {
+                        "ok": False,
+                        "error": f"{type(e).__name__}: {e}"[:500],
+                    })
+        finally:
+            conn.close()
+
+    def _accept_loop(self) -> None:
+        while not self._stopping.is_set():
+            try:
+                conn, _ = self._sock.accept()
+            except OSError:
+                return  # socket closed by stop()
+            t = threading.Thread(target=self._handle, args=(conn,),
+                                 daemon=True)
+            t.start()
+
+    def start(self, port: int = 0) -> int:
+        """Bind and serve in a daemon thread; returns the bound port."""
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind((self.host, port))
+        self._sock.listen(16)
+        self._thread = threading.Thread(target=self._accept_loop,
+                                        daemon=True)
+        self._thread.start()
+        return self._sock.getsockname()[1]
+
+    def stop(self) -> None:
+        self._stopping.set()
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+
+
+class ScoreClient:
+    """Blocking client for ScoreServer's frame protocol."""
+
+    def __init__(self, addr: Tuple[str, int], timeout_s: float = 600.0):
+        self._sock = socket.create_connection(addr, timeout=timeout_s)
+
+    def info(self) -> dict:
+        _send_frame(self._sock, {"op": "info"})
+        head, _ = _recv_frame(self._sock)
+        if not head.get("ok"):
+            raise RuntimeError(head.get("error", "info failed"))
+        return head
+
+    def score(self, x: np.ndarray, op: str = "score_base") -> np.ndarray:
+        x = np.ascontiguousarray(np.asarray(x, np.float32))
+        if x.ndim != 2:
+            raise ValueError(f"x must be (n, input_size), got {x.shape}")
+        _send_frame(self._sock,
+                    {"op": op, "shape": list(x.shape), "dtype": "float32"},
+                    x.astype("<f4").tobytes())
+        head, payload = _recv_frame(self._sock)
+        if not head.get("ok"):
+            raise RuntimeError(head.get("error", "scoring failed"))
+        return np.frombuffer(payload, "<f4").reshape(head["shape"])
+
+    def close(self) -> None:
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -1,0 +1,170 @@
+"""Scoring service (ops/score_server): wire protocol, bucketed padding,
+parity with the in-process serving bundle, startup guard, error surfaces."""
+
+import numpy as np
+import pytest
+
+from icra2021_multimodal_ad_tpu.config import Config, get_input_size
+from icra2021_multimodal_ad_tpu.models.builder import get_model
+from icra2021_multimodal_ad_tpu.ops.score_server import (
+    ScoreClient,
+    ScoreServer,
+    _next_bucket,
+)
+
+
+def _cfg(**kw):
+    cfg = Config(sensor="force_torque", n_layers=2, btl_size=6, verbose=0,
+                 **kw)
+    return cfg.replace(input_size=get_input_size(cfg))
+
+
+@pytest.fixture(scope="module")
+def served():
+    """One server (fp32, with NAP stats from a random-diff fit) shared by
+    the protocol tests; torn down at module end.  The stats are variance-
+    floored: an untrained fit's near-null whitened directions amplify
+    batch-shape-dependent fp32 LSB differences (bucketed padding compiles
+    different shapes than a direct full-batch call) into percent-level
+    score noise, which is fit conditioning, not a protocol property."""
+    from icra2021_multimodal_ad_tpu.ops.rapp import get_diffs
+    from icra2021_multimodal_ad_tpu.ops.scoring import (
+        concat_diffs,
+        nap_effective_stats,
+        nap_fit,
+    )
+
+    cfg = _cfg()
+    model, params, state = get_model(cfg)
+    rng = np.random.default_rng(0)
+    xfit = rng.normal(0, 1, (256, cfg.input_size)).astype(np.float32)
+    stats = nap_effective_stats(
+        nap_fit(concat_diffs(get_diffs(xfit, model, params, state))), 1e-6)
+    server = ScoreServer(cfg, model, params, state, nap_stats=stats,
+                         max_batch=32)
+    port = server.start()
+    yield server, port, cfg
+    server.stop()
+
+
+def test_next_bucket():
+    assert _next_bucket(1, 64) == 1
+    assert _next_bucket(2, 64) == 2
+    assert _next_bucket(3, 64) == 4
+    assert _next_bucket(33, 64) == 64
+    assert _next_bucket(500, 64) == 64  # capped at max_batch
+
+
+def test_scores_match_in_process_bundle_across_ragged_sizes(served):
+    server, port, cfg = served
+    rng = np.random.default_rng(1)
+    with ScoreClient(("127.0.0.1", port)) as client:
+        for n in (1, 7, 32, 40, 81):  # buckets 1..32 + multi-chunk > max
+            x = rng.normal(0, 1, (n, cfg.input_size)).astype(np.float32)
+            for op, direct in (
+                ("score_base", server.serving.score_fused),
+                ("score_sap", server.serving.score_sap_windows),
+                ("score_nap", server.serving.score_nap_windows),
+            ):
+                got = client.score(x, op=op)
+                want = np.asarray(direct(x))
+                assert got.shape == (n,), (op, n)
+                # NAP at 1e-3: the padded-bucket programs compile per
+                # shape and XLA's shape-dependent reduction tiling flips
+                # fp32 LSBs, which the whitening's 1/std amplifies (up to
+                # sqrt(1/floor) = 1e3) — same mechanism, same bound as
+                # the mesh-vs-single-device serving tests
+                tol = 1e-3 if op == "score_nap" else 1e-5
+                np.testing.assert_allclose(
+                    got, want, rtol=tol, atol=1e-7,
+                    err_msg=f"{op} n={n} diverges from the bundle")
+
+
+def test_info_and_error_surfaces(served):
+    server, port, cfg = served
+    with ScoreClient(("127.0.0.1", port)) as client:
+        info = client.info()
+        assert info["input_size"] == cfg.input_size
+        assert info["compute_dtype"] == "float32"
+        assert info["has_nap_stats"] is True
+        assert set(ScoreServer.OPS) <= set(info["ops"])
+
+        with pytest.raises(RuntimeError, match="unknown op"):
+            client.score(np.zeros((2, cfg.input_size), np.float32),
+                         op="score_bogus")
+        with pytest.raises(RuntimeError, match="shape"):
+            client.score(np.zeros((2, cfg.input_size + 1), np.float32))
+        # the connection survives an errored request
+        out = client.score(np.zeros((2, cfg.input_size), np.float32))
+        assert out.shape == (2,)
+
+
+def test_concurrent_clients_get_consistent_scores(served):
+    import threading
+
+    server, port, cfg = served
+    rng = np.random.default_rng(2)
+    x = rng.normal(0, 1, (16, cfg.input_size)).astype(np.float32)
+    want = np.asarray(server.serving.score_fused(x))
+    results, errors = {}, []
+
+    def worker(i):
+        try:
+            with ScoreClient(("127.0.0.1", port)) as c:
+                results[i] = c.score(x)
+        except Exception as e:  # noqa: BLE001 — surfaced by the assert
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors, errors
+    for i, got in results.items():
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7,
+                                   err_msg=f"client {i}")
+
+
+def test_nap_without_stats_is_a_clear_request_error():
+    cfg = _cfg()
+    model, params, state = get_model(cfg)
+    server = ScoreServer(cfg, model, params, state, nap_stats=None)
+    port = server.start()
+    try:
+        with ScoreClient(("127.0.0.1", port)) as client:
+            assert client.info()["has_nap_stats"] is False
+            with pytest.raises(RuntimeError, match="NAP stats"):
+                client.score(np.zeros((2, cfg.input_size), np.float32),
+                             op="score_nap")
+    finally:
+        server.stop()
+
+
+def test_serve_guard_certifies_low_precision_and_noops_fp32():
+    from icra2021_multimodal_ad_tpu.ops.rapp import get_diffs
+    from icra2021_multimodal_ad_tpu.ops.scoring import concat_diffs, nap_fit
+
+    cfg = _cfg()
+    model, params, state = get_model(cfg)
+    rng = np.random.default_rng(3)
+    xfit = rng.normal(0, 1, (256, cfg.input_size)).astype(np.float32)
+    stats = nap_fit(concat_diffs(get_diffs(xfit, model, params, state)))
+    probe = xfit[:64]
+
+    fp32 = ScoreServer(cfg, model, params, state, nap_stats=stats)
+    assert fp32.serve_guard(probe, tol=1e-9) is None  # nothing to guard
+
+    bf16 = ScoreServer(cfg.replace(compute_dtype="bfloat16"),
+                       model, params, state, nap_stats=stats)
+    rel = bf16.serve_guard(probe, tol=0.25)
+    assert rel is not None and rel < 0.25
+    assert bf16._info()["guard_rel_err"] == rel
+    with pytest.raises(ValueError, match="rel err"):
+        bf16.serve_guard(probe, tol=1e-12)
+
+    # fp32 + int8: the combo has a low-precision NAP path to certify
+    int8 = ScoreServer(cfg.replace(nap_quant="int8"),
+                       model, params, state, nap_stats=stats)
+    rel8 = int8.serve_guard(probe, tol=0.25)
+    assert rel8 is not None and rel8 < 0.25
