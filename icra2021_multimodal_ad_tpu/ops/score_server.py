@@ -23,6 +23,15 @@ Design points (TPU-shaped, not an afterthought):
     accept loop is threaded so slow clients don't block handshakes, but
     device dispatch is serialized (concurrent programs on the single chip
     would contend — CLAUDE.md environment note).
+  * **Dynamic batching**: concurrent requests for the same op coalesce
+    into ONE device dispatch (rows concatenated, scores split back per
+    request).  No linger timer — the batcher drains whatever queued while
+    the previous dispatch was in flight, so an idle server adds zero
+    latency and a loaded server amortizes the per-dispatch RTT (the
+    dominant cost for small robot-side batches on a high-RTT link)
+    across every waiting client.  Row-independence of the scorers (the
+    bucketed-padding argument above) is what makes concat-and-split
+    exact per request.
   * **Deploy guard at startup**, not per request: serve_guard() runs the
     ops/serving accuracy guards on a probe batch before the socket opens,
     so a server that would stream uncertified low-precision scores never
@@ -85,6 +94,19 @@ def _next_bucket(n: int, max_batch: int) -> int:
     return min(b, max_batch)
 
 
+class _Pending:
+    """One enqueued scoring request awaiting the batcher."""
+
+    __slots__ = ("op", "x", "scores", "error", "done")
+
+    def __init__(self, op: str, x: np.ndarray):
+        self.op = op
+        self.x = x
+        self.scores: Optional[np.ndarray] = None
+        self.error: Optional[Exception] = None
+        self.done = threading.Event()
+
+
 class ScoreServer:
     """Serve a ServingModel's three window scorers over TCP (loopback by
     default).  start() binds, spawns the accept thread, and returns the
@@ -95,7 +117,7 @@ class ScoreServer:
 
     def __init__(self, config, model, params, state,
                  nap_stats=None, max_batch: int = 16384,
-                 host: str = "127.0.0.1"):
+                 host: str = "127.0.0.1", batching: bool = True):
         from icra2021_multimodal_ad_tpu.ops.serving import make_serving
 
         self.config = config
@@ -103,12 +125,20 @@ class ScoreServer:
                                     nap_stats=nap_stats)
         self.max_batch = int(max_batch)
         self.host = host
+        self.batching = bool(batching)
         self.input_size = int(config.input_size)
         self.guard_rel: Optional[float] = None
         self._sock: Optional[socket.socket] = None
         self._thread: Optional[threading.Thread] = None
+        self._batch_thread: Optional[threading.Thread] = None
         self._score_lock = threading.Lock()
         self._stopping = threading.Event()
+        self._queue: list = []
+        self._queue_cond = threading.Condition()
+        #: dynamic-batching observability: dispatches that served >1
+        #: request, requests so coalesced, and the largest coalesced group
+        self.batch_stats = {"requests": 0, "coalesced_dispatches": 0,
+                            "coalesced_requests": 0, "max_group": 0}
         # model/params/stats for the startup guard
         self._guard_args = (model, params, state, nap_stats)
 
@@ -170,6 +200,58 @@ class ScoreServer:
             done += take
         return out
 
+    def _score_batched(self, op: str, x: np.ndarray) -> np.ndarray:
+        """Enqueue for the dynamic batcher and wait; exact per-request
+        scores (row-independent scorers — see the module docstring)."""
+        req = _Pending(op, x)
+        with self._queue_cond:
+            self._queue.append(req)
+            self._queue_cond.notify()
+        while not req.done.wait(timeout=1.0):
+            dead = (self._batch_thread is None
+                    or not self._batch_thread.is_alive())
+            if self._stopping.is_set() and dead:
+                raise ConnectionError("server stopped mid-request")
+        if req.error is not None:
+            raise req.error
+        return req.scores
+
+    def _batch_loop(self) -> None:
+        """Drain-coalesce-dispatch: everything that queued while the last
+        dispatch was in flight scores as one program per op."""
+        while True:
+            with self._queue_cond:
+                while not self._queue and not self._stopping.is_set():
+                    self._queue_cond.wait(timeout=0.5)
+                if self._stopping.is_set() and not self._queue:
+                    return
+                pending, self._queue = self._queue, []
+            groups: dict = {}
+            for req in pending:
+                groups.setdefault(req.op, []).append(req)
+            for op, reqs in groups.items():
+                self.batch_stats["requests"] += len(reqs)
+                if len(reqs) > 1:
+                    self.batch_stats["coalesced_dispatches"] += 1
+                    self.batch_stats["coalesced_requests"] += len(reqs)
+                    self.batch_stats["max_group"] = max(
+                        self.batch_stats["max_group"], len(reqs))
+                try:
+                    if len(reqs) == 1:
+                        reqs[0].scores = self._score(op, reqs[0].x)
+                    else:
+                        scores = self._score(
+                            op, np.concatenate([r.x for r in reqs], axis=0))
+                        at = 0
+                        for r in reqs:
+                            r.scores = scores[at:at + r.x.shape[0]]
+                            at += r.x.shape[0]
+                except Exception as e:  # noqa: BLE001 — delivered per request
+                    for r in reqs:
+                        r.error = e
+                for r in reqs:
+                    r.done.set()
+
     def _info(self) -> dict:
         import jax.numpy as jnp
 
@@ -183,6 +265,8 @@ class ScoreServer:
                           else None),
             "has_nap_stats": self.serving.nap_stats is not None,
             "guard_rel_err": self.guard_rel,
+            "batching": self.batching,
+            "batch_stats": dict(self.batch_stats),
             "ops": list(self.OPS) + ["info"],
         }
 
@@ -222,7 +306,8 @@ class ScoreServer:
                             f"payload is {len(payload)} bytes, expected "
                             f"{n * d * 4} for shape {shape}")
                     x = np.frombuffer(payload, "<f4").reshape(n, d)
-                    scores = self._score(op, x)
+                    scores = (self._score_batched(op, x) if self.batching
+                              else self._score(op, x))
                     _send_frame(conn, {"ok": True, "shape": [n],
                                        "dtype": "float32"},
                                 scores.astype("<f4").tobytes())
@@ -250,6 +335,10 @@ class ScoreServer:
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._sock.bind((self.host, port))
         self._sock.listen(16)
+        if self.batching and self._batch_thread is None:
+            self._batch_thread = threading.Thread(target=self._batch_loop,
+                                                  daemon=True)
+            self._batch_thread.start()
         self._thread = threading.Thread(target=self._accept_loop,
                                         daemon=True)
         self._thread.start()
@@ -257,6 +346,8 @@ class ScoreServer:
 
     def stop(self) -> None:
         self._stopping.set()
+        with self._queue_cond:
+            self._queue_cond.notify_all()
         if self._sock is not None:
             try:
                 self._sock.close()
@@ -264,6 +355,9 @@ class ScoreServer:
                 pass
         if self._thread is not None:
             self._thread.join(timeout=5.0)
+        if self._batch_thread is not None:
+            self._batch_thread.join(timeout=5.0)
+            self._batch_thread = None
 
 
 class ScoreClient:

@@ -66,6 +66,10 @@ def main():
     p.add_argument("--warmup", type=int, default=1,
                    help="pre-compile the scorers on a max_batch probe "
                         "before binding (0 = compile lazily per bucket)")
+    p.add_argument("--batching", type=int, default=1,
+                   help="dynamic batching: coalesce concurrent same-op "
+                        "requests into one device dispatch (0 = score "
+                        "each request individually)")
     args = p.parse_args()
     if (args.guard_tol is not None and args.compute_dtype == "float32"
             and not args.nap_quant):
@@ -87,7 +91,8 @@ def main():
     stats = load_nap_stats(cfg.train_diffs) if args.train_diffs else None
 
     server = ScoreServer(cfg, model, params, state, nap_stats=stats,
-                         max_batch=args.max_batch, host=args.host)
+                         max_batch=args.max_batch, host=args.host,
+                         batching=bool(args.batching))
 
     if args.guard_tol is not None:
         if args.guard_fixture:

@@ -126,6 +126,80 @@ def test_concurrent_clients_get_consistent_scores(served):
                                    err_msg=f"client {i}")
 
 
+def test_dynamic_batching_coalesces_concurrent_requests(served):
+    """Requests that queue while a dispatch is in flight score as ONE
+    concatenated device call, with per-request results identical to
+    individual scoring.  The in-flight dispatch is simulated by holding
+    the server's score lock: a plug request blocks inside _score, the
+    K followers pile up in the queue, and releasing the lock lets the
+    batcher drain them as a single group."""
+    import threading
+    import time
+
+    server, port, cfg = served
+    rng = np.random.default_rng(4)
+    xs = [rng.normal(0, 1, (n, cfg.input_size)).astype(np.float32)
+          for n in (3, 5, 2, 7)]
+    want = [np.asarray(server.serving.score_fused(x)) for x in xs]
+    before = dict(server.batch_stats)
+    results, errors = {}, []
+
+    def worker(i, x):
+        try:
+            with ScoreClient(("127.0.0.1", port)) as c:
+                results[i] = c.score(x)
+        except Exception as e:  # noqa: BLE001 — surfaced by the assert
+            errors.append(e)
+
+    with server._score_lock:  # the "in-flight dispatch"
+        plug = threading.Thread(target=worker, args=(99, xs[0][:1]))
+        plug.start()
+        # wait until the plug request is popped and blocked in _score
+        deadline = time.time() + 30
+        while (server.batch_stats["requests"] == before["requests"]
+               and time.time() < deadline):
+            time.sleep(0.01)
+        threads = [threading.Thread(target=worker, args=(i, x))
+                   for i, x in enumerate(xs)]
+        for t in threads:
+            t.start()
+        # wait until all followers are enqueued behind the plug
+        deadline = time.time() + 30
+        while len(server._queue) < len(xs) and time.time() < deadline:
+            time.sleep(0.01)
+        assert len(server._queue) >= len(xs), "followers never queued"
+    for t in [plug] + threads:
+        t.join(timeout=60)
+    assert not errors, errors
+    for i, x in enumerate(xs):
+        assert results[i].shape == (x.shape[0],)
+        np.testing.assert_allclose(results[i], want[i], rtol=1e-5,
+                                   atol=1e-7, err_msg=f"request {i}")
+    stats = server.batch_stats
+    assert stats["coalesced_dispatches"] > before["coalesced_dispatches"]
+    assert stats["max_group"] >= len(xs)
+
+
+def test_batching_off_scores_inline():
+    cfg = _cfg()
+    model, params, state = get_model(cfg)
+    server = ScoreServer(cfg, model, params, state, batching=False)
+    port = server.start()
+    try:
+        assert server._batch_thread is None
+        x = np.random.default_rng(5).normal(
+            0, 1, (4, cfg.input_size)).astype(np.float32)
+        with ScoreClient(("127.0.0.1", port)) as client:
+            assert client.info()["batching"] is False
+            got = client.score(x)
+        np.testing.assert_allclose(
+            got, np.asarray(server.serving.score_fused(x)),
+            rtol=1e-5, atol=1e-7)
+        assert server.batch_stats["requests"] == 0
+    finally:
+        server.stop()
+
+
 def test_nap_without_stats_is_a_clear_request_error():
     cfg = _cfg()
     model, params, state = get_model(cfg)
