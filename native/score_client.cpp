@@ -1,0 +1,190 @@
+// Native client for the scoring service (serve.py / ops/score_server.py).
+//
+// Proves the wire protocol's language-independence claim and gives robot
+// hosts a zero-dependency binary: the protocol is 4-byte big-endian length
+// frames, each a JSON header line plus an optional raw little-endian
+// float32 payload (ops/score_server.py module docstring).  The reference's
+// robot-side consumers were rospy nodes scoring in-process
+// (test_file/realtime_tester.py:260-309); this binary lets any process on
+// the robot network score windows against the resident TPU server.
+//
+// Usage:
+//   score_client HOST PORT info
+//   score_client HOST PORT score_base|score_sap|score_nap N D
+//       reads N*D little-endian float32 on stdin,
+//       writes N little-endian float32 scores on stdout.
+//
+// Exit codes: 0 ok, 1 usage, 2 connect/IO failure, 3 server-side error
+// (message on stderr).
+//
+// Build: g++ -O3 -std=c++17 native/score_client.cpp -o native/score_client
+
+#include <arpa/inet.h>
+#include <netdb.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+bool read_exact(int fd, char* buf, size_t n) {
+  size_t got = 0;
+  while (got < n) {
+    ssize_t r = read(fd, buf + got, n - got);
+    if (r <= 0) return false;
+    got += static_cast<size_t>(r);
+  }
+  return true;
+}
+
+bool write_all(int fd, const char* buf, size_t n) {
+  size_t put = 0;
+  while (put < n) {
+    ssize_t w = write(fd, buf + put, n - put);
+    if (w <= 0) return false;
+    put += static_cast<size_t>(w);
+  }
+  return true;
+}
+
+bool send_frame(int fd, const std::string& header, const char* payload,
+                size_t payload_len) {
+  std::string head = header + "\n";
+  uint32_t len = htonl(static_cast<uint32_t>(head.size() + payload_len));
+  return write_all(fd, reinterpret_cast<const char*>(&len), 4) &&
+         write_all(fd, head.data(), head.size()) &&
+         (payload_len == 0 || write_all(fd, payload, payload_len));
+}
+
+// Receives one frame; splits at the first newline into header JSON and
+// payload bytes.  Returns false on transport failure.
+bool recv_frame(int fd, std::string* header, std::vector<char>* payload) {
+  uint32_t be_len = 0;
+  if (!read_exact(fd, reinterpret_cast<char*>(&be_len), 4)) return false;
+  uint32_t len = ntohl(be_len);
+  if (len > (1u << 30)) return false;  // server's 1 GiB frame ceiling
+  std::vector<char> blob(len);
+  if (!read_exact(fd, blob.data(), len)) return false;
+  const char* nl = static_cast<const char*>(memchr(blob.data(), '\n', len));
+  size_t head_len = nl ? static_cast<size_t>(nl - blob.data()) : len;
+  header->assign(blob.data(), head_len);
+  payload->clear();
+  if (nl) payload->assign(nl + 1, static_cast<const char*>(blob.data()) + len);
+  return true;
+}
+
+// Minimal header checks — the server emits json.dumps output, so the
+// literal substrings below are stable ("ok": true / "error": "...").
+bool header_ok(const std::string& h) {
+  return h.find("\"ok\": true") != std::string::npos;
+}
+
+std::string header_error(const std::string& h) {
+  size_t at = h.find("\"error\": \"");
+  if (at == std::string::npos) return "unknown server error: " + h;
+  at += 10;
+  size_t end = at;
+  while (end < h.size() && !(h[end] == '"' && h[end - 1] != '\\')) end++;
+  return h.substr(at, end - at);
+}
+
+int dial(const char* host, const char* port) {
+  addrinfo hints{}, *res = nullptr;
+  hints.ai_family = AF_UNSPEC;
+  hints.ai_socktype = SOCK_STREAM;
+  if (getaddrinfo(host, port, &hints, &res) != 0) return -1;
+  int fd = -1;
+  for (addrinfo* p = res; p; p = p->ai_next) {
+    fd = socket(p->ai_family, p->ai_socktype, p->ai_protocol);
+    if (fd < 0) continue;
+    if (connect(fd, p->ai_addr, p->ai_addrlen) == 0) break;
+    close(fd);
+    fd = -1;
+  }
+  freeaddrinfo(res);
+  return fd;
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  if (argc != 4 && argc != 6) {
+    fprintf(stderr,
+            "usage: %s HOST PORT info\n"
+            "       %s HOST PORT score_base|score_sap|score_nap N D "
+            "(N*D f32 on stdin -> N f32 on stdout)\n",
+            argv[0], argv[0]);
+    return 1;
+  }
+  const char* host = argv[1];
+  const char* port = argv[2];
+  const std::string op = argv[3];
+
+  int fd = dial(host, port);
+  if (fd < 0) {
+    fprintf(stderr, "score_client: cannot connect to %s:%s\n", host, port);
+    return 2;
+  }
+
+  std::string header;
+  std::vector<char> payload;
+  if (op == "info") {
+    if (!send_frame(fd, "{\"op\": \"info\"}", nullptr, 0) ||
+        !recv_frame(fd, &header, &payload)) {
+      fprintf(stderr, "score_client: transport failure\n");
+      close(fd);
+      return 2;
+    }
+    close(fd);
+    if (!header_ok(header)) {
+      fprintf(stderr, "score_client: %s\n", header_error(header).c_str());
+      return 3;
+    }
+    printf("%s\n", header.c_str());
+    return 0;
+  }
+
+  long n = strtol(argv[4], nullptr, 10);
+  long d = strtol(argv[5], nullptr, 10);
+  if (n <= 0 || d <= 0) {
+    fprintf(stderr, "score_client: N and D must be positive\n");
+    close(fd);
+    return 1;
+  }
+  size_t bytes = static_cast<size_t>(n) * static_cast<size_t>(d) * 4;
+  std::vector<char> rows(bytes);
+  if (!read_exact(STDIN_FILENO, rows.data(), bytes)) {
+    fprintf(stderr, "score_client: expected %zu payload bytes on stdin\n",
+            bytes);
+    close(fd);
+    return 1;
+  }
+
+  char head[160];
+  snprintf(head, sizeof(head),
+           "{\"op\": \"%s\", \"shape\": [%ld, %ld], \"dtype\": \"float32\"}",
+           op.c_str(), n, d);
+  if (!send_frame(fd, head, rows.data(), bytes) ||
+      !recv_frame(fd, &header, &payload)) {
+    fprintf(stderr, "score_client: transport failure\n");
+    close(fd);
+    return 2;
+  }
+  close(fd);
+  if (!header_ok(header)) {
+    fprintf(stderr, "score_client: %s\n", header_error(header).c_str());
+    return 3;
+  }
+  if (payload.size() != static_cast<size_t>(n) * 4) {
+    fprintf(stderr, "score_client: expected %ld scores, got %zu bytes\n",
+            n, payload.size());
+    return 2;
+  }
+  if (!write_all(STDOUT_FILENO, payload.data(), payload.size())) return 2;
+  return 0;
+}

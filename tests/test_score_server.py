@@ -200,6 +200,64 @@ def test_batching_off_scores_inline():
         server.stop()
 
 
+@pytest.fixture(scope="module")
+def native_client(tmp_path_factory):
+    """Compile native/score_client.cpp once for the module."""
+    import shutil
+    import subprocess
+
+    from icra2021_multimodal_ad_tpu.data.native_lib import repo_native_src
+
+    if shutil.which("g++") is None:
+        pytest.skip("no g++ toolchain")
+    exe = tmp_path_factory.mktemp("native") / "score_client"
+    subprocess.run(
+        ["g++", "-O3", "-std=c++17", repo_native_src("score_client.cpp"),
+         "-o", str(exe)],
+        check=True, capture_output=True, timeout=120)
+    return str(exe)
+
+
+def test_native_cpp_client_speaks_the_protocol(served, native_client):
+    """The C++ binary scores stdin float32 rows against a live server and
+    its output matches the in-process bundle byte-for-byte (same device
+    program via the same bucket) — the protocol's any-language claim,
+    executed."""
+    import json
+    import subprocess
+
+    server, port, cfg = served
+    rng = np.random.default_rng(6)
+    x = rng.normal(0, 1, (9, cfg.input_size)).astype(np.float32)
+
+    info = subprocess.run(
+        [native_client, "127.0.0.1", str(port), "info"],
+        capture_output=True, timeout=60)
+    assert info.returncode == 0, info.stderr.decode()
+    meta = json.loads(info.stdout.decode())
+    assert meta["input_size"] == cfg.input_size
+
+    for op in ("score_base", "score_sap", "score_nap"):
+        run = subprocess.run(
+            [native_client, "127.0.0.1", str(port), op,
+             str(x.shape[0]), str(x.shape[1])],
+            input=x.astype("<f4").tobytes(), capture_output=True,
+            timeout=120)
+        assert run.returncode == 0, (op, run.stderr.decode())
+        got = np.frombuffer(run.stdout, "<f4")
+        with ScoreClient(("127.0.0.1", port)) as c:
+            want = c.score(x, op=op)
+        np.testing.assert_array_equal(got, want, err_msg=op)
+
+    bad = subprocess.run(
+        [native_client, "127.0.0.1", str(port), "score_bogus", "2",
+         str(cfg.input_size)],
+        input=np.zeros((2, cfg.input_size), "<f4").tobytes(),
+        capture_output=True, timeout=60)
+    assert bad.returncode == 3
+    assert b"unknown op" in bad.stderr
+
+
 def test_nap_without_stats_is_a_clear_request_error():
     cfg = _cfg()
     model, params, state = get_model(cfg)
