@@ -1,0 +1,207 @@
+#!/usr/bin/env python
+"""Export trained scorers as StableHLO artifacts (jax.export).
+
+    python export.py --saved_name datasets/All_100 \
+        --train_diffs datasets/All_train_diffs --out_dir artifacts/ \
+        --batch_size 1024 --compute_dtype bfloat16 --guard_tol 0.05
+
+Writes self-contained `.stablehlo` blobs — weights (and NAP whitening
+stats) baked in as constants, loadable with `jax.export.deserialize`
+alone, no model code — plus a `manifest.json` recording the export
+configuration, guard measurement, and per-artifact shapes.  This is the
+deployment packaging step the reference never had: its robot-side
+consumers re-imported the full training codebase to load torch state
+dicts (test_file/realtime_tester.py:278-281).
+
+Artifacts (selected via --ops):
+  base         fused windows -> BASE reconstruction score
+  nap_windows  fused windows -> RaPP diffs -> whitened NAP score
+               (the deployable streaming scorer)
+  nap          concat diffs -> NAP score (for callers that extract
+               diffs themselves)
+
+With --guard_tol, low-precision bundles (bfloat16 and/or int8 NAP) must
+pass the fp32 accuracy guard on a probe batch before anything is
+written.  --verify round-trips every artifact through jax.export
+deserialization and checks it against the live bundle on the probe.
+"""
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from icra2021_multimodal_ad_tpu.config import (
+    Config,
+    get_input_size,
+    reconcile_model_config,
+)
+from icra2021_multimodal_ad_tpu.models.builder import build_autoencoder
+from icra2021_multimodal_ad_tpu.ops.scoring import load_nap_stats
+from icra2021_multimodal_ad_tpu.utils.checkpoint import load_checkpoint, to_device
+
+_OPS = ("base", "nap_windows", "nap")
+
+
+def main():
+    from icra2021_multimodal_ad_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
+    p = argparse.ArgumentParser()
+    p.add_argument("--saved_name", type=str, default="datasets/All_100")
+    p.add_argument("--train_diffs", type=str, default=None,
+                   help="persisted NAP stats; required for the nap ops")
+    p.add_argument("--sensor", type=str, default="All")
+    p.add_argument("--n_layers", type=int, default=5)
+    p.add_argument("--btl_size", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out_dir", type=str, required=True)
+    p.add_argument("--batch_size", type=int, default=1024,
+                   help="static batch dimension baked into the artifacts")
+    p.add_argument("--ops", type=str, default="base,nap_windows",
+                   help=f"comma-separated subset of {_OPS}")
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--nap_quant", type=str, default=None, choices=["int8"])
+    p.add_argument("--guard_tol", type=float, default=None,
+                   help="refuse to export unless the low-precision scores "
+                        "agree with fp32 within this relative tolerance on "
+                        "a probe batch")
+    p.add_argument("--verify", type=int, default=1,
+                   help="round-trip each artifact through deserialization "
+                        "and compare with the live bundle (0 = skip)")
+    p.add_argument("--verify_tol", type=float, default=1e-2,
+                   help="mean relative score tolerance for --verify (the "
+                        "accuracy guards' metric).  The artifact compiles "
+                        "the whole pipeline as ONE program whose different "
+                        "fusion/tiling shifts fp32 LSBs; NAP's near-null "
+                        "whitened directions amplify those, so exact "
+                        "equality is not the contract — agreement at the "
+                        "guard metric is")
+    args = p.parse_args()
+
+    ops = [o.strip() for o in args.ops.split(",") if o.strip()]
+    unknown = [o for o in ops if o not in _OPS]
+    if unknown:
+        p.error(f"unknown ops {unknown}; choose from {_OPS}")
+    wants_nap = any(o.startswith("nap") for o in ops)
+    if wants_nap and not args.train_diffs:
+        p.error("nap exports need --train_diffs")
+    if (args.guard_tol is not None and args.compute_dtype == "float32"
+            and not args.nap_quant):
+        p.error("--guard_tol guards the low-precision path; pass "
+                "--compute_dtype bfloat16 or --nap_quant int8 with it")
+
+    cfg = Config(
+        sensor=args.sensor, n_layers=args.n_layers, btl_size=args.btl_size,
+        saved_name=args.saved_name,
+        train_diffs=args.train_diffs or "datasets/All_train_diffs",
+        seed=args.seed, compute_dtype=args.compute_dtype,
+        nap_quant=args.nap_quant,
+    )
+    cfg = cfg.replace(input_size=get_input_size(cfg))
+    params, state, meta = load_checkpoint(cfg.saved_name)
+    cfg = reconcile_model_config(cfg, meta)
+    model = build_autoencoder(cfg)
+    params, state = to_device(params), to_device(state)
+    stats = load_nap_stats(cfg.train_diffs) if args.train_diffs else None
+
+    from icra2021_multimodal_ad_tpu.ops.serving import (
+        bf16_accuracy_guard,
+        export_base_scorer,
+        export_nap_scorer,
+        export_nap_window_scorer,
+        load_scorer,
+        make_serving,
+        nap_accuracy_guard,
+    )
+
+    serving = make_serving(cfg, model, params, state, nap_stats=stats)
+    probe = np.random.default_rng(cfg.seed).normal(
+        0, 1, (args.batch_size, cfg.input_size)).astype(np.float32)
+
+    guard_rel = None
+    if args.guard_tol is not None:
+        import jax.numpy as jnp
+
+        if stats is not None and (serving.compute_dtype == jnp.bfloat16
+                                  or serving.nap_int8 is not None):
+            guard_rel = float(nap_accuracy_guard(
+                cfg, model, params, state, stats, probe,
+                tol=args.guard_tol, fast_serving=serving))
+        elif serving.compute_dtype == jnp.bfloat16:
+            guard_rel = float(bf16_accuracy_guard(
+                cfg, model, params, state, probe, tol=args.guard_tol))
+        if guard_rel is not None:
+            print(f"export guard: rel err {guard_rel:.4f} "
+                  f"<= tol {args.guard_tol}")
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    cat_size = None
+    if stats is not None:
+        cat_size = int(np.asarray(stats.rotater.mu).shape[-1])
+    manifest = {
+        "saved_name": args.saved_name,
+        "train_diffs": args.train_diffs,
+        "sensor": cfg.sensor, "n_layers": cfg.n_layers,
+        "btl_size": cfg.btl_size, "seed": cfg.seed,
+        "input_size": cfg.input_size, "batch_size": args.batch_size,
+        "compute_dtype": args.compute_dtype, "nap_quant": args.nap_quant,
+        "guard_tol": args.guard_tol, "guard_rel_err": guard_rel,
+        "artifacts": {},
+    }
+
+    for op in ops:
+        path = os.path.join(args.out_dir, f"{op}_b{args.batch_size}.stablehlo")
+        if op == "base":
+            blob = export_base_scorer(serving, args.batch_size,
+                                      cfg.input_size, path=path)
+            live = serving.score_fused
+            arg = probe
+        elif op == "nap_windows":
+            blob = export_nap_window_scorer(serving, args.batch_size,
+                                            cfg.input_size, path=path)
+            live = serving.score_nap_windows
+            arg = probe
+        else:  # nap: concat-diff scorer
+            blob = export_nap_scorer(serving, args.batch_size, cat_size,
+                                     path=path)
+            live = None
+            arg = np.random.default_rng(cfg.seed + 1).normal(
+                0, 1, (args.batch_size, cat_size)).astype(np.float32)
+        entry = {"path": os.path.basename(path), "bytes": len(blob),
+                 "input_shape": [args.batch_size, int(arg.shape[1])]}
+        if args.verify:
+            scorer = load_scorer(path)
+            got = np.asarray(scorer(arg))
+            if live is not None:
+                want = np.asarray(live(arg))
+                # the accuracy guards' metric (ops/serving.py
+                # nap_accuracy_guard): mean relative score error
+                rel = float(np.mean(np.abs(got - want)
+                                    / (np.abs(want) + 1e-6)))
+                if not np.isfinite(got).all() or rel > args.verify_tol:
+                    raise SystemExit(
+                        f"{op}: deserialized artifact diverges from the "
+                        f"live bundle (mean rel {rel:.3e} > "
+                        f"{args.verify_tol})")
+                entry["verify_mean_rel_vs_live"] = rel
+            else:
+                if not np.isfinite(got).all():
+                    raise SystemExit(f"{op}: non-finite scores after "
+                                     "deserialization")
+                entry["verify_finite"] = True
+        manifest["artifacts"][op] = entry
+        print(f"exported {op}: {path} ({len(blob)} bytes)")
+
+    mpath = os.path.join(args.out_dir, "manifest.json")
+    with open(mpath, "w") as f:
+        json.dump(manifest, f, indent=2)
+    print(f"manifest: {mpath}")
+
+
+if __name__ == "__main__":
+    main()
