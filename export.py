@@ -110,13 +110,12 @@ def main():
     stats = load_nap_stats(cfg.train_diffs) if args.train_diffs else None
 
     from icra2021_multimodal_ad_tpu.ops.serving import (
-        bf16_accuracy_guard,
         export_base_scorer,
         export_nap_scorer,
         export_nap_window_scorer,
         load_scorer,
         make_serving,
-        nap_accuracy_guard,
+        run_precision_guard,
     )
 
     serving = make_serving(cfg, model, params, state, nap_stats=stats)
@@ -125,19 +124,16 @@ def main():
 
     guard_rel = None
     if args.guard_tol is not None:
-        import jax.numpy as jnp
-
-        if stats is not None and (serving.compute_dtype == jnp.bfloat16
-                                  or serving.nap_int8 is not None):
-            guard_rel = float(nap_accuracy_guard(
-                cfg, model, params, state, stats, probe,
-                tol=args.guard_tol, fast_serving=serving))
-        elif serving.compute_dtype == jnp.bfloat16:
-            guard_rel = float(bf16_accuracy_guard(
-                cfg, model, params, state, probe, tol=args.guard_tol))
+        guard_rel = run_precision_guard(cfg, model, params, state, stats,
+                                        probe, args.guard_tol,
+                                        serving=serving)
         if guard_rel is not None:
             print(f"export guard: rel err {guard_rel:.4f} "
                   f"<= tol {args.guard_tol}")
+        else:
+            print("export guard: configuration resolves to the exact fp32 "
+                  "path (e.g. int8 NAP without --train_diffs) — nothing "
+                  "to guard")
 
     os.makedirs(args.out_dir, exist_ok=True)
     cat_size = None
@@ -169,31 +165,31 @@ def main():
         else:  # nap: concat-diff scorer
             blob = export_nap_scorer(serving, args.batch_size, cat_size,
                                      path=path)
-            live = None
+            live = serving.score_nap
             arg = np.random.default_rng(cfg.seed + 1).normal(
                 0, 1, (args.batch_size, cat_size)).astype(np.float32)
+        # per-artifact precision provenance: every exporter ships the
+        # bundle's own path (int8 whitening / bf16 / exact fp32), so these
+        # mirror the global flags — recorded per entry so a consumer of a
+        # single blob doesn't have to infer them
         entry = {"path": os.path.basename(path), "bytes": len(blob),
-                 "input_shape": [args.batch_size, int(arg.shape[1])]}
+                 "input_shape": [args.batch_size, int(arg.shape[1])],
+                 "compute_dtype": args.compute_dtype,
+                 "nap_quant": args.nap_quant if op != "base" else None}
         if args.verify:
             scorer = load_scorer(path)
             got = np.asarray(scorer(arg))
-            if live is not None:
-                want = np.asarray(live(arg))
-                # the accuracy guards' metric (ops/serving.py
-                # nap_accuracy_guard): mean relative score error
-                rel = float(np.mean(np.abs(got - want)
-                                    / (np.abs(want) + 1e-6)))
-                if not np.isfinite(got).all() or rel > args.verify_tol:
-                    raise SystemExit(
-                        f"{op}: deserialized artifact diverges from the "
-                        f"live bundle (mean rel {rel:.3e} > "
-                        f"{args.verify_tol})")
-                entry["verify_mean_rel_vs_live"] = rel
-            else:
-                if not np.isfinite(got).all():
-                    raise SystemExit(f"{op}: non-finite scores after "
-                                     "deserialization")
-                entry["verify_finite"] = True
+            want = np.asarray(live(arg))
+            # the accuracy guards' metric (ops/serving.py
+            # nap_accuracy_guard): mean relative score error
+            rel = float(np.mean(np.abs(got - want)
+                                / (np.abs(want) + 1e-6)))
+            if not np.isfinite(got).all() or rel > args.verify_tol:
+                raise SystemExit(
+                    f"{op}: deserialized artifact diverges from the "
+                    f"live bundle (mean rel {rel:.3e} > "
+                    f"{args.verify_tol})")
+            entry["verify_mean_rel_vs_live"] = rel
         manifest["artifacts"][op] = entry
         print(f"exported {op}: {path} ({len(blob)} bytes)")
 

@@ -39,7 +39,10 @@ Design points (TPU-shaped, not an afterthought):
   * Wire format: 4-byte big-endian length frames; request = one JSON
     header line + raw little-endian float32 row-major array bytes.  No
     dependencies beyond the stdlib; a ~30-line client exists in any
-    language.
+    language.  Bad requests get an {"ok": false, "error": ...} frame;
+    a malformed FRAME (garbage length prefix, invalid JSON) gets the
+    error frame and then a closed connection, since the stream position
+    can no longer be trusted.
 
 Ops: score_base | score_sap | score_nap (fused (B, input) windows ->
 (B,) fp32 scores) and info (JSON metadata: input size, dtype, quant,
@@ -150,27 +153,14 @@ class ScoreServer:
         measured rel err, or None for exact-fp32 bundles (nothing to
         guard).  Call before start() — the eval CLIs' --guard_tol
         contract, applied to the server."""
-        import jax.numpy as jnp
-
         from icra2021_multimodal_ad_tpu.ops.serving import (
-            bf16_accuracy_guard,
-            nap_accuracy_guard,
+            run_precision_guard,
         )
 
         model, params, state, nap_stats = self._guard_args
-        low_nap = (nap_stats is not None
-                   and (self.serving.compute_dtype == jnp.bfloat16
-                        or self.serving.nap_int8 is not None))
-        if low_nap:
-            rel = nap_accuracy_guard(self.config, model, params, state,
-                                     nap_stats, probe, tol=tol,
-                                     fast_serving=self.serving)
-        elif self.serving.compute_dtype == jnp.bfloat16:
-            rel = bf16_accuracy_guard(self.config, model, params, state,
-                                      probe, tol=tol)
-        else:
-            return None
-        self.guard_rel = float(rel)
+        self.guard_rel = run_precision_guard(
+            self.config, model, params, state, nap_stats, probe, tol,
+            serving=self.serving)
         return self.guard_rel
 
     # -- scoring ------------------------------------------------------------
@@ -208,10 +198,15 @@ class ScoreServer:
             self._queue.append(req)
             self._queue_cond.notify()
         while not req.done.wait(timeout=1.0):
-            dead = (self._batch_thread is None
-                    or not self._batch_thread.is_alive())
-            if self._stopping.is_set() and dead:
-                raise ConnectionError("server stopped mid-request")
+            # a dead batcher — stop(), a crash that escaped the per-group
+            # except (BaseException), or never started — can no longer
+            # complete this request: fail fast instead of polling forever
+            if (self._batch_thread is None
+                    or not self._batch_thread.is_alive()):
+                raise ConnectionError(
+                    "server stopped mid-request"
+                    if self._stopping.is_set()
+                    else "dynamic batcher is not running")
         if req.error is not None:
             raise req.error
         return req.scores
@@ -252,7 +247,22 @@ class ScoreServer:
                 for r in reqs:
                     r.done.set()
 
-    def _info(self) -> dict:
+    def warmup(self) -> list:
+        """Pre-compile every served op at the smallest and largest buckets
+        so the first client requests don't pay the tunnel's 20-120 s
+        compiles.  Returns the ops warmed.  Call before start()."""
+        probe = np.zeros((self.max_batch, self.input_size), np.float32)
+        ops = [op for op in self.OPS
+               if not (op == "score_nap"
+                       and self.serving.nap_stats is None)]
+        for op in ops:
+            self._score(op, probe[:1])  # smallest bucket
+            self._score(op, probe)      # largest bucket
+        return ops
+
+    def info(self) -> dict:
+        """Server metadata (the `info` op's payload): input size,
+        precision, guard measurement, batching stats, op list."""
         import jax.numpy as jnp
 
         return {
@@ -280,10 +290,23 @@ class ScoreServer:
                     head, payload = _recv_frame(conn)
                 except (ConnectionError, OSError):
                     return
+                except Exception as e:  # noqa: BLE001 — malformed frame
+                    # garbage length prefix / bad UTF-8 / invalid JSON:
+                    # reply with the documented error frame so hand-rolled
+                    # clients see WHY, then drop the connection — after a
+                    # malformed frame the stream position can't be trusted
+                    try:
+                        _send_frame(conn, {
+                            "ok": False,
+                            "error": f"{type(e).__name__}: {e}"[:500],
+                        })
+                    except OSError:
+                        pass
+                    return
                 try:
                     op = head.get("op")
                     if op == "info":
-                        _send_frame(conn, {"ok": True, **self._info()})
+                        _send_frame(conn, {"ok": True, **self.info()})
                         continue
                     if op not in self.OPS:
                         raise ValueError(f"unknown op {op!r}; have "
@@ -312,10 +335,13 @@ class ScoreServer:
                                        "dtype": "float32"},
                                 scores.astype("<f4").tobytes())
                 except Exception as e:  # noqa: BLE001 — sent to the client
-                    _send_frame(conn, {
-                        "ok": False,
-                        "error": f"{type(e).__name__}: {e}"[:500],
-                    })
+                    try:
+                        _send_frame(conn, {
+                            "ok": False,
+                            "error": f"{type(e).__name__}: {e}"[:500],
+                        })
+                    except OSError:
+                        return  # client gone before the error reply
         finally:
             conn.close()
 
@@ -330,7 +356,10 @@ class ScoreServer:
             t.start()
 
     def start(self, port: int = 0) -> int:
-        """Bind and serve in a daemon thread; returns the bound port."""
+        """Bind and serve in a daemon thread; returns the bound port.
+        Restartable: a stop()/start() sequence brings up a fresh accept
+        loop and batcher."""
+        self._stopping.clear()
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._sock.bind((self.host, port))

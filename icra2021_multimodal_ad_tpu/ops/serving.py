@@ -619,6 +619,32 @@ def nap_accuracy_guard(config, model, params, state, nap_stats, x,
     return (rel, s16) if return_scores else rel
 
 
+def run_precision_guard(config, model, params, state, nap_stats, probe,
+                        tol: float,
+                        serving: Optional[ServingModel] = None):
+    """Run the accuracy guard matching a serving bundle's precision:
+    int8/bf16 NAP when NAP stats exist and any low-precision path is on,
+    bf16 BASE otherwise, None for exact-fp32 bundles (nothing to guard).
+    ONE definition of the deploy-guard dispatch for every deployment
+    surface — serve.py, export.py, and ScoreServer.serve_guard all call
+    this, so the contract can't drift between them.  Returns the measured
+    mean relative score error, or None when the bundle is exact."""
+    if serving is None:
+        serving = make_serving(config, model, params, state,
+                               nap_stats=nap_stats)
+    low_nap = (nap_stats is not None
+               and (serving.compute_dtype == jnp.bfloat16
+                    or serving.nap_int8 is not None))
+    if low_nap:
+        return float(nap_accuracy_guard(config, model, params, state,
+                                        nap_stats, probe, tol=tol,
+                                        fast_serving=serving))
+    if serving.compute_dtype == jnp.bfloat16:
+        return float(bf16_accuracy_guard(config, model, params, state,
+                                         probe, tol=tol))
+    return None
+
+
 # ---------------------------------------------------------------------------
 # Serialized serving artifacts (jax.export / StableHLO)
 # ---------------------------------------------------------------------------
@@ -659,7 +685,11 @@ def export_base_scorer(serving: ServingModel, batch_size: int,
 def export_nap_scorer(serving: ServingModel, batch_size: int,
                       cat_size: int, path: Optional[str] = None) -> bytes:
     """Serialize rotate+standardize+mean-square NAP scoring of concat diffs
-    (whitening stats baked in)."""
+    (whitening stats baked in), at the bundle's precision: int8 bundles
+    ship the int8 MXU whitening, bf16 bundles the bf16 matmul, fp32 the
+    exact `nap_score_device` — the same dispatch as the live `score_nap`
+    (XLA form; Pallas doesn't serialize portably), so an artifact's
+    provenance matches the precision its accuracy guard certified."""
     from jax import export as jexport
 
     from icra2021_multimodal_ad_tpu.ops.scoring import nap_score_device
@@ -669,6 +699,15 @@ def export_nap_scorer(serving: ServingModel, batch_size: int,
         raise ValueError("export_nap_scorer needs nap_stats")
 
     def fn(x_cat):
+        if serving.nap_int8 is not None:
+            return _nap_score_int8_xla(serving.nap_int8, x_cat)
+        if serving.compute_dtype != jnp.float32:
+            dtype = serving.compute_dtype
+            offset, inv_std = (serving.nap_pre if serving.nap_pre is not None
+                               else nap_precompute(stats))
+            v = stats.rotater.v.astype(dtype)
+            return _nap_score_xla(v, offset, inv_std,
+                                  x_cat.astype(dtype), None)
         return nap_score_device(stats, x_cat)
 
     exp = jexport.export(jax.jit(fn))(

@@ -55,6 +55,10 @@ bool write_all(int fd, const char* buf, size_t n) {
 bool send_frame(int fd, const std::string& header, const char* payload,
                 size_t payload_len) {
   std::string head = header + "\n";
+  // refuse frames above the server's 1 GiB ceiling BEFORE encoding: the
+  // uint32 length prefix would silently wrap for >= 4 GiB payloads and
+  // desync the stream into garbage frames
+  if (head.size() + payload_len > (1u << 30)) return false;
   uint32_t len = htonl(static_cast<uint32_t>(head.size() + payload_len));
   return write_all(fd, reinterpret_cast<const char*>(&len), 4) &&
          write_all(fd, head.data(), head.size()) &&
@@ -124,6 +128,16 @@ int main(int argc, char** argv) {
   const char* host = argv[1];
   const char* port = argv[2];
   const std::string op = argv[3];
+  // arity must match the op: a score op at argc==4 would read
+  // argv[4]==NULL below, and info takes no N/D
+  if (op == "info" && argc != 4) {
+    fprintf(stderr, "score_client: info takes no N D arguments\n");
+    return 1;
+  }
+  if (op != "info" && argc != 6) {
+    fprintf(stderr, "score_client: %s needs N and D\n", op.c_str());
+    return 1;
+  }
 
   int fd = dial(host, port);
   if (fd < 0) {
@@ -157,6 +171,14 @@ int main(int argc, char** argv) {
     return 1;
   }
   size_t bytes = static_cast<size_t>(n) * static_cast<size_t>(d) * 4;
+  if (bytes + 200 > (1u << 30)) {  // header headroom under the ceiling
+    fprintf(stderr,
+            "score_client: %zu payload bytes exceed the server's 1 GiB "
+            "frame ceiling; split the request\n",
+            bytes);
+    close(fd);
+    return 1;
+  }
   std::vector<char> rows(bytes);
   if (!read_exact(STDIN_FILENO, rows.data(), bytes)) {
     fprintf(stderr, "score_client: expected %zu payload bytes on stdin\n",

@@ -113,18 +113,13 @@ def main():
               "serving guard: exact fp32 bundle, nothing to guard")
 
     if args.warmup:
-        probe = np.zeros((args.max_batch, cfg.input_size), np.float32)
-        ops = ["score_base", "score_sap"] + (
-            ["score_nap"] if stats is not None else [])
-        for op in ops:
-            server._score(op, probe[:1])  # smallest bucket
-            server._score(op, probe)      # largest bucket
+        ops = server.warmup()
         print(f"warmed {len(ops)} scorers at buckets 1 and "
               f"{args.max_batch}")
 
     port = server.start(args.port)
     print(f"serving on {args.host}:{port}  "
-          f"(ops: {', '.join(server._info()['ops'])}; "
+          f"(ops: {', '.join(server.info()['ops'])}; "
           f"input_size={cfg.input_size})", flush=True)
     try:
         import threading

@@ -58,10 +58,10 @@ def test_export_cli_writes_verified_artifacts_and_manifest(trained,
     for op, entry in manifest["artifacts"].items():
         blob_path = out / entry["path"]
         assert blob_path.stat().st_size == entry["bytes"] > 0
-        if op == "nap":
-            assert entry["verify_finite"] is True
-        else:
-            assert entry["verify_mean_rel_vs_live"] <= 1e-2
+        # every artifact (nap included, vs serving.score_nap) round-trips
+        # through deserialization and agrees with the live bundle
+        assert entry["verify_mean_rel_vs_live"] <= 1e-2
+        assert entry["compute_dtype"] == "float32"
 
     # the artifact is loadable standalone and scores the right shape
     from icra2021_multimodal_ad_tpu.ops.serving import load_scorer

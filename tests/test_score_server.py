@@ -291,7 +291,7 @@ def test_serve_guard_certifies_low_precision_and_noops_fp32():
                        model, params, state, nap_stats=stats)
     rel = bf16.serve_guard(probe, tol=0.25)
     assert rel is not None and rel < 0.25
-    assert bf16._info()["guard_rel_err"] == rel
+    assert bf16.info()["guard_rel_err"] == rel
     with pytest.raises(ValueError, match="rel err"):
         bf16.serve_guard(probe, tol=1e-12)
 
@@ -300,3 +300,80 @@ def test_serve_guard_certifies_low_precision_and_noops_fp32():
                        model, params, state, nap_stats=stats)
     rel8 = int8.serve_guard(probe, tol=0.25)
     assert rel8 is not None and rel8 < 0.25
+
+
+def test_malformed_frames_get_an_error_reply_not_a_dead_thread(served):
+    """A garbage length prefix or invalid JSON header must surface as the
+    documented {"ok": false} error frame (then a closed connection — the
+    stream position can't be trusted), not an unhandled handler-thread
+    traceback with no reply."""
+    import socket
+    import struct
+
+    from icra2021_multimodal_ad_tpu.ops.score_server import _recv_frame
+
+    server, port, cfg = served
+
+    # invalid JSON header (unquoted key), stream fully consumed
+    with socket.create_connection(("127.0.0.1", port), timeout=30) as s:
+        blob = b'{"op": score_base}\n'
+        s.sendall(struct.pack(">I", len(blob)) + blob)
+        head, _ = _recv_frame(s)
+        assert head["ok"] is False
+        assert "JSONDecodeError" in head["error"]
+        assert s.recv(1) == b""  # server closed after the reply
+
+    # length prefix above the 1 GiB ceiling — rejected before any read
+    with socket.create_connection(("127.0.0.1", port), timeout=30) as s:
+        s.sendall(struct.pack(">I", (1 << 30) + 1))
+        head, _ = _recv_frame(s)
+        assert head["ok"] is False
+        assert "ceiling" in head["error"]
+        assert s.recv(1) == b""
+
+    # the server is still healthy for well-formed clients
+    with ScoreClient(("127.0.0.1", port)) as client:
+        out = client.score(np.zeros((2, cfg.input_size), np.float32))
+        assert out.shape == (2,)
+
+
+def test_server_restarts_after_stop():
+    """stop()/start() must bring up a working server again (fresh accept
+    loop AND batcher), not one that accepts TCP but never serves."""
+    cfg = _cfg()
+    model, params, state = get_model(cfg)
+    x = np.random.default_rng(7).normal(
+        0, 1, (3, cfg.input_size)).astype(np.float32)
+    server = ScoreServer(cfg, model, params, state)
+    try:
+        port = server.start()
+        with ScoreClient(("127.0.0.1", port)) as c:
+            first = c.score(x)
+        server.stop()
+        port = server.start()
+        with ScoreClient(("127.0.0.1", port)) as c:
+            again = c.score(x)
+        np.testing.assert_array_equal(first, again)
+    finally:
+        server.stop()
+
+
+def test_dead_batcher_fails_fast_instead_of_hanging():
+    """_score_batched must raise when the batcher cannot complete the
+    request — whether the server was stopped or the batch thread is
+    simply not running — rather than polling forever."""
+    cfg = _cfg()
+    model, params, state = get_model(cfg)
+    x = np.zeros((2, cfg.input_size), np.float32)
+
+    # batching requested but the server (hence the batcher) never started
+    cold = ScoreServer(cfg, model, params, state)
+    with pytest.raises(ConnectionError, match="batcher is not running"):
+        cold._score_batched("score_base", x)
+
+    # stopped server: the stop-specific message
+    stopped = ScoreServer(cfg, model, params, state)
+    stopped.start()
+    stopped.stop()
+    with pytest.raises(ConnectionError, match="stopped mid-request"):
+        stopped._score_batched("score_base", x)

@@ -359,6 +359,18 @@ def test_exported_scorer_roundtrip(tmp_path):
         rtol=1e-5,
     )
 
+    # precision fidelity: an int8 bundle's concat-diff artifact ships the
+    # int8 whitening its guard certifies, matching the live score_nap —
+    # a regression to exporting the exact fp32 scorer would miss this by
+    # the ~1e-2 quantization error
+    serving8 = make_serving(cfg.replace(nap_quant="int8"), model, params,
+                            state, nap_stats=stats)
+    scorer8 = load_scorer(export_nap_scorer(serving8, 256, 128))
+    got8 = np.asarray(scorer8(cat))
+    want8 = np.asarray(serving8.score_nap(cat))
+    rel8 = np.mean(np.abs(got8 - want8) / (np.abs(want8) + 1e-6))
+    assert rel8 < 1e-4, rel8
+
 
 def test_exported_nap_window_scorer_matches_live_pipeline():
     """The full windows->diffs->NAP artifact (the deployable streaming
