@@ -136,6 +136,13 @@ class ScoreServer:
         self._batch_thread: Optional[threading.Thread] = None
         self._score_lock = threading.Lock()
         self._stopping = threading.Event()
+        # accepted client connections, so stop() can close them: a handler
+        # blocked in _recv_frame (600 s timeout) would otherwise survive
+        # stop() and be silently revived by the next start()'s
+        # _stopping.clear() — 'stopped' clients kept being served by the
+        # new server generation
+        self._conns: set = set()
+        self._conns_lock = threading.Lock()
         self._queue: list = []
         self._queue_cond = threading.Condition()
         #: dynamic-batching observability: dispatches that served >1
@@ -283,6 +290,8 @@ class ScoreServer:
     # -- wire loop ----------------------------------------------------------
 
     def _handle(self, conn: socket.socket) -> None:
+        with self._conns_lock:
+            self._conns.add(conn)
         try:
             conn.settimeout(600.0)
             while not self._stopping.is_set():
@@ -343,6 +352,8 @@ class ScoreServer:
                     except OSError:
                         return  # client gone before the error reply
         finally:
+            with self._conns_lock:
+                self._conns.discard(conn)
             conn.close()
 
     def _accept_loop(self) -> None:
@@ -364,7 +375,12 @@ class ScoreServer:
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._sock.bind((self.host, port))
         self._sock.listen(16)
-        if self.batching and self._batch_thread is None:
+        if self.batching and (self._batch_thread is None
+                              or not self._batch_thread.is_alive()):
+            # spawn only when no batcher is live: stop() keeps the reference
+            # to a batcher that outlived its join timeout (a TPU dispatch
+            # here can take 20-120 s), and _stopping.clear() above already
+            # revived it — a second loop would race it for the queue
             self._batch_thread = threading.Thread(target=self._batch_loop,
                                                   daemon=True)
             self._batch_thread.start()
@@ -382,11 +398,31 @@ class ScoreServer:
                 self._sock.close()
             except OSError:
                 pass
+        # close accepted client connections: handlers blocked in _recv_frame
+        # (600 s timeout) exit on the resulting OSError instead of surviving
+        # into — and being revived by — the next start() generation
+        with self._conns_lock:
+            conns = list(self._conns)
+        for c in conns:
+            try:
+                c.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                c.close()
+            except OSError:
+                pass
         if self._thread is not None:
             self._thread.join(timeout=5.0)
         if self._batch_thread is not None:
             self._batch_thread.join(timeout=5.0)
-            self._batch_thread = None
+            if not self._batch_thread.is_alive():
+                # null only on a CONFIRMED exit: a batcher mid-TPU-dispatch
+                # (20-120 s) outlives the join — keep the reference so its
+                # waiters in _score_batched don't see "batcher not running"
+                # for requests it will still complete, and so start() won't
+                # spawn a rival loop next to the revived orphan
+                self._batch_thread = None
 
 
 class ScoreClient:

@@ -170,15 +170,21 @@ int main(int argc, char** argv) {
     close(fd);
     return 1;
   }
-  size_t bytes = static_cast<size_t>(n) * static_cast<size_t>(d) * 4;
-  if (bytes + 200 > (1u << 30)) {  // header headroom under the ceiling
+  // size math in uint64_t BEFORE any size_t cast: on 32-bit size_t hosts
+  // (robot-side ARM builds) n*d*4 can wrap to a small value and slip under
+  // the ceiling — the server would still reject the payload-length
+  // mismatch, but the client-side guard must catch it here
+  const uint64_t bytes64 =
+      static_cast<uint64_t>(n) * static_cast<uint64_t>(d) * 4;
+  if (bytes64 + 200 > (1ull << 30)) {  // header headroom under the ceiling
     fprintf(stderr,
-            "score_client: %zu payload bytes exceed the server's 1 GiB "
+            "score_client: %llu payload bytes exceed the server's 1 GiB "
             "frame ceiling; split the request\n",
-            bytes);
+            static_cast<unsigned long long>(bytes64));
     close(fd);
     return 1;
   }
+  const size_t bytes = static_cast<size_t>(bytes64);
   std::vector<char> rows(bytes);
   if (!read_exact(STDIN_FILENO, rows.data(), bytes)) {
     fprintf(stderr, "score_client: expected %zu payload bytes on stdin\n",

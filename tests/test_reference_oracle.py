@@ -1375,3 +1375,333 @@ def test_randomized_architecture_sweep_execution_parity(ref, tmp_path):
         np.testing.assert_allclose(o_nap.score, r_nap[0], rtol=0.3,
                                    err_msg=tag)
         assert o_nap.auroc == pytest.approx(r_nap[1], abs=1e-9), tag
+
+
+# ---------------------------------------------------------------------------
+# legacy ETL generations (C13 older variants): the reference's OWN
+# datasets/data_preprocess.py and youngjae/preprocess/make_timesync_csv_file
+# executed on synthetic capture trees, vs --variant legacy / frames
+# ---------------------------------------------------------------------------
+
+
+def _load_ref_module(filename, name, monkeypatch=None, home=None):
+    """File-path import of a reference module under a non-colliding name
+    (the same sys.modules-collision argument as the concatdata_maker
+    loader above).  `home` redirects '~' BEFORE module-level pd.read_csv
+    calls run (make_timesync_csv_file.py:4-7 reads at import time)."""
+    import importlib.util
+
+    if home is not None:
+        monkeypatch.setenv("HOME", str(home))
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REF, filename))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _patch_df_append(monkeypatch):
+    """pd.DataFrame.append (removed in pandas 2) -> pd.concat shim, for
+    reference code that appends rows (data_preprocess.py:161)."""
+    import pandas as pd
+
+    monkeypatch.setattr(
+        pd.DataFrame, "append",
+        lambda self, other, ignore_index=False: pd.concat(
+            [self, other], ignore_index=ignore_index),
+        raising=False,
+    )
+
+
+def _write_episode_legacy(ep_dir, rng, duration_s=4.0, n_lidar=12,
+                          n_mic=8, camera_hz=25):
+    """Raw episode in the OLDER capture schema (data_preprocess.py:90-96):
+    adds rgb.csv and a Microphone.csv whose `data` cells are float lists.
+
+    time/datetime columns are ISO-ish STRINGS (as a robot logger writes
+    them), which keeps each frame's .values object-dtype so the
+    reference's id-valued cursors stay ints — with all-float frames,
+    modern numpy rejects the float slice df.values[cursor:-1] and the
+    reference code cannot execute at all (same quirk the current-variant
+    oracle works around with int() casts)."""
+    import pandas as pd
+
+    from icra2021_multimodal_ad_tpu.data.synthetic import jittered_clock
+
+    os.makedirs(ep_dir, exist_ok=True)
+    drop_start = round(duration_s - 1.0, 1)
+
+    def stamps(t):
+        return [f"2021-01-01 00:00:{v:06.3f}" for v in t]
+
+    for stream, hz, start in (("rgb", camera_hz, 0.045),
+                              ("depth", camera_hz, 0.05),
+                              ("hand", camera_hz, 0.055)):
+        t = jittered_clock(rng, hz, start, duration_s)
+        pd.DataFrame({"time": stamps(t), "id": np.arange(1, len(t) + 1),
+                      "timegap": t}).to_csv(
+            os.path.join(ep_dir, f"{stream}.csv"))
+    t = jittered_clock(rng, 10, 0.08, duration_s)
+    scans = ["[" + ",".join(f"{v:.3f}" for v in rng.uniform(0.2, 5.0, n_lidar))
+             + "]" for _ in t]
+    pd.DataFrame({"data": scans, "time": stamps(t), "timegap": t}).to_csv(
+        os.path.join(ep_dir, "LiDAR.csv"))
+    t = jittered_clock(rng, 50, 0.02, duration_s)
+    pd.DataFrame({"datetime": stamps(t), "timegap": t,
+                  "weight": np.round(rng.normal(210, 3, len(t)), 1)}).to_csv(
+        os.path.join(ep_dir, "hand_weight.csv"))
+    t = jittered_clock(rng, 43, 0.01, duration_s)
+    chunks = ["[" + ",".join(f"{v:.1f}" for v in rng.normal(0, 300, n_mic))
+              + "]" for _ in t]
+    pd.DataFrame({"data": chunks, "time": stamps(t), "timegap": t}).to_csv(
+        os.path.join(ep_dir, "Microphone.csv"))
+    pd.DataFrame([{"drop_end": round(drop_start + 0.5, 1),
+                   "drop_start": drop_start}]).to_csv(
+        os.path.join(ep_dir, "drop_time.csv"))
+
+
+def test_reference_legacy_etl_execution_parity(ref, monkeypatch, tmp_path):
+    """Execute the reference's OLDER ETL generation —
+    datasets/data_preprocess.hsr_preprocess (lines 82-168) VERBATIM, cursor
+    scans, column assembly, labels, CSV write and all — on a synthetic
+    capture tree, and assert `--variant legacy`
+    (data/etl.hsr_preprocess_legacy) reproduces it: same grid, same
+    selected samples, same LiDAR/Mic columns, same labels.
+
+    Documented intended-fix deviation (SURVEY.md §2: implement intent, not
+    bugs): the reference stores the COLUMN INDEX 0 as Mic0000's value
+    (data_preprocess.py:135 writes `mi_idx`, not `mi_data`); ours stores
+    the sample value.  The assertion pins BOTH behaviors."""
+    import pandas as pd
+
+    from icra2021_multimodal_ad_tpu.data.etl import hsr_preprocess_legacy
+
+    dp = _load_ref_module("datasets/data_preprocess.py", "ref_data_preproc")
+    _patch_df_append(monkeypatch)
+
+    root = tmp_path / "cap"
+    eps = ["ep0", "ep1"]
+    rng = np.random.default_rng(40)
+    for name in eps:
+        _write_episode_legacy(str(root / "data" / name / "data"), rng)
+
+    # the reference's full per-tree loop (listdir order is irrelevant: rows
+    # carry data_dir and the comparison groups on it)
+    dp.hsr_preprocess("/unused", "cap/", "data_sum", str(tmp_path))
+    ref_df = pd.read_csv(tmp_path / "cap" / "data_sum.csv", index_col=0)
+
+    out = str(tmp_path / "ours.csv")
+    hsr_preprocess_legacy(str(root / "data"), out, episodes=eps, n_lidar=12)
+    our_df = pd.read_csv(out, index_col=0)
+
+    lidar_cols = [c for c in ref_df.columns if c.startswith("LiDAR")]
+    mic_cols = [c for c in ref_df.columns if c.startswith("Mic")]
+    assert lidar_cols == [f"LiDAR{i:03d}" for i in range(12)]
+    assert mic_cols == [f"Mic{i:04d}" for i in range(8)]
+    assert set(our_df.columns) >= set(ref_df.columns) - {"Unnamed: 0"}
+
+    for name in eps:
+        r = ref_df[ref_df["data_dir"] == name].reset_index(drop=True)
+        o = our_df[our_df["data_dir"] == name].reset_index(drop=True)
+        # the reference's `now += 0.1` float accumulation can overshoot the
+        # drop_start+0.5 bound by ~1e-15 and drop the final grid row; our
+        # exact grid always includes it (same bound as the current-variant
+        # oracle above)
+        assert 0 <= len(o) - len(r) <= 1, (name, len(o), len(r))
+        n = len(r)
+        o = o.iloc[:n]
+        np.testing.assert_allclose(o["now_timegap"].to_numpy(),
+                                   r["now_timegap"].to_numpy(), atol=1e-6)
+        for col in ("cur_rgb_id", "cur_depth_id", "cur_hand_id", "label"):
+            np.testing.assert_array_equal(
+                o[col].to_numpy(float), r[col].to_numpy(float),
+                err_msg=f"{name}:{col}")
+        np.testing.assert_allclose(o["cur_hand_weight"].to_numpy(),
+                                   r["cur_hand_weight"].to_numpy(),
+                                   atol=1e-6)
+        np.testing.assert_allclose(o[lidar_cols].to_numpy(),
+                                   r[lidar_cols].to_numpy(), atol=1e-5,
+                                   err_msg=name)
+        # Mic0001.. carry the sample values in both
+        np.testing.assert_allclose(o[mic_cols[1:]].to_numpy(),
+                                   r[mic_cols[1:]].to_numpy(), atol=1e-5,
+                                   err_msg=name)
+        # the Mic0000 deviation: reference wrote the index (always 0),
+        # ours writes the sample value — verify ours against the
+        # reference's OWN find_mic_data selection
+        assert (r["Mic0000"].to_numpy(float) == 0).all()
+        assert not (o["Mic0000"].to_numpy(float) == 0).all()
+    assert len(ref_df) > 40  # the tree produced a real grid, not a stub
+
+
+def test_reference_timesync_prototype_execution_parity(ref, monkeypatch,
+                                                       tmp_path):
+    """Execute the reference's EARLIEST ETL prototype —
+    youngjae/preprocess/make_timesync_csv_file.get_dataset (lines 13-62),
+    whose module-level reads are redirected via $HOME — and assert
+    `--variant frames` (data/etl.make_timesync_frames) reproduces its
+    frame-driven alignment: per-RGB-frame windows, first depth/LiDAR/weight
+    sample in each, same ids/values.
+
+    Documented deviations (intent, not bugs): the prototype writes its
+    dummy seed row and NaN rows for windows where some stream has no
+    sample (its scans return None there); ours drops both."""
+    import ast
+
+    import pandas as pd
+
+    from icra2021_multimodal_ad_tpu.data.etl import make_timesync_frames
+
+    rng = np.random.default_rng(41)
+    home = tmp_path / "home"
+    ep = tmp_path / "ep" / "data"
+    os.makedirs(home / "youngjae" / "data")
+    os.makedirs(home / "data")
+    os.makedirs(ep)
+
+    from icra2021_multimodal_ad_tpu.data.synthetic import jittered_clock
+
+    def stamps(t):
+        return [f"2021-01-01 00:00:{v:06.3f}" for v in t]
+
+    # 0-BASED ids: the prototype's `next_timegap = df_rgb.values[id][3]`
+    # (line 52) positionally indexes the [1:]-sliced frame with the id
+    # VALUE, which lands on the next row only when ids start at 0
+    frames = {}
+    for stream, hz, start in (("rgb", 25, 0.045), ("depth", 25, 0.05)):
+        t = jittered_clock(rng, hz, start, 3.0)
+        frames[stream] = pd.DataFrame(
+            {"time": stamps(t), "id": np.arange(len(t)), "timegap": t})
+    t = jittered_clock(rng, 10, 0.08, 3.0)
+    scans = ["[" + ",".join(f"{v:.3f}" for v in rng.uniform(0.2, 5.0, 10))
+             + "]" for _ in t]
+    frames["LiDAR"] = pd.DataFrame(
+        {"data": scans, "time": stamps(t), "timegap": t})
+    t = jittered_clock(rng, 50, 0.02, 3.0)
+    frames["hand_weight"] = pd.DataFrame(
+        {"datetime": stamps(t), "timegap": t,
+         "weight": np.round(rng.normal(210, 3, len(t)), 1)})
+
+    # the prototype's hardcoded read locations (lines 4-7) and our episode
+    # layout get the SAME frames
+    frames["rgb"].to_csv(home / "youngjae" / "data" / "rgb.csv")
+    frames["depth"].to_csv(home / "data" / "depth.csv")
+    frames["LiDAR"].to_csv(home / "LiDAR.csv")
+    frames["hand_weight"].to_csv(home / "youngjae" / "data" /
+                                 "hand_weight.csv")
+    for stream in frames:
+        frames[stream].to_csv(ep / f"{stream}.csv")
+
+    _patch_df_append(monkeypatch)
+    monkeypatch.chdir(tmp_path)  # get_dataset writes ./data_sum.csv
+    proto = _load_ref_module(
+        "youngjae/preprocess/make_timesync_csv_file.py",
+        "ref_timesync_proto", monkeypatch=monkeypatch, home=home)
+    proto.get_dataset()
+    ref_df = pd.read_csv(tmp_path / "data_sum.csv", index_col=0)
+
+    ours = make_timesync_frames(str(ep))
+
+    # drop the prototype's dummy seed row, then its NaN rows (windows where
+    # some stream had no sample — ours drops those)
+    r = ref_df.iloc[1:]
+    complete = r[["cur_depth_id", "cur_hand_weight",
+                  "cur_LiDAR_data"]].notna().all(axis=1)
+    assert complete.sum() < len(r), "no NaN windows: the drop path is idle"
+    r = r[complete].reset_index(drop=True)
+    assert len(r) > 30
+    # one more documented scan artifact: the prototype's cursor slices
+    # exclude each stream's FINAL sample (values[cursor:-1], lines 15,22,31),
+    # so tail windows whose only match is a last sample go NaN there while
+    # ours keeps them — align on the window timestamp; every prototype-kept
+    # window must exist in ours with identical values, and the extras are
+    # bounded by the boundary windows of the three scanned streams
+    assert 0 <= len(ours) - len(r) <= 3, (len(ours), len(r))
+    ot = ours["now_timegap"].to_numpy()
+    rt = r["now_timegap"].to_numpy(float)
+    pos = np.searchsorted(ot, rt - 1e-9)
+    np.testing.assert_allclose(ot[pos], rt, atol=1e-6)
+    sel = ours.iloc[pos].reset_index(drop=True)
+
+    np.testing.assert_allclose(sel["next_timegap"].to_numpy(),
+                               r["next_timegap"].to_numpy(float), atol=1e-6)
+    for col in ("cur_rgb_id", "cur_depth_id"):
+        np.testing.assert_array_equal(sel[col].to_numpy(float),
+                                      r[col].to_numpy(float), err_msg=col)
+    np.testing.assert_allclose(sel["cur_hand_weight"].to_numpy(),
+                               r["cur_hand_weight"].to_numpy(float),
+                               atol=1e-6)
+    # the prototype stores each scan as a LIST OF STRINGS in one cell
+    # (line 24-25 splits without float()); ours parses float columns
+    ref_lidar = np.asarray(
+        [[float(v) for v in ast.literal_eval(cell)]
+         for cell in r["cur_LiDAR_data"]], dtype=np.float32)
+    lidar_cols = [c for c in ours.columns if c.startswith("LiDAR")]
+    np.testing.assert_allclose(sel[lidar_cols].to_numpy(), ref_lidar,
+                               atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# grid-search runner (C18): the reference Repeater's expansion executed
+# ---------------------------------------------------------------------------
+
+
+def _repeater_probe_f(config):
+    """Module-level (picklable) sweep body: returns the expanded config's
+    fields so the parent can inspect exactly what each worker received."""
+    return dict(vars(config))
+
+
+def test_reference_repeater_expansion_execution_parity(ref):
+    """Execute the reference Repeater.run (utils/repeater.py:25-62) — the
+    cartesian product over config fields, the global-random shuffle, the
+    progress numbering, the gpu_id placeholder swap, the Pool map — and
+    assert utils/repeater.expand_grid produces the same grid points in the
+    same execution order with the same progress numbers.  convert's list
+    parsing (repeater.py:64-71) is asserted against the reference's too.
+
+    Order parity is well-defined because both shuffles are the Mersenne
+    Twister Fisher-Yates: random.seed(S) + random.shuffle (reference,
+    line 50, unseeded in production — seeded here) permutes identically to
+    our seeded random.Random(S).shuffle."""
+    import argparse
+    import random
+
+    from icra2021_multimodal_ad_tpu.utils.repeater import convert, expand_grid
+
+    rep_mod = _load_ref_module("utils/repeater.py", "ref_repeater")
+
+    # convert parity
+    for x, to in (("1,2,3", int), ("0.1,0.2", float), ("7", int),
+                  ("a,b", str), (5, int), (None, int)):
+        assert convert(x, to=to) == rep_mod.convert(x, to=to), (x, to)
+
+    grid = {
+        "btl_size": [10, 20],
+        "n_layers": [2, 3, 4],
+        "lr": [0.001],
+    }
+    seed = 123
+
+    ns = argparse.Namespace()
+    for k, v in grid.items():
+        setattr(ns, k, list(v))
+    ns.gpu_id = [0, 1]  # two "GPUs" -> Pool(2) + staggered sleep for both
+
+    repeater = rep_mod.Repeater(ns, _repeater_probe_f, interval=3)
+    random.seed(seed)
+    ref_rows = repeater.run()  # Pool.map preserves input (execution) order
+
+    ours = expand_grid(grid, shuffle=True, seed=seed)
+
+    assert len(ref_rows) == len(ours) == 6
+    for i, (r, o) in enumerate(zip(ref_rows, ours)):
+        for k in grid:
+            assert r[k] == o[k], (i, k)
+        assert r["progress"] == o["progress"] == i + 1
+        # reference post-expansion fixups: the full gpu_id list restored on
+        # every point, sleep staggered for the first len(gpu_id) points
+        assert r["gpu_id"] == [0, 1]
+        assert r["sleep"] == (3 * i if i < 2 else 0)
+    # the caller's namespace got its gpu_id back (repeater.py:60)
+    assert ns.gpu_id == [0, 1]

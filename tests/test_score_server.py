@@ -377,3 +377,50 @@ def test_dead_batcher_fails_fast_instead_of_hanging():
     stopped.stop()
     with pytest.raises(ConnectionError, match="stopped mid-request"):
         stopped._score_batched("score_base", x)
+
+
+def test_stop_closes_accepted_connections_across_restart():
+    """stop() must terminate accepted client connections: a client blocked
+    in the old generation's handler (600 s recv timeout) must NOT be
+    silently revived and served by the next start() generation (advisor
+    r2).  Each server generation serves only clients that connected to it."""
+    import socket as socketlib
+    import threading
+    import time
+
+    cfg = _cfg()
+    model, params, state = get_model(cfg)
+    x = np.random.default_rng(9).normal(
+        0, 1, (2, cfg.input_size)).astype(np.float32)
+    server = ScoreServer(cfg, model, params, state)
+    try:
+        port = server.start()
+        old = ScoreClient(("127.0.0.1", port), timeout_s=10.0)
+        old.score(x)  # handler is live and idle in _recv_frame
+
+        server.stop()
+        # the old generation's handler count drains to zero (conns closed)
+        deadline = time.time() + 5.0
+        while time.time() < deadline and server._conns:
+            time.sleep(0.02)
+        assert not server._conns, "stop() left accepted connections open"
+
+        port2 = server.start()
+        # the old client is dead for good — its socket was closed server-
+        # side, so the next request fails instead of reaching the new
+        # generation
+        with pytest.raises((RuntimeError, ConnectionError, OSError,
+                            socketlib.timeout)):
+            old.score(x)
+        old.close()
+
+        # exactly one live batcher after the restart (no rival loops)
+        batchers = [t for t in threading.enumerate()
+                    if t is server._batch_thread and t.is_alive()]
+        assert server._batch_thread is not None and len(batchers) == 1
+
+        with ScoreClient(("127.0.0.1", port2)) as c:
+            np.testing.assert_array_equal(
+                c.score(x), np.asarray(server.serving.score_fused(x)))
+    finally:
+        server.stop()
