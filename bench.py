@@ -717,7 +717,12 @@ def main():
             binarize_labels,
         )
 
-        acfg = ccfg.replace(n_epochs=20, batch_size=1024, target_class=1)
+        # enough optimizer steps to actually converge on the 1200-row train
+        # split: 40 epochs x ~5 steps at lr 3e-3 (a 20-epoch/batch-1024 run
+        # measured BASE AUROC 0.24 — undertrained, not a scoring bug; cf.
+        # the verify recipe's 25x7-step CLI run at AUROC 1.0)
+        acfg = ccfg.replace(n_epochs=40, batch_size=256, lr=3e-3,
+                            target_class=1)
         dm, trl, val, tel = get_loaders(acfg)
         train_x, _ = dm.get_transformed_data(trl)
         valid_x, _ = dm.get_transformed_data(val)
