@@ -252,6 +252,54 @@ def main():
     })
     emit()
 
+    # -- throughput: ingestion-native uint8 sensor payloads -----------------
+    # score_sensor semantics: uint8 camera frames + newtons + MFCC frames,
+    # fixed-range normalization ON DEVICE (exact — ARCHITECTURE §6.5);
+    # images stream host->device and HBM at 1 byte/px.  Headline `value`
+    # takes this path when it wins AND its bf16-vs-fp32 score error passes
+    # the same 5e-2 bar as the bf16-tensor path.
+    u8_error = None
+    try:
+        from icra2021_multimodal_ad_tpu.ops.serving import _score_sensor
+
+        r_u8 = jnp.asarray(rng.integers(0, 256, (B, 3, 32, 32)), jnp.uint8)
+        d_u8 = jnp.asarray(rng.integers(0, 256, (B, 1, 32, 32)), jnp.uint8)
+        t_n = jnp.asarray(rng.uniform(0, 400, (B, 1)), jnp.float32)
+        m_n = jnp.asarray(rng.uniform(-30, 30, (B, 1, 13)), jnp.float32)
+
+        def make_sensor():
+            def body(i, acc):
+                # integer payloads carry the loop dependency via a low-bit
+                # XOR (adding eps would change their dtype)
+                bit = (i % 2).astype(jnp.uint8) + jnp.uint8(acc * 0)
+                eps = i.astype(jnp.float32) * 1e-9 + acc * 0
+                return acc + jnp.sum(_score_sensor(
+                    model, p16, state, fp16,
+                    jnp.bitwise_xor(r_u8, bit), jnp.bitwise_xor(d_u8, bit),
+                    t_n + eps, m_n + eps, dtype=jnp.bfloat16))
+            return body
+
+        t_u8 = timed_loop(make_sensor)
+        tput_u8 = B / t_u8
+        nb = 4096
+        s32s = _retry(lambda: _score_sensor(
+            model, params, state, fusion_params, r_u8[:nb], d_u8[:nb],
+            t_n[:nb], m_n[:nb], dtype=jnp.float32))
+        s16s = _retry(lambda: _score_sensor(
+            model, p16, state, fp16, r_u8[:nb], d_u8[:nb],
+            t_n[:nb], m_n[:nb], dtype=jnp.bfloat16))
+        rel_u8 = float(jnp.mean(jnp.abs(s16s - s32s)
+                                / (jnp.abs(s32s) + 1e-6)))
+        res["sensor_u8_windows_per_sec"] = round(tput_u8, 1)
+        res["sensor_u8_score_rel_err"] = round(rel_u8, 5)
+        if rel_u8 < 5e-2 and tput_u8 > (res.get("value") or 0):
+            res["value"] = round(tput_u8, 1)
+            res["vs_baseline"] = round(tput_u8 / BASELINE_WINDOWS_PER_SEC, 3)
+            res["headline_path"] = "sensor_u8_bf16"
+        emit()
+    except Exception as e:  # noqa: BLE001 — reason is recorded
+        u8_error = f"{type(e).__name__}: {e}"[:300]
+
     # -- throughput: RaPP diffs + NAP scoring (offline eval hot path) ------
     x_all = fuse(fusion_params, sensor="All", **raw)
     Bn = 4096
@@ -773,7 +821,8 @@ def main():
         k: v for k, v in {
             "rtt_error": rtt_error, "lat_error": lat_error,
             "serve_error": serve_error, "auroc_error": auroc_error,
-            "fp32_error": fp32_error, "nap_error": nap_error,
+            "fp32_error": fp32_error, "u8_error": u8_error,
+            "nap_error": nap_error,
             "nap16_error": nap16_error, "nap8_error": nap8_error,
             "train_error": train_error, "train16_error": train16_error,
             "trainer_error": trainer_error,

@@ -37,8 +37,11 @@ import numpy as np
 
 from icra2021_multimodal_ad_tpu.config import Config
 from icra2021_multimodal_ad_tpu.models.autoencoder import AutoEncoder
-from icra2021_multimodal_ad_tpu.ops.fusion import FusionParams, fuse
-from icra2021_multimodal_ad_tpu.ops.image import norm_minmax_global
+from icra2021_multimodal_ad_tpu.ops.fusion import (
+    FusionParams,
+    fuse,
+    normalize_mods,
+)
 from icra2021_multimodal_ad_tpu.ops.mfcc import mfcc_from_int16_chunks
 from icra2021_multimodal_ad_tpu.ops.scoring import NapStats, nap_score_device
 from icra2021_multimodal_ad_tpu.ops.rapp import diffs_batch
@@ -184,9 +187,13 @@ class SimulatedSensors(SensorSource):
         self.hand_q.append(
             np.clip(rng.normal(bright, 25, (32, 32, 3)), 0, 255).astype(np.uint8)
         )
+        # uint8, like a real camera payload (the realtime depth semantics
+        # are a [0,255] image — utils/data_loaders.py:703-712); native
+        # integer frames also keep the host->device transfer at 1 byte/px
+        # (_stack_host_inputs)
         self.depth_q.append(
             np.clip(rng.normal(bright * 0.6, 20, (32, 32)), 0, 255).astype(
-                np.float32
+                np.uint8
             )
         )
         scale = 8000 if anomaly else 300
@@ -211,8 +218,18 @@ def _stack_host_inputs(config: Config, force_q, hand_q, depth_q, mic_frames):
             f"modality row counts {counts} != batch_size "
             f"{config.batch_size} — wait for source.ready() before scoring"
         )
-    r = np.stack(hand_q).astype(np.float32).transpose(0, 3, 1, 2)
-    d = np.stack(depth_q).astype(np.float32)[:, None]
+    # camera/depth frames keep their NATIVE dtype (a real sensor publishes
+    # uint8): the host->device transfer is then 1 byte/px — 4x less than
+    # the fp32 stacking the first cut used — and the device-side fixed-range
+    # normalization (ops/fusion.normalize_mods) is exact, so the scores are
+    # bit-identical to fp32 stacking.  Non-integer test payloads fall back
+    # to fp32.
+    r = np.stack(hand_q).transpose(0, 3, 1, 2)
+    d = np.stack(depth_q)[:, None]
+    if r.dtype != np.uint8:
+        r = r.astype(np.float32)
+    if d.dtype != np.uint8:
+        d = d.astype(np.float32)
     t = np.asarray(force_q, dtype=np.float32)[:, None]
     m = np.asarray(mic_frames, dtype=np.float32)[:, None, :]
     return r, d, t, m
@@ -221,20 +238,9 @@ def _stack_host_inputs(config: Config, force_q, hand_q, depth_q, mic_frames):
 def _normalize_and_fuse(fusion_params: FusionParams, r, d, t, m) -> jax.Array:
     """Device side of the window batch — pure/traceable so the tick
     programs inline it.  Fixed input ranges: images [0,255], force [0,400],
-    mic global min-max (HsrDataset, data_loaders.py:714-731)."""
-    from icra2021_multimodal_ad_tpu.ops.image import resize_bilinear
-
-    if r.shape[-2:] != (32, 32):
-        # full-resolution camera frames (a real ROS source publishes
-        # 640x480) resize here, like the reference's subscriber-side
-        # cv2.resize (realtime_tester.py:121-130)
-        r = resize_bilinear(r, (32, 32))
-    if d.shape[-2:] != (32, 32):
-        d = resize_bilinear(d, (32, 32))
-    r = norm_minmax_global(r, in_lo=0.0, in_hi=255.0)
-    d = norm_minmax_global(d, in_lo=0.0, in_hi=255.0)
-    t = norm_minmax_global(t, in_lo=0.0, in_hi=400.0)
-    m = norm_minmax_global(m)
+    mic global min-max (HsrDataset, data_loaders.py:714-731); uint8 camera
+    frames are accepted and cast on device (ops/fusion.normalize_mods)."""
+    r, d, t, m = normalize_mods(r, d, t, m)
     return fuse(fusion_params, sensor="All", r=r, d=d, t=t, m=m)
 
 

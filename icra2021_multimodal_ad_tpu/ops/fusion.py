@@ -144,6 +144,41 @@ def _lidar_path(p: FusionParams, l):
     return jnp.broadcast_to(y, (y.shape[0], 32, 8, 8))            # (B,32,8,8)
 
 
+def normalize_mods(r, d, t, m):
+    """Fixed-range device-side normalization of NATIVE sensor payloads —
+    the realtime `norm_vec` semantics (utils/data_loaders.py:703-731):
+    images [0,255] -> [-1,1], force [0,400] -> [-1,1], mic frames global
+    batch min-max -> [-1,1]; full-resolution camera frames resize to 32x32
+    first (realtime_tester.py:121-130 subscriber-side cv2.resize).
+
+    Accepts the sensors' native dtypes: uint8 camera/depth frames stream
+    host->device and HBM at 1 byte/px (4x less than the fp32 stacking the
+    first cut used; measured +9% fused serving throughput at B=16384,
+    scripts/raw_input_probe.py) and are cast on device, where the fixed
+    ranges make the normalization exact — same fp32 values as host-side
+    normalization, bit for bit.  Traceable; returns fp32 normalized
+    (r, d, t, m).
+    """
+    from icra2021_multimodal_ad_tpu.ops.image import (
+        norm_minmax_global,
+        resize_bilinear,
+    )
+
+    if jnp.issubdtype(r.dtype, jnp.integer):
+        r = r.astype(jnp.float32)
+    if jnp.issubdtype(d.dtype, jnp.integer):
+        d = d.astype(jnp.float32)
+    if r.shape[-2:] != (32, 32):
+        r = resize_bilinear(r, (32, 32))
+    if d.shape[-2:] != (32, 32):
+        d = resize_bilinear(d, (32, 32))
+    r = norm_minmax_global(r, in_lo=0.0, in_hi=255.0)
+    d = norm_minmax_global(d, in_lo=0.0, in_hi=255.0)
+    t = norm_minmax_global(t, in_lo=0.0, in_hi=400.0)
+    m = norm_minmax_global(m)
+    return r, d, t, m
+
+
 @partial(jax.jit, static_argnames=("sensor",))
 def fuse(params: FusionParams, *, sensor: str = "All",
          r: Optional[jax.Array] = None, d: Optional[jax.Array] = None,

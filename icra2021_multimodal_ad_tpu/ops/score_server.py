@@ -45,8 +45,10 @@ Design points (TPU-shaped, not an afterthought):
     can no longer be trusted.
 
 Ops: score_base | score_sap | score_nap (fused (B, input) windows ->
-(B,) fp32 scores) and info (JSON metadata: input size, dtype, quant,
-guard measurement).
+(B,) fp32 scores), score_base_sensor | score_sap_sensor |
+score_nap_sensor (NATIVE payloads — uint8 camera/depth frames, newtons,
+MFCC frames — fused + normalized SERVER-side; see SENSOR_OPS), and info
+(JSON metadata: input size, dtype, quant, guard measurement).
 """
 
 from __future__ import annotations
@@ -117,6 +119,15 @@ class ScoreServer:
     work is serialized (single chip)."""
 
     OPS = ("score_base", "score_sap", "score_nap")
+    #: raw-sensor ops: the client ships NATIVE payloads (uint8 camera/depth
+    #: frames, force in newtons, fp32 MFCC frames) and the SERVER fuses —
+    #: thin clients need no fusion convs, and the image bytes on the wire
+    #: drop 4x vs fp32 fused windows.  Normalization is per REQUEST (the
+    #: reference's ring-snapshot semantics: the mic frames take a batch-
+    #: global min-max), so these ops are never coalesced across requests
+    #: and never chunked — a request IS the normalization window.
+    SENSOR_OPS = ("score_base_sensor", "score_sap_sensor",
+                  "score_nap_sensor")
 
     def __init__(self, config, model, params, state,
                  nap_stats=None, max_batch: int = 16384,
@@ -124,8 +135,19 @@ class ScoreServer:
         from icra2021_multimodal_ad_tpu.ops.serving import make_serving
 
         self.config = config
+        fusion_params = None
+        if getattr(config, "sensor", None) == "All":
+            import jax
+
+            from icra2021_multimodal_ad_tpu.ops.fusion import fusion_init
+
+            # the fusion frontend is a SEEDED fixed random projection
+            # (ops/fusion.py) — the server rebuilds it from config.seed
+            # exactly like the CLIs (realtime_tester.py:102)
+            fusion_params = fusion_init(jax.random.PRNGKey(config.seed))
         self.serving = make_serving(config, model, params, state,
-                                    nap_stats=nap_stats)
+                                    nap_stats=nap_stats,
+                                    fusion_params=fusion_params)
         self.max_batch = int(max_batch)
         self.host = host
         self.batching = bool(batching)
@@ -197,6 +219,43 @@ class ScoreServer:
             done += take
         return out
 
+    #: wire dtypes of the sensor-op payload segments, in payload order
+    _SENSOR_FIELDS = (("r", np.uint8, 4), ("d", np.uint8, 4),
+                      ("t", "<f4", 2), ("m", "<f4", 3))
+
+    def _score_sensor_op(self, op: str, r: np.ndarray, d: np.ndarray,
+                         t: np.ndarray, m: np.ndarray) -> np.ndarray:
+        """Score one raw-sensor request.  Pad rows to the bucket by EDGE
+        REPLICATION: the mic normalization is batch-global min-max
+        (ops/fusion.normalize_mods), so zero rows would shift the range
+        and perturb real rows' scores; replicated real rows cannot."""
+        import jax.numpy as jnp
+
+        n = r.shape[0]
+        if n > self.max_batch:
+            raise ValueError(
+                f"sensor requests are capped at max_batch={self.max_batch} "
+                f"rows (got {n}): a request is the normalization window — "
+                "chunk client-side to choose the windows explicitly")
+        bucket = _next_bucket(n, self.max_batch)
+
+        def pad(a):
+            if bucket == n:
+                return jnp.asarray(a)
+            reps = np.broadcast_to(a[:1], (bucket - n,) + a.shape[1:])
+            return jnp.asarray(np.concatenate([a, reps], axis=0))
+
+        rj, dj, tj, mj = pad(r), pad(d), pad(t), pad(m)
+        with self._score_lock:
+            if op == "score_base_sensor":
+                s = self.serving.score_sensor(rj, dj, tj, mj)
+            elif op == "score_sap_sensor":
+                s = self.serving.score_sap_windows(
+                    self.serving.fuse_sensor(rj, dj, tj, mj))
+            else:
+                s = self.serving.score_nap_sensor(rj, dj, tj, mj)
+        return np.asarray(s)[:n]
+
     def _score_batched(self, op: str, x: np.ndarray) -> np.ndarray:
         """Enqueue for the dynamic batcher and wait; exact per-request
         scores (row-independent scorers — see the module docstring)."""
@@ -265,6 +324,22 @@ class ScoreServer:
         for op in ops:
             self._score(op, probe[:1])  # smallest bucket
             self._score(op, probe)      # largest bucket
+        if self.serving.fusion_params is not None:
+            # sensor ops: score_base_sensor is its own program; the
+            # sap/nap forms reuse fuse_sensor + the window scorers warmed
+            # above, so warming base + one fused call covers the set
+            rr = np.zeros((self.max_batch, 3, 32, 32), np.uint8)
+            dd = np.zeros((self.max_batch, 1, 32, 32), np.uint8)
+            tt = np.zeros((self.max_batch, 1), np.float32)
+            mm = np.zeros((self.max_batch, 1, 13), np.float32)
+            import jax.numpy as jnp
+
+            for sl in (slice(0, 1), slice(None)):
+                self._score_sensor_op("score_base_sensor",
+                                      rr[sl], dd[sl], tt[sl], mm[sl])
+                self.serving.fuse_sensor(*(jnp.asarray(a[sl])
+                                           for a in (rr, dd, tt, mm)))
+            ops = ops + ["score_base_sensor", "fuse_sensor"]
         return ops
 
     def info(self) -> dict:
@@ -284,8 +359,61 @@ class ScoreServer:
             "guard_rel_err": self.guard_rel,
             "batching": self.batching,
             "batch_stats": dict(self.batch_stats),
-            "ops": list(self.OPS) + ["info"],
+            "ops": (list(self.OPS)
+                    + (list(self.SENSOR_OPS)
+                       if self.serving.fusion_params is not None else [])
+                    + ["info"]),
         }
+
+    def _handle_sensor(self, op: str, head: dict,
+                       payload: bytes) -> np.ndarray:
+        """Parse + score one raw-sensor request (SENSOR_OPS wire format:
+        header carries `sensor_shapes` = {r, d, t, m: [dims...]}, payload
+        is the four arrays' bytes concatenated in that order — r/d uint8,
+        t/m little-endian float32)."""
+        if self.serving.fusion_params is None:
+            raise ValueError(
+                f"{op} needs a sensor='All' server (fusion frontend)")
+        if op == "score_nap_sensor" and self.serving.nap_stats is None:
+            raise ValueError(
+                "score_nap_sensor needs the server started with NAP stats "
+                "(--train_diffs)")
+        shapes = head.get("sensor_shapes")
+        if (not isinstance(shapes, dict)
+                or set(shapes) != {"r", "d", "t", "m"}):
+            raise ValueError(
+                "sensor_shapes must be {r, d, t, m: [dims...]}, got "
+                f"{shapes}")
+        arrs, at = {}, 0
+        n = None
+        for name, dtype, ndim in self._SENSOR_FIELDS:
+            shape = shapes[name]
+            if (not isinstance(shape, list) or len(shape) != ndim
+                    or any((not isinstance(s, int)) or s <= 0
+                           for s in shape)):
+                raise ValueError(
+                    f"sensor_shapes[{name!r}] must be {ndim} positive "
+                    f"dims, got {shape}")
+            if n is None:
+                n = shape[0]
+            elif shape[0] != n:
+                raise ValueError(
+                    f"sensor_shapes[{name!r}] rows {shape[0]} != {n}")
+            count = int(np.prod(shape))
+            nbytes = count * np.dtype(dtype).itemsize
+            if at + nbytes > len(payload):
+                raise ValueError(
+                    f"payload is {len(payload)} bytes, shorter than the "
+                    f"sensor_shapes total")
+            arrs[name] = np.frombuffer(
+                payload, dtype, count=count, offset=at).reshape(shape)
+            at += nbytes
+        if at != len(payload):
+            raise ValueError(
+                f"payload is {len(payload)} bytes, expected {at} for "
+                f"{shapes}")
+        return self._score_sensor_op(op, arrs["r"], arrs["d"],
+                                     arrs["t"], arrs["m"])
 
     # -- wire loop ----------------------------------------------------------
 
@@ -317,9 +445,17 @@ class ScoreServer:
                     if op == "info":
                         _send_frame(conn, {"ok": True, **self.info()})
                         continue
+                    if op in self.SENSOR_OPS:
+                        scores = self._handle_sensor(op, head, payload)
+                        _send_frame(conn, {"ok": True,
+                                           "shape": [len(scores)],
+                                           "dtype": "float32"},
+                                    scores.astype("<f4").tobytes())
+                        continue
                     if op not in self.OPS:
-                        raise ValueError(f"unknown op {op!r}; have "
-                                         f"{list(self.OPS) + ['info']}")
+                        raise ValueError(
+                            f"unknown op {op!r}; have "
+                            f"{list(self.OPS) + list(self.SENSOR_OPS) + ['info']}")
                     if op == "score_nap" and self.serving.nap_stats is None:
                         raise ValueError(
                             "score_nap needs the server started with NAP "
@@ -437,6 +573,32 @@ class ScoreClient:
         if not head.get("ok"):
             raise RuntimeError(head.get("error", "info failed"))
         return head
+
+    def score_sensor(self, r: np.ndarray, d: np.ndarray, t: np.ndarray,
+                     m: np.ndarray,
+                     op: str = "score_base_sensor") -> np.ndarray:
+        """Score NATIVE sensor payloads server-side (SENSOR_OPS): uint8
+        camera frames (n,3,H,W), uint8 depth frames (n,1,H,W), force in
+        newtons (n,1) fp32, MFCC frames (n,1,13) fp32.  The server
+        normalizes (fixed ranges; mic per-request min-max), fuses, and
+        scores — the client needs no fusion convs and ships 4x fewer
+        image bytes than fp32 fused windows."""
+        r = np.ascontiguousarray(np.asarray(r, np.uint8))
+        d = np.ascontiguousarray(np.asarray(d, np.uint8))
+        t = np.ascontiguousarray(np.asarray(t, "<f4"))
+        m = np.ascontiguousarray(np.asarray(m, "<f4"))
+        if not (r.ndim == 4 and d.ndim == 4 and t.ndim == 2 and m.ndim == 3):
+            raise ValueError(
+                f"expected r(n,c,h,w) d(n,1,h,w) t(n,1) m(n,1,13); got "
+                f"{r.shape} {d.shape} {t.shape} {m.shape}")
+        shapes = {"r": list(r.shape), "d": list(d.shape),
+                  "t": list(t.shape), "m": list(m.shape)}
+        _send_frame(self._sock, {"op": op, "sensor_shapes": shapes},
+                    r.tobytes() + d.tobytes() + t.tobytes() + m.tobytes())
+        head, payload = _recv_frame(self._sock)
+        if not head.get("ok"):
+            raise RuntimeError(head.get("error", "scoring failed"))
+        return np.frombuffer(payload, "<f4").reshape(head["shape"])
 
     def score(self, x: np.ndarray, op: str = "score_base") -> np.ndarray:
         x = np.ascontiguousarray(np.asarray(x, np.float32))

@@ -84,6 +84,23 @@ class ServingModel(NamedTuple):
         xp, _ = pad_to_multiple(x, self.mesh.devices.size)
         return shard_batch(self.mesh, xp), n
 
+    def _shard_edge(self, x: jax.Array):
+        """Pad the leading axis by REPLICATING the first row, then shard.
+
+        The sensor-payload scorers normalize the mic frames with a batch-
+        GLOBAL min-max (ops/fusion.normalize_mods — the reference's realtime
+        norm_vec semantics), so zero-padding would shift the batch min/max
+        and perturb REAL rows' scores; replicated real rows cannot."""
+        if self.mesh is None:
+            return x
+        from icra2021_multimodal_ad_tpu.parallel.mesh import shard_batch
+
+        pad = (-x.shape[0]) % self.mesh.devices.size
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])], axis=0)
+        return shard_batch(self.mesh, x)
+
     def score_fused(self, x: jax.Array) -> jax.Array:
         """BASE score on already-fused (B, input) windows."""
         x, n = self._shard(x.astype(self.compute_dtype))
@@ -194,6 +211,46 @@ class ServingModel(NamedTuple):
 
         x = _fuse(self.fusion_params, sensor="All", **mods)
         return self.score_nap_windows(x)
+
+    def score_sensor(self, r, d, t, m) -> jax.Array:
+        """BASE score on NATIVE sensor payloads — uint8 camera/depth frames,
+        force in newtons [0,400], fp32 MFCC frames — normalized ON DEVICE
+        with the fixed-range realtime semantics
+        (utils/data_loaders.py:703-731 via ops/fusion.normalize_mods), then
+        fused + scored at the serving dtype, all as ONE program.
+
+        This is the ingestion-native throughput path: uint8 images stream
+        host->device and HBM at 1 byte/px (4x less than fp32 stacking, 2x
+        less than bf16), and the fixed ranges make the device-side
+        normalization exact — measured +9% fused windows/s at B=16384 over
+        bf16 modality tensors (scripts/raw_input_probe.py), score rel err
+        vs the host-normalized bf16 path 9.7e-5."""
+        if self.fusion_params is None:
+            raise ValueError("score_sensor needs fusion_params")
+        n = r.shape[0]
+        if self.mesh is not None:
+            r, d, t, m = (self._shard_edge(v) for v in (r, d, t, m))
+        return _score_sensor(self.model, self.params, self.state,
+                             self.fusion_params, r, d, t, m,
+                             dtype=self.compute_dtype)[:n]
+
+    def fuse_sensor(self, r, d, t, m) -> jax.Array:
+        """Normalize NATIVE sensor payloads on device (fixed-range realtime
+        semantics) and fuse at the serving dtype — the windows feeding
+        score_nap_windows / score_sap_windows / nap_diffs.  One program."""
+        if self.fusion_params is None:
+            raise ValueError("fuse_sensor needs fusion_params")
+        n = r.shape[0]
+        if self.mesh is not None:
+            r, d, t, m = (self._shard_edge(v) for v in (r, d, t, m))
+        return _fuse_sensor(self.fusion_params, r, d, t, m,
+                            dtype=self.compute_dtype)[:n]
+
+    def score_nap_sensor(self, r, d, t, m) -> jax.Array:
+        """NATIVE sensor payloads -> device-side normalize + fuse -> RaPP
+        diffs -> NAP score at the serving precision (fuse_sensor +
+        score_nap_windows)."""
+        return self.score_nap_windows(self.fuse_sensor(r, d, t, m))
 
 
 #: default whitening-variance floor (relative to the max column variance)
@@ -525,6 +582,24 @@ def _score_raw(model, params, state, fusion_params, keys, mods):
     x_hat = _forward(model, params, state, x)
     d = (x_hat.astype(jnp.float32) - x.astype(jnp.float32))
     return jnp.mean(d * d, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("dtype",))
+def _fuse_sensor(fusion_params, r, d, t, m, *, dtype):
+    from icra2021_multimodal_ad_tpu.ops.fusion import normalize_mods
+
+    rn, dn, tn, mn = normalize_mods(r, d, t, m)
+    return fuse(fusion_params, sensor="All",
+                r=rn.astype(dtype), d=dn.astype(dtype),
+                t=tn.astype(dtype), m=mn.astype(dtype))
+
+
+@partial(jax.jit, static_argnames=("model", "dtype"))
+def _score_sensor(model, params, state, fusion_params, r, d, t, m, *, dtype):
+    x = _fuse_sensor(fusion_params, r, d, t, m, dtype=dtype)
+    x_hat = _forward(model, params, state, x)
+    delta = (x_hat.astype(jnp.float32) - x.astype(jnp.float32))
+    return jnp.mean(delta * delta, axis=-1)
 
 
 def bf16_accuracy_guard(config, model, params, state, x,

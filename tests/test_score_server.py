@@ -424,3 +424,90 @@ def test_stop_closes_accepted_connections_across_restart():
                 c.score(x), np.asarray(server.serving.score_fused(x)))
     finally:
         server.stop()
+
+
+@pytest.fixture(scope="module")
+def served_all():
+    """A sensor='All' server (fusion frontend rebuilt from config.seed) for
+    the raw-sensor-op tests; fp32 + variance-floored NAP stats like
+    `served`."""
+    from icra2021_multimodal_ad_tpu.ops.rapp import get_diffs
+    from icra2021_multimodal_ad_tpu.ops.scoring import (
+        concat_diffs,
+        nap_effective_stats,
+        nap_fit,
+    )
+
+    cfg = Config(sensor="All", n_layers=2, btl_size=6, verbose=0)
+    cfg = cfg.replace(input_size=get_input_size(cfg))
+    model, params, state = get_model(cfg)
+    rng = np.random.default_rng(2)
+    xfit = rng.normal(0, 1, (96, cfg.input_size)).astype(np.float32)
+    stats = nap_effective_stats(
+        nap_fit(concat_diffs(get_diffs(xfit, model, params, state))), 1e-6)
+    server = ScoreServer(cfg, model, params, state, nap_stats=stats,
+                         max_batch=32)
+    port = server.start()
+    yield server, port, cfg
+    server.stop()
+
+
+def _sensor_batch(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, 256, (n, 3, 32, 32)).astype(np.uint8),
+            rng.integers(0, 256, (n, 1, 32, 32)).astype(np.uint8),
+            rng.uniform(0, 400, (n, 1)).astype(np.float32),
+            rng.uniform(-30, 30, (n, 1, 13)).astype(np.float32))
+
+
+def test_sensor_ops_match_in_process_bundle(served_all):
+    """Raw-sensor ops ship uint8 frames + newtons + MFCC frames; the
+    server normalizes/fuses/scores.  Scores must match the in-process
+    bundle on NON-bucket sizes too — the pad rows are edge-replicated so
+    the per-request mic min-max is untouched."""
+    server, port, cfg = served_all
+    bundle = server.serving
+    assert bundle.fusion_params is not None
+    with ScoreClient(("127.0.0.1", port)) as client:
+        for n in (1, 7, 31):
+            r, d, t, m = _sensor_batch(n, seed=n)
+            for op, want in (
+                ("score_base_sensor",
+                 bundle.score_sensor(r, d, t, m)),
+                ("score_sap_sensor",
+                 bundle.score_sap_windows(bundle.fuse_sensor(r, d, t, m))),
+                ("score_nap_sensor",
+                 bundle.score_nap_sensor(r, d, t, m)),
+            ):
+                got = client.score_sensor(r, d, t, m, op=op)
+                np.testing.assert_allclose(
+                    got, np.asarray(want), rtol=1e-4, atol=1e-6,
+                    err_msg=f"{op} n={n}")
+
+
+def test_sensor_ops_listed_and_gated_by_fusion(served, served_all):
+    """info() advertises SENSOR_OPS only when the server has the fusion
+    frontend; a non-All server rejects them with a clear error."""
+    _, port_ft, _ = served
+    _, port_all, _ = served_all
+    with ScoreClient(("127.0.0.1", port_all)) as c:
+        assert "score_base_sensor" in c.info()["ops"]
+    with ScoreClient(("127.0.0.1", port_ft)) as c:
+        assert "score_base_sensor" not in c.info()["ops"]
+        r, d, t, m = _sensor_batch(2)
+        with pytest.raises(RuntimeError, match="sensor='All'"):
+            c.score_sensor(r, d, t, m)
+
+
+def test_sensor_request_size_and_shape_errors(served_all):
+    """Requests above max_batch are refused (a request IS the
+    normalization window); mismatched payload sizes get a clear error."""
+    server, port, cfg = served_all
+    with ScoreClient(("127.0.0.1", port)) as c:
+        r, d, t, m = _sensor_batch(server.max_batch + 1)
+        with pytest.raises(RuntimeError, match="max_batch"):
+            c.score_sensor(r, d, t, m)
+        # row-count mismatch across modalities
+        r2, d2, t2, m2 = _sensor_batch(4)
+        with pytest.raises(RuntimeError, match="rows"):
+            c.score_sensor(r2, d2, t2[:3], m2)

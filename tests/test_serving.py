@@ -803,3 +803,94 @@ def test_guard_fast_serving_kind_mismatch_raises():
     with pytest.raises(ValueError, match="same config"):
         nap_accuracy_guard(cfg16, model, params, state, stats, x[:16],
                            fast_serving=int8_bundle)
+
+
+def _sensor_payloads(B, seed=3):
+    rng = np.random.default_rng(seed)
+    return (
+        jnp.asarray(rng.integers(0, 256, (B, 3, 32, 32)), jnp.uint8),
+        jnp.asarray(rng.integers(0, 256, (B, 1, 32, 32)), jnp.uint8),
+        jnp.asarray(rng.uniform(0, 400, (B, 1)), jnp.float32),
+        jnp.asarray(rng.uniform(-30, 30, (B, 1, 13)), jnp.float32),
+    )
+
+
+def test_score_sensor_native_payloads_match_host_normalized():
+    """score_sensor takes NATIVE uint8 camera payloads + newtons + MFCC
+    frames and normalizes on device; fp32 must reproduce score_raw on the
+    equivalently-normalized tensors bit-for-bit (fixed-range normalization
+    of integer values is exact), bf16 within the serving tolerance."""
+    from icra2021_multimodal_ad_tpu.ops.fusion import normalize_mods
+
+    cfg, model, params, state = _setup()
+    fusion_params = fusion_init(jax.random.PRNGKey(0))
+    r, d, t, m = _sensor_payloads(8)
+    rn, dn, tn, mn = jax.jit(normalize_mods)(r, d, t, m)
+
+    fp32 = make_serving(cfg, model, params, state,
+                        fusion_params=fusion_params)
+    s_sensor = np.asarray(fp32.score_sensor(r, d, t, m))
+    s_raw = np.asarray(fp32.score_raw(r=rn, d=dn, t=tn, m=mn))
+    assert s_sensor.shape == (8,)
+    np.testing.assert_array_equal(s_sensor, s_raw)
+
+    bf16 = make_serving(cfg.replace(compute_dtype="bfloat16"),
+                        model, params, state, fusion_params=fusion_params)
+    s16 = np.asarray(bf16.score_sensor(r, d, t, m))
+    rel = np.abs(s16 - s_sensor) / (np.abs(s_sensor) + 1e-6)
+    assert rel.mean() < 5e-2, rel.mean()
+
+    # fused windows of the sensor path == fuse(normalize) exactly (fp32)
+    x_sensor = np.asarray(fp32.fuse_sensor(r, d, t, m))
+    from icra2021_multimodal_ad_tpu.ops.fusion import fuse
+
+    x_ref = np.asarray(fuse(fusion_params, sensor="All",
+                            r=rn, d=dn, t=tn, m=mn))
+    np.testing.assert_array_equal(x_sensor, x_ref)
+
+
+def test_score_nap_sensor_matches_windows_path():
+    """score_nap_sensor == fuse_sensor -> score_nap_windows (same stats,
+    same precision) — the NAP form of the native-payload entry."""
+    from icra2021_multimodal_ad_tpu.ops.rapp import diffs_batch
+    from icra2021_multimodal_ad_tpu.ops.scoring import nap_fit
+
+    cfg, model, params, state = _setup()
+    fusion_params = fusion_init(jax.random.PRNGKey(0))
+    r, d, t, m = _sensor_payloads(12, seed=5)
+    rng = np.random.default_rng(6)
+    fit_x = jnp.asarray(rng.normal(size=(96, 1728)), jnp.float32)
+    cat = jnp.concatenate(diffs_batch(model, params, state, fit_x), axis=-1)
+    stats = nap_fit(cat)
+
+    serving = make_serving(cfg, model, params, state,
+                           fusion_params=fusion_params, nap_stats=stats)
+    s1 = np.asarray(serving.score_nap_sensor(r, d, t, m))
+    s2 = np.asarray(serving.score_nap_windows(serving.fuse_sensor(r, d, t, m)))
+    assert s1.shape == (12,)
+    np.testing.assert_array_equal(s1, s2)
+
+
+def test_mesh_score_sensor_matches_single_device():
+    """Mesh-sharded score_sensor must equal the single-device scores on a
+    NON-divisible batch: the pad rows are edge-REPLICATED (zero rows would
+    shift the batch-global mic min-max and perturb real rows — the exact
+    failure this test guards)."""
+    from icra2021_multimodal_ad_tpu.parallel.mesh import get_mesh
+
+    cfg, model, params, state = _setup()
+    fusion_params = fusion_init(jax.random.PRNGKey(0))
+    mesh = get_mesh(8)
+    r, d, t, m = _sensor_payloads(37, seed=7)  # 37 % 8 != 0
+    # make row 0 NOT the batch min/max carrier so replication is exercised
+    # on a row whose values genuinely lie inside the range
+    m = m.at[0].set(0.0)
+
+    single = make_serving(cfg, model, params, state,
+                          fusion_params=fusion_params)
+    sharded = make_serving(cfg, model, params, state,
+                           fusion_params=fusion_params, mesh=mesh)
+    s1 = np.asarray(single.score_sensor(r, d, t, m))
+    sm = np.asarray(sharded.score_sensor(r, d, t, m))
+    assert sm.shape == (37,)
+    np.testing.assert_allclose(sm, s1, rtol=2e-4, atol=1e-6)

@@ -495,3 +495,38 @@ def test_guard_live_certifies_cached_bundle(monkeypatch):
     det.run(src, n_ticks=1, nap=True, guard_tol=1e9,
             tick_hook=lambda i: src.tick())
     assert seen.get("fast_serving") is det._nap_serving()
+
+
+def test_uint8_rings_score_bit_identical_to_fp32_rings():
+    """_stack_host_inputs keeps the camera rings' native uint8 dtype (4x
+    smaller host->device transfer); the device-side fixed-range
+    normalization must make the scores BIT-identical to fp32-stacked rings
+    of the same values."""
+    from icra2021_multimodal_ad_tpu.data.streaming import _stack_host_inputs
+    from icra2021_multimodal_ad_tpu.ops.mfcc import mfcc_from_int16_chunks
+
+    cfg = _cfg()
+    model, params, state = get_model(cfg)
+    fp = fusion_init(jax.random.PRNGKey(0))
+    det = StreamingDetector(cfg, model, params, state, fusion_params=fp)
+
+    src = SimulatedSensors(batch_size=cfg.batch_size, seed=3)
+    for _ in range(12):
+        src.tick()
+    force_q = src.force_q.snapshot()
+    hand_q = src.hand_q.snapshot()
+    depth_q = src.depth_q.snapshot()
+    mic_frames = mfcc_from_int16_chunks(src.mic_q.snapshot(), cfg,
+                                        length=cfg.batch_size / 10.0)
+    assert hand_q[0].dtype == np.uint8  # the simulator publishes uint8
+
+    r, d, t, m = _stack_host_inputs(cfg, force_q, hand_q, depth_q,
+                                    mic_frames)
+    assert r.dtype == np.uint8 and d.dtype == np.uint8
+
+    s_u8 = det.score_queues(force_q, hand_q, depth_q, mic_frames)
+    s_f32 = det.score_queues(force_q,
+                             [h.astype(np.float32) for h in hand_q],
+                             [dd.astype(np.float32) for dd in depth_q],
+                             mic_frames)
+    np.testing.assert_array_equal(s_u8, s_f32)
