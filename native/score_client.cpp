@@ -13,6 +13,16 @@
 //   score_client HOST PORT score_base|score_sap|score_nap N D
 //       reads N*D little-endian float32 on stdin,
 //       writes N little-endian float32 scores on stdout.
+//   score_client HOST PORT score_base_sensor|score_sap_sensor|
+//                          score_nap_sensor N H W
+//       raw-sensor ops (ScoreServer.SENSOR_OPS): the robot host ships
+//       NATIVE payloads and the SERVER normalizes + fuses + scores — no
+//       fusion convs client-side and 4x fewer image bytes on the wire
+//       than fp32 fused windows.  stdin carries the four modality
+//       segments concatenated in wire order (score_server._SENSOR_FIELDS):
+//         rgb   N*3*H*W uint8        depth N*1*H*W uint8
+//         force N*1 little-endian f32   mic N*1*13 little-endian f32
+//       and stdout gets N little-endian float32 scores.
 //
 // Exit codes: 0 ok, 1 usage, 2 connect/IO failure, 3 server-side error
 // (message on stderr).
@@ -114,27 +124,37 @@ int dial(const char* host, const char* port) {
   return fd;
 }
 
+bool is_sensor_op(const std::string& op) {
+  return op.size() > 7 && op.compare(op.size() - 7, 7, "_sensor") == 0;
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
-  if (argc != 4 && argc != 6) {
+  if (argc < 4 || argc > 7) {
     fprintf(stderr,
             "usage: %s HOST PORT info\n"
             "       %s HOST PORT score_base|score_sap|score_nap N D "
-            "(N*D f32 on stdin -> N f32 on stdout)\n",
-            argv[0], argv[0]);
+            "(N*D f32 on stdin -> N f32 on stdout)\n"
+            "       %s HOST PORT score_{base,sap,nap}_sensor N H W "
+            "(u8 rgb+depth, f32 force+mic on stdin -> N f32 on stdout)\n",
+            argv[0], argv[0], argv[0]);
     return 1;
   }
   const char* host = argv[1];
   const char* port = argv[2];
   const std::string op = argv[3];
   // arity must match the op: a score op at argc==4 would read
-  // argv[4]==NULL below, and info takes no N/D
+  // argv[4]==NULL below, info takes no N/D, and sensor ops need H W
   if (op == "info" && argc != 4) {
     fprintf(stderr, "score_client: info takes no N D arguments\n");
     return 1;
   }
-  if (op != "info" && argc != 6) {
+  if (is_sensor_op(op) && argc != 7) {
+    fprintf(stderr, "score_client: %s needs N H W\n", op.c_str());
+    return 1;
+  }
+  if (op != "info" && !is_sensor_op(op) && argc != 6) {
     fprintf(stderr, "score_client: %s needs N and D\n", op.c_str());
     return 1;
   }
@@ -164,18 +184,26 @@ int main(int argc, char** argv) {
   }
 
   long n = strtol(argv[4], nullptr, 10);
-  long d = strtol(argv[5], nullptr, 10);
-  if (n <= 0 || d <= 0) {
-    fprintf(stderr, "score_client: N and D must be positive\n");
+  long d = strtol(argv[5], nullptr, 10);  // D for window ops, H for sensor
+  long w = is_sensor_op(op) ? strtol(argv[6], nullptr, 10) : 1;
+  if (n <= 0 || d <= 0 || w <= 0) {
+    fprintf(stderr, "score_client: %s must be positive\n",
+            is_sensor_op(op) ? "N, H and W" : "N and D");
     close(fd);
     return 1;
   }
   // size math in uint64_t BEFORE any size_t cast: on 32-bit size_t hosts
   // (robot-side ARM builds) n*d*4 can wrap to a small value and slip under
   // the ceiling — the server would still reject the payload-length
-  // mismatch, but the client-side guard must catch it here
+  // mismatch, but the client-side guard must catch it here.
+  // Sensor payload = rgb n*3*H*W u8 + depth n*1*H*W u8 + force n*1 f32
+  // + mic n*1*13 f32, in that wire order (_SENSOR_FIELDS).
   const uint64_t bytes64 =
-      static_cast<uint64_t>(n) * static_cast<uint64_t>(d) * 4;
+      is_sensor_op(op)
+          ? static_cast<uint64_t>(n) *
+                (4 * static_cast<uint64_t>(d) * static_cast<uint64_t>(w) +
+                 4 + 13 * 4)
+          : static_cast<uint64_t>(n) * static_cast<uint64_t>(d) * 4;
   if (bytes64 + 200 > (1ull << 30)) {  // header headroom under the ceiling
     fprintf(stderr,
             "score_client: %llu payload bytes exceed the server's 1 GiB "
@@ -193,10 +221,19 @@ int main(int argc, char** argv) {
     return 1;
   }
 
-  char head[160];
-  snprintf(head, sizeof(head),
-           "{\"op\": \"%s\", \"shape\": [%ld, %ld], \"dtype\": \"float32\"}",
-           op.c_str(), n, d);
+  char head[320];
+  if (is_sensor_op(op)) {
+    snprintf(head, sizeof(head),
+             "{\"op\": \"%s\", \"sensor_shapes\": {"
+             "\"r\": [%ld, 3, %ld, %ld], \"d\": [%ld, 1, %ld, %ld], "
+             "\"t\": [%ld, 1], \"m\": [%ld, 1, 13]}}",
+             op.c_str(), n, d, w, n, d, w, n, n);
+  } else {
+    snprintf(
+        head, sizeof(head),
+        "{\"op\": \"%s\", \"shape\": [%ld, %ld], \"dtype\": \"float32\"}",
+        op.c_str(), n, d);
+  }
   if (!send_frame(fd, head, rows.data(), bytes) ||
       !recv_frame(fd, &header, &payload)) {
     fprintf(stderr, "score_client: transport failure\n");

@@ -511,3 +511,33 @@ def test_sensor_request_size_and_shape_errors(served_all):
         r2, d2, t2, m2 = _sensor_batch(4)
         with pytest.raises(RuntimeError, match="rows"):
             c.score_sensor(r2, d2, t2[:3], m2)
+
+
+def test_native_cpp_client_sensor_ops(served_all, native_client):
+    """The C++ binary ships NATIVE sensor payloads (uint8 frames + f32
+    force/MFCC concatenated in _SENSOR_FIELDS wire order) and its scores
+    match the Python client byte-for-byte — the robot-host path where the
+    4x wire saving matters most, executed through the real binary."""
+    import subprocess
+
+    server, port, cfg = served_all
+    r, d, t, m = _sensor_batch(5, seed=11)
+    blob = (r.tobytes() + d.tobytes()
+            + t.astype("<f4").tobytes() + m.astype("<f4").tobytes())
+    for op in ("score_base_sensor", "score_sap_sensor", "score_nap_sensor"):
+        run = subprocess.run(
+            [native_client, "127.0.0.1", str(port), op, "5", "32", "32"],
+            input=blob, capture_output=True, timeout=120)
+        assert run.returncode == 0, (op, run.stderr.decode())
+        got = np.frombuffer(run.stdout, "<f4")
+        with ScoreClient(("127.0.0.1", port)) as c:
+            want = c.score_sensor(r, d, t, m, op=op)
+        np.testing.assert_array_equal(got, want, err_msg=op)
+
+    # truncated stdin (wrong H) dies client-side with a clear message
+    bad = subprocess.run(
+        [native_client, "127.0.0.1", str(port), "score_base_sensor",
+         "5", "32"],
+        input=blob, capture_output=True, timeout=60)
+    assert bad.returncode == 1
+    assert b"needs N H W" in bad.stderr
