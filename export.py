@@ -19,6 +19,12 @@ Artifacts (selected via --ops):
                (the deployable streaming scorer)
   nap          concat diffs -> NAP score (for callers that extract
                diffs themselves)
+  base_sensor  NATIVE payloads (uint8 camera/depth frames + newtons +
+               MFCC) -> device-side normalize + fuse -> BASE score —
+               the ingestion-native robot-side artifact (needs a
+               sensor='All' checkpoint; fusion projection baked in)
+  nap_sensor   same ingestion, through RaPP diffs to the whitened NAP
+               score at the bundle's certified precision
 
 With --guard_tol, low-precision bundles (bfloat16 and/or int8 NAP) must
 pass the fp32 accuracy guard on a probe batch before anything is
@@ -41,7 +47,7 @@ from icra2021_multimodal_ad_tpu.models.builder import build_autoencoder
 from icra2021_multimodal_ad_tpu.ops.scoring import load_nap_stats
 from icra2021_multimodal_ad_tpu.utils.checkpoint import load_checkpoint, to_device
 
-_OPS = ("base", "nap_windows", "nap")
+_OPS = ("base", "nap_windows", "nap", "base_sensor", "nap_sensor")
 
 
 def main():
@@ -90,6 +96,9 @@ def main():
     wants_nap = any(o.startswith("nap") for o in ops)
     if wants_nap and not args.train_diffs:
         p.error("nap exports need --train_diffs")
+    wants_sensor = any(o.endswith("_sensor") for o in ops)
+    if wants_sensor and args.sensor != "All":
+        p.error("sensor exports need --sensor All (the fusion frontend)")
     if (args.guard_tol is not None and args.compute_dtype == "float32"
             and not args.nap_quant):
         p.error("--guard_tol guards the low-precision path; pass "
@@ -113,12 +122,24 @@ def main():
         export_base_scorer,
         export_nap_scorer,
         export_nap_window_scorer,
+        export_sensor_scorer,
         load_scorer,
         make_serving,
         run_precision_guard,
     )
 
-    serving = make_serving(cfg, model, params, state, nap_stats=stats)
+    fusion_params = None
+    if cfg.sensor == "All":
+        import jax
+
+        from icra2021_multimodal_ad_tpu.ops.fusion import fusion_init
+
+        # the fusion frontend is a SEEDED fixed random projection
+        # (ops/fusion.py) — rebuilt from config.seed exactly like the
+        # CLIs and ScoreServer, and baked into the sensor artifacts
+        fusion_params = fusion_init(jax.random.PRNGKey(cfg.seed))
+    serving = make_serving(cfg, model, params, state, nap_stats=stats,
+                           fusion_params=fusion_params)
     probe = np.random.default_rng(cfg.seed).normal(
         0, 1, (args.batch_size, cfg.input_size)).astype(np.float32)
 
@@ -162,24 +183,43 @@ def main():
                                             cfg.input_size, path=path)
             live = serving.score_nap_windows
             arg = probe
-        else:  # nap: concat-diff scorer
+        elif op == "nap":  # concat-diff scorer
             blob = export_nap_scorer(serving, args.batch_size, cat_size,
                                      path=path)
             live = serving.score_nap
             arg = np.random.default_rng(cfg.seed + 1).normal(
                 0, 1, (args.batch_size, cat_size)).astype(np.float32)
+        else:  # base_sensor | nap_sensor: ingestion-native payloads
+            kind = op.split("_")[0]
+            blob = export_sensor_scorer(serving, args.batch_size,
+                                        op=kind, path=path)
+            live = (serving.score_sensor if kind == "base"
+                    else serving.score_nap_sensor)
+            srng = np.random.default_rng(cfg.seed + 2)
+            arg = (srng.integers(0, 256, (args.batch_size, 3, 32, 32),
+                                 dtype=np.uint8),
+                   srng.integers(0, 256, (args.batch_size, 1, 32, 32),
+                                 dtype=np.uint8),
+                   srng.uniform(0, 400, (args.batch_size, 1)
+                                ).astype(np.float32),
+                   srng.uniform(-30, 30, (args.batch_size, 1, 13)
+                                ).astype(np.float32))
         # per-artifact precision provenance: every exporter ships the
         # bundle's own path (int8 whitening / bf16 / exact fp32), so these
         # mirror the global flags — recorded per entry so a consumer of a
         # single blob doesn't have to infer them
+        shape = ([list(a.shape) for a in arg] if isinstance(arg, tuple)
+                 else [args.batch_size, int(arg.shape[1])])
         entry = {"path": os.path.basename(path), "bytes": len(blob),
-                 "input_shape": [args.batch_size, int(arg.shape[1])],
+                 "input_shape": shape,
                  "compute_dtype": args.compute_dtype,
-                 "nap_quant": args.nap_quant if op != "base" else None}
+                 "nap_quant": (args.nap_quant
+                               if not op.startswith("base") else None)}
         if args.verify:
             scorer = load_scorer(path)
-            got = np.asarray(scorer(arg))
-            want = np.asarray(live(arg))
+            a = arg if isinstance(arg, tuple) else (arg,)
+            got = np.asarray(scorer(*a))
+            want = np.asarray(live(*a))
             # the accuracy guards' metric (ops/serving.py
             # nap_accuracy_guard): mean relative score error
             rel = float(np.mean(np.abs(got - want)

@@ -795,21 +795,17 @@ def export_nap_scorer(serving: ServingModel, batch_size: int,
     return blob
 
 
-def export_nap_window_scorer(serving: ServingModel, batch_size: int,
-                             input_size: int,
-                             path: Optional[str] = None) -> bytes:
-    """Serialize the FULL streaming NAP pipeline — fused windows -> RaPP
-    diff extraction -> whitened score — with weights AND whitening stats
-    baked in.  This is the deployable form of score_nap_windows: a single
-    StableHLO artifact that scores (batch, input) windows with no model
-    code, the artifact a robot-side scorer actually ships."""
-    from jax import export as jexport
-
+def _nap_from_fused(serving: ServingModel):
+    """Closure: fused (B, input) windows -> NAP score at the bundle's
+    precision — ONE definition of the export-time dispatch (fp32 exact /
+    bf16 / int8 whitening), shared by export_nap_window_scorer and
+    export_sensor_scorer so per-artifact precision provenance can't
+    drift between them."""
     from icra2021_multimodal_ad_tpu.ops.rapp import diffs_batch
     from icra2021_multimodal_ad_tpu.ops.scoring import nap_score_device
 
     if serving.nap_stats is None:
-        raise ValueError("export_nap_window_scorer needs nap_stats")
+        raise ValueError("NAP export needs nap_stats")
     model, params, state = serving.model, serving.params, serving.state
     stats = serving.nap_stats
     dtype = serving.compute_dtype
@@ -836,8 +832,79 @@ def export_nap_window_scorer(serving: ServingModel, batch_size: int,
         v = stats.rotater.v.astype(dtype)
         return _nap_score_xla(v, offset, inv_std, cat, None)
 
+    return fn
+
+
+def export_nap_window_scorer(serving: ServingModel, batch_size: int,
+                             input_size: int,
+                             path: Optional[str] = None) -> bytes:
+    """Serialize the FULL streaming NAP pipeline — fused windows -> RaPP
+    diff extraction -> whitened score — with weights AND whitening stats
+    baked in.  This is the deployable form of score_nap_windows: a single
+    StableHLO artifact that scores (batch, input) windows with no model
+    code, the artifact a robot-side scorer actually ships."""
+    from jax import export as jexport
+
+    fn = _nap_from_fused(serving)
     exp = jexport.export(jax.jit(fn))(
         jax.ShapeDtypeStruct((batch_size, input_size), jnp.float32)
+    )
+    blob = exp.serialize()
+    if path:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob
+
+
+def export_sensor_scorer(serving: ServingModel, batch_size: int,
+                         op: str = "base", h: int = 32, w: int = 32,
+                         path: Optional[str] = None) -> bytes:
+    """Serialize the INGESTION-NATIVE raw-sensor pipeline as ONE StableHLO
+    artifact: uint8 camera/depth frames + force in newtons + fp32 MFCC
+    frames -> device-side fixed-range normalization
+    (ops/fusion.normalize_mods; the reference's realtime semantics,
+    utils/data_loaders.py:703-731) -> fusion convs -> BASE score
+    (op="base"), or onward through RaPP diff extraction to the whitened
+    NAP score (op="nap") at the bundle's certified precision.
+
+    The deployable form of score_sensor / score_nap_sensor: the robot
+    host ships NATIVE payloads (uint8 images are 4x smaller than fp32
+    fused windows on the wire and in HBM) and needs neither the model
+    code nor the fusion frontend — the seeded fusion projection, the AE
+    weights, and the whitening stats are all baked into the artifact."""
+    from jax import export as jexport
+
+    from icra2021_multimodal_ad_tpu.ops.fusion import normalize_mods
+
+    if serving.fusion_params is None:
+        raise ValueError("export_sensor_scorer needs fusion_params "
+                         "(a sensor='All' bundle)")
+    if op not in ("base", "nap"):
+        raise ValueError(f"op must be 'base' or 'nap', got {op!r}")
+    nap_fn = _nap_from_fused(serving) if op == "nap" else None
+    model, params, state = serving.model, serving.params, serving.state
+    fusion_params = serving.fusion_params
+    dtype = serving.compute_dtype
+
+    def fn(r, d, t, m):
+        rn, dn, tn, mn = normalize_mods(r, d, t, m)
+        x = fuse(fusion_params, sensor="All",
+                 r=rn.astype(dtype), d=dn.astype(dtype),
+                 t=tn.astype(dtype), m=mn.astype(dtype))
+        if nap_fn is not None:
+            # x is already at the bundle dtype; the shared NAP dispatch
+            # casts idempotently, so this is bit-identical to the live
+            # score_nap_sensor = score_nap_windows(fuse_sensor(...))
+            return nap_fn(x)
+        x_hat = _forward(model, params, state, x)
+        delta = (x_hat.astype(jnp.float32) - x.astype(jnp.float32))
+        return jnp.mean(delta * delta, axis=-1)
+
+    exp = jexport.export(jax.jit(fn))(
+        jax.ShapeDtypeStruct((batch_size, 3, h, w), jnp.uint8),
+        jax.ShapeDtypeStruct((batch_size, 1, h, w), jnp.uint8),
+        jax.ShapeDtypeStruct((batch_size, 1), jnp.float32),
+        jax.ShapeDtypeStruct((batch_size, 1, 13), jnp.float32),
     )
     blob = exp.serialize()
     if path:

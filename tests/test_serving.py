@@ -894,3 +894,55 @@ def test_mesh_score_sensor_matches_single_device():
     sm = np.asarray(sharded.score_sensor(r, d, t, m))
     assert sm.shape == (37,)
     np.testing.assert_allclose(sm, s1, rtol=2e-4, atol=1e-6)
+
+
+def test_exported_sensor_scorer_matches_live_pipeline():
+    """The ingestion-native artifact (uint8 frames + newtons + MFCC ->
+    normalize -> fuse -> score) must reproduce the live
+    score_sensor / score_nap_sensor at each certified precision — the
+    robot-side deployable form of the uint8 path, with the seeded fusion
+    projection baked in."""
+    from icra2021_multimodal_ad_tpu.ops.rapp import diffs_batch
+    from icra2021_multimodal_ad_tpu.ops.scoring import nap_fit
+    from icra2021_multimodal_ad_tpu.ops.serving import (
+        export_sensor_scorer,
+        load_scorer,
+    )
+
+    cfg, model, params, state = _setup()
+    fusion_params = fusion_init(jax.random.PRNGKey(0))
+    r, d, t, m = _sensor_payloads(16, seed=9)
+    rng = np.random.default_rng(10)
+    fit_x = jnp.asarray(rng.normal(size=(96, 1728)), jnp.float32)
+    stats = nap_fit(jnp.concatenate(
+        diffs_batch(model, params, state, fit_x), axis=-1))
+
+    # BASE: fp32 artifact is bit-exact vs the live one-program path
+    fp32 = make_serving(cfg, model, params, state,
+                        fusion_params=fusion_params, nap_stats=stats)
+    scorer = load_scorer(export_sensor_scorer(fp32, 16, op="base"))
+    np.testing.assert_allclose(
+        np.asarray(scorer(r, d, t, m)),
+        np.asarray(fp32.score_sensor(r, d, t, m)), rtol=1e-6)
+
+    # NAP at fp32, bf16, and int8 — the artifact must ship the same
+    # precision path the guard certifies (shared _nap_from_fused dispatch)
+    for dtype_name, quant, rtol in (("float32", None, 1e-4),
+                                    ("bfloat16", None, 5e-3),
+                                    ("bfloat16", "int8", 5e-3)):
+        serving = make_serving(cfg.replace(compute_dtype=dtype_name),
+                               model, params, state,
+                               fusion_params=fusion_params,
+                               nap_stats=stats, nap_quant=quant)
+        s = load_scorer(export_sensor_scorer(serving, 16, op="nap"))
+        np.testing.assert_allclose(
+            np.asarray(s(r, d, t, m)),
+            np.asarray(serving.score_nap_sensor(r, d, t, m)),
+            rtol=rtol, atol=1e-6, err_msg=f"{dtype_name}/{quant}")
+
+    # contract guards: no fusion frontend / bad op are clear errors
+    bare = make_serving(cfg, model, params, state, nap_stats=stats)
+    with pytest.raises(ValueError, match="fusion_params"):
+        export_sensor_scorer(bare, 4, op="base")
+    with pytest.raises(ValueError, match="op must be"):
+        export_sensor_scorer(fp32, 4, op="sap")
