@@ -67,6 +67,12 @@ def main():
     p.add_argument("--out_dir", type=str, required=True)
     p.add_argument("--batch_size", type=int, default=1024,
                    help="static batch dimension baked into the artifacts")
+    p.add_argument("--sensor_h", type=int, default=32,
+                   help="camera/depth frame height baked into *_sensor "
+                        "artifacts (full-resolution frames are resized "
+                        "on device by normalize_mods)")
+    p.add_argument("--sensor_w", type=int, default=32,
+                   help="camera/depth frame width for *_sensor artifacts")
     p.add_argument("--ops", type=str, default="base,nap_windows",
                    help=f"comma-separated subset of {_OPS}")
     p.add_argument("--compute_dtype", type=str, default="float32",
@@ -114,6 +120,12 @@ def main():
     cfg = cfg.replace(input_size=get_input_size(cfg))
     params, state, meta = load_checkpoint(cfg.saved_name)
     cfg = reconcile_model_config(cfg, meta)
+    if wants_sensor and cfg.sensor != "All":
+        # the checkpoint's saved config overrides the flag — fail with the
+        # same argparse diagnostic as the pre-reconcile check instead of a
+        # raw ValueError traceback from export_sensor_scorer
+        p.error(f"sensor exports need a sensor='All' checkpoint "
+                f"(checkpoint says sensor={cfg.sensor!r})")
     model = build_autoencoder(cfg)
     params, state = to_device(params), to_device(state)
     stats = load_nap_stats(cfg.train_diffs) if args.train_diffs else None
@@ -168,6 +180,9 @@ def main():
         "input_size": cfg.input_size, "batch_size": args.batch_size,
         "compute_dtype": args.compute_dtype, "nap_quant": args.nap_quant,
         "guard_tol": args.guard_tol, "guard_rel_err": guard_rel,
+        "shape_schema": ("window ops: input_shape=[N,D]; sensor ops: "
+                         "sensor_input_shapes="
+                         "[[N,3,H,W],[N,1,H,W],[N,1],[N,1,13]]"),
         "artifacts": {},
     }
 
@@ -192,13 +207,15 @@ def main():
         else:  # base_sensor | nap_sensor: ingestion-native payloads
             kind = op.split("_")[0]
             blob = export_sensor_scorer(serving, args.batch_size,
-                                        op=kind, path=path)
+                                        op=kind, h=args.sensor_h,
+                                        w=args.sensor_w, path=path)
             live = (serving.score_sensor if kind == "base"
                     else serving.score_nap_sensor)
             srng = np.random.default_rng(cfg.seed + 2)
-            arg = (srng.integers(0, 256, (args.batch_size, 3, 32, 32),
+            hw = (args.sensor_h, args.sensor_w)
+            arg = (srng.integers(0, 256, (args.batch_size, 3, *hw),
                                  dtype=np.uint8),
-                   srng.integers(0, 256, (args.batch_size, 1, 32, 32),
+                   srng.integers(0, 256, (args.batch_size, 1, *hw),
                                  dtype=np.uint8),
                    srng.uniform(0, 400, (args.batch_size, 1)
                                 ).astype(np.float32),
@@ -208,13 +225,18 @@ def main():
         # bundle's own path (int8 whitening / bf16 / exact fp32), so these
         # mirror the global flags — recorded per entry so a consumer of a
         # single blob doesn't have to infer them
-        shape = ([list(a.shape) for a in arg] if isinstance(arg, tuple)
-                 else [args.batch_size, int(arg.shape[1])])
+        # schema: window ops carry `input_shape` = [N, D]; sensor ops carry
+        # `sensor_input_shapes` = [[N,3,H,W],[N,1,H,W],[N,1],[N,1,13]].
+        # Distinct keys so a consumer reading input_shape[1] as the feature
+        # dim can never silently misparse a sensor entry.
         entry = {"path": os.path.basename(path), "bytes": len(blob),
-                 "input_shape": shape,
                  "compute_dtype": args.compute_dtype,
                  "nap_quant": (args.nap_quant
                                if not op.startswith("base") else None)}
+        if isinstance(arg, tuple):
+            entry["sensor_input_shapes"] = [list(a.shape) for a in arg]
+        else:
+            entry["input_shape"] = [args.batch_size, int(arg.shape[1])]
         if args.verify:
             scorer = load_scorer(path)
             a = arg if isinstance(arg, tuple) else (arg,)

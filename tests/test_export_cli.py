@@ -94,6 +94,40 @@ def test_export_cli_guard_certifies_low_precision(trained, tmp_path):
     assert not (out2 / "manifest.json").exists()
 
 
+def test_export_cli_sensor_ops_custom_resolution(tmp_path):
+    """--sensor_h/--sensor_w bake full-resolution frame shapes into the
+    *_sensor artifact (normalize_mods resizes on device), and the manifest
+    records them under the distinct `sensor_input_shapes` key so window-op
+    consumers reading input_shape[1] can never misparse a sensor entry."""
+    cfg = Config(sensor="All", n_layers=2, btl_size=16, verbose=0)
+    cfg = cfg.replace(input_size=get_input_size(cfg))
+    model, params, state = get_model(cfg)
+    ckpt = save_checkpoint(str(tmp_path / "model"), params, state,
+                           config=cfg)
+    out = tmp_path / "sens"
+    _run(["--saved_name", ckpt, "--sensor", "All", "--out_dir", str(out),
+          "--batch_size", "4", "--ops", "base_sensor",
+          "--sensor_h", "48", "--sensor_w", "40"])
+    manifest = json.loads((out / "manifest.json").read_text())
+    assert "sensor_input_shapes" in manifest["shape_schema"]
+    entry = manifest["artifacts"]["base_sensor"]
+    assert entry["sensor_input_shapes"] == [
+        [4, 3, 48, 40], [4, 1, 48, 40], [4, 1], [4, 1, 13]]
+    assert "input_shape" not in entry
+    assert entry["verify_mean_rel_vs_live"] <= 1e-2
+
+
+def test_export_cli_sensor_op_rejects_non_all_checkpoint(trained, tmp_path):
+    """--ops base_sensor with --sensor All but a non-All checkpoint: the
+    reconciled config (checkpoint wins) must fail with the argparse
+    diagnostic, not a raw ValueError from export_sensor_scorer."""
+    root, ckpt, stats_path, cfg = trained
+    with pytest.raises(SystemExit):
+        _run(["--saved_name", ckpt, "--sensor", "All",
+              "--out_dir", str(tmp_path / "bad"), "--ops", "base_sensor"])
+    assert not (tmp_path / "bad" / "manifest.json").exists()
+
+
 def test_export_cli_flag_errors(trained, tmp_path):
     root, ckpt, stats_path, cfg = trained
     with pytest.raises(SystemExit):  # nap export without stats

@@ -1646,10 +1646,37 @@ def test_reference_timesync_prototype_execution_parity(ref, monkeypatch,
 # ---------------------------------------------------------------------------
 
 
-def _repeater_probe_f(config):
-    """Module-level (picklable) sweep body: returns the expanded config's
-    fields so the parent can inspect exactly what each worker received."""
+#: Driver for the reference Repeater.run, executed in a FRESH python
+#: subprocess: the reference's multiprocessing.Pool forks its workers, and
+#: fork under this multithreaded JAX test process is the documented
+#: deadlock RuntimeWarning — a hang there would take the whole suite down.
+#: A clean child process is single-threaded pure python, so the reference's
+#: own fork-based Pool path still executes, safely (the same
+#: subprocess-isolation pattern as test_distributed_multiprocess.py).
+_REPEATER_DRIVER = r"""
+import argparse, importlib.util, json, random, sys
+
+ref_path, seed, grid = sys.argv[1], int(sys.argv[2]), json.loads(sys.argv[3])
+spec = importlib.util.spec_from_file_location("ref_repeater", ref_path)
+mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(mod)
+
+
+def probe(config):
+    # picklable sweep body: returns the expanded config's fields so the
+    # parent can inspect exactly what each worker received
     return dict(vars(config))
+
+
+ns = argparse.Namespace()
+for k, v in grid.items():
+    setattr(ns, k, list(v))
+ns.gpu_id = [0, 1]  # two "GPUs" -> Pool(2) + staggered sleep for both
+repeater = mod.Repeater(ns, probe, interval=3)
+random.seed(seed)
+rows = repeater.run()  # Pool.map preserves input (execution) order
+print(json.dumps({"rows": rows, "gpu_id_after": ns.gpu_id}))
+"""
 
 
 def test_reference_repeater_expansion_execution_parity(ref):
@@ -1664,14 +1691,15 @@ def test_reference_repeater_expansion_execution_parity(ref):
     Twister Fisher-Yates: random.seed(S) + random.shuffle (reference,
     line 50, unseeded in production — seeded here) permutes identically to
     our seeded random.Random(S).shuffle."""
-    import argparse
-    import random
+    import json
+    import subprocess
+    import sys
 
     from icra2021_multimodal_ad_tpu.utils.repeater import convert, expand_grid
 
     rep_mod = _load_ref_module("utils/repeater.py", "ref_repeater")
 
-    # convert parity
+    # convert parity (pure function — safe to execute in-process)
     for x, to in (("1,2,3", int), ("0.1,0.2", float), ("7", int),
                   ("a,b", str), (5, int), (None, int)):
         assert convert(x, to=to) == rep_mod.convert(x, to=to), (x, to)
@@ -1683,14 +1711,16 @@ def test_reference_repeater_expansion_execution_parity(ref):
     }
     seed = 123
 
-    ns = argparse.Namespace()
-    for k, v in grid.items():
-        setattr(ns, k, list(v))
-    ns.gpu_id = [0, 1]  # two "GPUs" -> Pool(2) + staggered sleep for both
-
-    repeater = rep_mod.Repeater(ns, _repeater_probe_f, interval=3)
-    random.seed(seed)
-    ref_rows = repeater.run()  # Pool.map preserves input (execution) order
+    # Repeater.run (and its fork-based Pool) executes in a fresh
+    # subprocess — see _REPEATER_DRIVER
+    proc = subprocess.run(
+        [sys.executable, "-c", _REPEATER_DRIVER,
+         os.path.join(REF, "utils/repeater.py"), str(seed),
+         json.dumps(grid)],
+        capture_output=True, text=True, timeout=180)
+    assert proc.returncode == 0, proc.stderr
+    payload = json.loads(proc.stdout.strip().splitlines()[-1])
+    ref_rows = payload["rows"]
 
     ours = expand_grid(grid, shuffle=True, seed=seed)
 
@@ -1704,4 +1734,4 @@ def test_reference_repeater_expansion_execution_parity(ref):
         assert r["gpu_id"] == [0, 1]
         assert r["sleep"] == (3 * i if i < 2 else 0)
     # the caller's namespace got its gpu_id back (repeater.py:60)
-    assert ns.gpu_id == [0, 1]
+    assert payload["gpu_id_after"] == [0, 1]

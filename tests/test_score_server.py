@@ -534,10 +534,19 @@ def test_native_cpp_client_sensor_ops(served_all, native_client):
             want = c.score_sensor(r, d, t, m, op=op)
         np.testing.assert_array_equal(got, want, err_msg=op)
 
-    # truncated stdin (wrong H) dies client-side with a clear message
+    # missing W argument: usage error before stdin is ever read
     bad = subprocess.run(
         [native_client, "127.0.0.1", str(port), "score_base_sensor",
          "5", "32"],
         input=blob, capture_output=True, timeout=60)
     assert bad.returncode == 1
     assert b"needs N H W" in bad.stderr
+
+    # truncated stdin: read_exact short-reads and dies client-side with
+    # the expected-byte-count message, nothing hits the server
+    short = subprocess.run(
+        [native_client, "127.0.0.1", str(port), "score_base_sensor",
+         "5", "32", "32"],
+        input=blob[: len(blob) // 2], capture_output=True, timeout=60)
+    assert short.returncode == 1
+    assert b"payload bytes on stdin" in short.stderr
