@@ -12,7 +12,20 @@ naive block_until_ready loops can over-report by orders of magnitude.  Every
 number here comes from an ON-DEVICE `lax.fori_loop` whose iterations carry a
 data dependency, with the final scalar fetched to host — execution cannot be
 elided or pipelined away.  Compile time is excluded by differencing a 1-iter
-run.
+run.  Headline and NAP sections additionally record SPREAD
+(`*_spread: [min, max]` windows/s over >=3 paired samples) so
+round-over-round drift is attributable to tunnel variance vs regression.
+
+Budget discipline (VERDICT r3: the r3 artifact died at the driver's
+wall-clock limit with half the board missing): sections run CORE BOARD
+FIRST — fused fp32/bf16, NAP fp32/bf16/int8, trainers, dataset build,
+AUROC — then the r3 additions (sensor-u8, streaming, serve).  A wall-clock
+budget manager (env `BENCH_BUDGET_S`, default 3000 s) checks remaining
+budget against each section's cost estimate and skips-with-reason instead
+of dying mid-section; every completed section re-emits the accumulated
+JSON line, and per-section wall times are recorded in `section_wall_s`.
+The AUROC probe's trained params are cached on disk keyed by
+(config, data digest) so only the first run pays training.
 
 Prints ONE JSON line:
   {"metric": "fused_inference_windows_per_sec", "value": N,
@@ -20,6 +33,7 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import time
 from functools import partial
 
@@ -99,12 +113,24 @@ from icra2021_multimodal_ad_tpu.ops.serving import cast_floats as _cast  # noqa:
 from icra2021_multimodal_ad_tpu.utils.profiling import (  # noqa: E402
     retry as _retry,
     timed_loop as _timed_loop,
+    timed_loop_stats as _timed_loop_stats,
 )
 
 
 def timed_loop(make_body, n_iters=N_ITERS):
     """On-device fori_loop timing (see utils/profiling.timed_loop)."""
     return _timed_loop(make_body, n_iters=n_iters)
+
+
+def tput_stats(make_body, n_windows, n_iters=N_ITERS):
+    """(median windows/s, [min, max] windows/s spread) from >=3 paired
+    timed-loop samples of the SAME compiled programs (profiling.
+    timed_loop_stats) — zero extra compiles over timed_loop."""
+    st = _timed_loop_stats(make_body, n_iters=n_iters)
+    tput = n_windows / st["median_s"]
+    spread = [round(n_windows / st["max_s"], 1),
+              round(n_windows / st["min_s"], 1)]
+    return tput, spread
 
 
 def main():
@@ -114,6 +140,9 @@ def main():
 
     enable_persistent_cache()  # timing differences compiles out; wall time
     # of the bench itself drops a lot on repeat runs over the tunnel
+
+    t_start = time.monotonic()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "3000"))
 
     # Progressive emission: the tunnel has pathological phases (a trivial
     # jit measured at 225 s) where a wall-clock-budgeted bench gets killed
@@ -127,17 +156,70 @@ def main():
         "timing": "on-device fori_loop, compile-excluded, result-fetched",
         "partial": True,
     }
+    errors = {}
+    wall = {}
 
     def emit():
+        if errors:
+            res["section_errors"] = dict(errors)
+        res["section_wall_s"] = {k: round(v, 1) for k, v in wall.items()}
         print(json.dumps(res), flush=True)
 
-    # -- dispatch-RTT floor (BASELINE.md row 2 instrumentation) -------------
+    # Last-resort liveness guard: the tunnel can HANG a single device call
+    # indefinitely (observed: a noop compile stuck >19 min with the device
+    # healthy again right after the process died) — _retry can't catch a
+    # hang, and an external kill (rc=124) loses the board.  A daemon
+    # thread emits the accumulated board and exits 0 cleanly if the main
+    # thread is still wedged 60 s past the budget (the in-band budget
+    # manager normally finishes the run well before this fires).
+    import threading
+
+    def _watchdog():
+        deadline = t_start + budget_s + 60.0
+        while True:
+            left = deadline - time.monotonic()
+            if left <= 0:
+                break
+            time.sleep(min(left, 5.0))
+        errors["watchdog"] = (
+            f"budget {budget_s:.0f}s + 60s grace exhausted with a device "
+            f"call still in flight; emitting the partial board and "
+            f"exiting 0")
+        emit()
+        os._exit(0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    def run_section(name, est_s, fn):
+        """Budget-gated section: skip-with-reason when the remaining
+        budget can't cover the estimate (never die mid-board), record the
+        failure reason otherwise, and re-emit after every section."""
+        elapsed = time.monotonic() - t_start
+        if elapsed + est_s > budget_s:
+            errors[name] = (f"skipped: budget ({elapsed:.0f}s elapsed + "
+                            f"~{est_s:.0f}s est > {budget_s:.0f}s budget)")
+            emit()
+            return False
+        t0 = time.monotonic()
+        try:
+            fn()
+            return True
+        except Exception as e:  # noqa: BLE001 — reason is recorded
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            return False
+        finally:
+            wall[name] = time.monotonic() - t0
+            emit()
+
+    # shared setup state, filled by the sections in order
+    ctx = {}
+
+    # ---- 1. dispatch-RTT floor (BASELINE.md row 2 instrumentation) --------
     # The smallest possible device program, result fetched: everything a
     # latency number below carries ON TOP of this is chip-attributable;
     # the floor itself is the tunnel's dispatch+fetch round trip.  Measured
     # FIRST so even a tunnel-killed run leaves the latency separator.
-    rtt_error = None
-    try:
+    def sec_rtt():
         noop = jax.jit(lambda x: x + 1.0)
         x0 = jnp.float32(0.0)
         _retry(lambda: float(noop(x0)))  # compile
@@ -148,23 +230,39 @@ def main():
             rtts.append(time.perf_counter() - t0)
         res["dispatch_rtt_floor_ms"] = round(float(np.median(rtts)) * 1e3, 2)
         res["dispatch_rtt_floor_min_ms"] = round(min(rtts) * 1e3, 2)
+
+    run_section("rtt", 30, sec_rtt)
+
+    # ---- 2. model + data setup (not a measured section, but timed) --------
+    def sec_setup():
+        cfg = Config(sensor="All", n_layers=5, btl_size=100, verbose=0,
+                     seed=0)
+        cfg = cfg.replace(input_size=get_input_size(cfg))
+        model, params, state = get_model(cfg)
+        fusion_params = fusion_init(jax.random.PRNGKey(cfg.seed))
+        B = 16384
+        rng = np.random.default_rng(0)
+        raw = {
+            "r": jnp.asarray(rng.uniform(0, 1, (B, 3, 32, 32)), jnp.float32),
+            "d": jnp.asarray(rng.uniform(0, 1, (B, 1, 32, 32)), jnp.float32),
+            "t": jnp.asarray(rng.uniform(0, 1, (B, 1)), jnp.float32),
+            "m": jnp.asarray(rng.uniform(-1, 1, (B, 1, 13)), jnp.float32),
+        }
+        ctx.update(cfg=cfg, model=model, params=params, state=state,
+                   fusion_params=fusion_params, B=B, raw=raw, rng=rng,
+                   fp16=_cast(fusion_params, jnp.bfloat16),
+                   p16=_cast(params, jnp.bfloat16),
+                   raw16={k: v.astype(jnp.bfloat16) for k, v in raw.items()})
+
+    if not run_section("setup", 60, sec_setup):
+        res.pop("partial", None)
         emit()
-    except Exception as e:  # noqa: BLE001 — reason is recorded
-        rtt_error = f"{type(e).__name__}: {e}"[:300]
+        return
 
-    cfg = Config(sensor="All", n_layers=5, btl_size=100, verbose=0, seed=0)
-    cfg = cfg.replace(input_size=get_input_size(cfg))
-    model, params, state = get_model(cfg)
-    fusion_params = fusion_init(jax.random.PRNGKey(cfg.seed))
-
-    B = 16384
-    rng = np.random.default_rng(0)
-    raw = {
-        "r": jnp.asarray(rng.uniform(0, 1, (B, 3, 32, 32)), jnp.float32),
-        "d": jnp.asarray(rng.uniform(0, 1, (B, 1, 32, 32)), jnp.float32),
-        "t": jnp.asarray(rng.uniform(0, 1, (B, 1)), jnp.float32),
-        "m": jnp.asarray(rng.uniform(-1, 1, (B, 1, 13)), jnp.float32),
-    }
+    model, params, state = ctx["model"], ctx["params"], ctx["state"]
+    fusion_params, B, raw = ctx["fusion_params"], ctx["B"], ctx["raw"]
+    fp16, p16, raw16 = ctx["fp16"], ctx["p16"], ctx["raw16"]
+    cfg, rng = ctx["cfg"], ctx["rng"]
 
     def fused_score(fp, p, s, mods):
         # fp32 -> exact HIGHEST path; bf16 -> the serving mixed-precision
@@ -176,15 +274,6 @@ def main():
         delta = (x_hat.astype(jnp.float32) - x.astype(jnp.float32))
         return jnp.mean(delta * delta, axis=-1)
 
-    # -- numeric agreement bf16 vs fp32 ------------------------------------
-    s32 = _retry(lambda: jax.jit(fused_score)(fusion_params, params, state, raw))
-    fp16 = _cast(fusion_params, jnp.bfloat16)
-    p16 = _cast(params, jnp.bfloat16)
-    raw16 = {k: v.astype(jnp.bfloat16) for k, v in raw.items()}
-    s16 = _retry(lambda: jax.jit(fused_score)(fp16, p16, state, raw16))
-    rel = float(jnp.mean(jnp.abs(s16 - s32) / (jnp.abs(s32) + 1e-6)))
-
-    # -- throughput: fused pipeline ----------------------------------------
     def make_fused(fp, p, s, mods, dtype):
         def body(i, acc):
             eps = (i.astype(jnp.float32) * 1e-9 + acc * 0).astype(dtype)
@@ -195,207 +284,108 @@ def main():
             return acc + jnp.sum(fused_score(fp, p, s, mods_i))
         return body
 
-    t16 = timed_loop(lambda: make_fused(fp16, p16, state, raw16, jnp.bfloat16))
-    tput16 = B / t16
-    # fp32 path: the full-batch conv compile can trip the remote-compile
-    # tunnel, so fall back through smaller batches rather than skipping —
-    # BASELINE.md's AUROC-parity claim rides on the fp32 path, so the number
-    # must be recorded.  Any failure is recorded with its reason, never
-    # swallowed silently.
-    # batch B//4 first: the full-B fp32 conv compile alone can eat minutes
-    # of tunnel time for <5% more measured throughput
-    tput32, fp32_error = None, None
-    for b32 in (B // 4, B // 16):
-        raw32 = {k: v[:b32] for k, v in raw.items()}
-        try:
-            t32 = timed_loop(
-                lambda: make_fused(fusion_params, params, state, raw32,
-                                   jnp.float32),
+    # ---- 3. CORE: fused inference throughput (the headline) ---------------
+    def sec_fused():
+        s32 = _retry(lambda: jax.jit(fused_score)(fusion_params, params,
+                                                  state, raw))
+        s16 = _retry(lambda: jax.jit(fused_score)(fp16, p16, state, raw16))
+        rel = float(jnp.mean(jnp.abs(s16 - s32) / (jnp.abs(s32) + 1e-6)))
+
+        tput16, spread16 = tput_stats(
+            lambda: make_fused(fp16, p16, state, raw16, jnp.bfloat16), B)
+        # fp32 path: the full-batch conv compile can trip the remote-compile
+        # tunnel, so fall back through smaller batches rather than skipping —
+        # BASELINE.md's AUROC-parity claim rides on the fp32 path, so the
+        # number must be recorded.  batch B//4 first: the full-B fp32 conv
+        # compile alone can eat minutes of tunnel time for <5% more measured
+        # throughput.
+        tput32, spread32, raw32 = None, None, None
+        for b32 in (B // 4, B // 16):
+            raw32 = {k: v[:b32] for k, v in raw.items()}
+            try:
                 # span must dwarf tunnel dispatch noise (>=200 ms):
                 # ~4.5 ms/iter at B//4
-                n_iters=48,
-            )
-            tput32 = b32 / t32
-            fp32_error = None
-            break
-        except Exception as e:  # noqa: BLE001 — reason is recorded
-            fp32_error = f"batch {b32}: {type(e).__name__}: {e}"[:300]
-    headline = tput16 if rel < 5e-2 else (tput32 or tput16)
-    # roofline instrumentation (VERDICT r1: report achieved FLOP/s + % of
-    # v5e peak, not just windows/s): FLOPs/window from XLA's cost analysis
-    # of the exact compiled scoring program
-    f16, by16 = _cost_of(fused_score, fp16, p16, state, raw16)
-    fpw16 = f16 / B if f16 else None
-    bpw16 = by16 / B if by16 else None
-    fpw32 = None
-    if tput32:
-        f = _flops_of(fused_score, fusion_params, params, state, raw32)
-        fpw32 = f / len(raw32["t"]) if f else None
-    res.update({
-        "value": round(headline, 1),
-        "vs_baseline": round(headline / BASELINE_WINDOWS_PER_SEC, 3),
-        "fp32_windows_per_sec": round(tput32, 1) if tput32 else None,
-        "bf16_windows_per_sec": round(tput16, 1),
-        "bf16_score_rel_err": round(rel, 5),
-        "batch": B,
-        "device": str(jax.devices()[0]),
-        "fused_flops_per_window": round(fpw16, 0) if fpw16 else None,
-        "fused_bf16_achieved_tflops":
-            round(tput16 * fpw16 / 1e12, 2) if fpw16 else None,
-        "mfu_fused_bf16": _mfu(tput16, fpw16, V5E_PEAK_BF16_FLOPS),
-        "fused_bf16_bytes_per_window": round(bpw16, 0) if bpw16 else None,
-        "hbm_util_fused_bf16": _mfu(tput16, bpw16, V5E_HBM_BYTES_PER_SEC),
-        "fused_fp32_achieved_tflops":
-            round(tput32 * fpw32 / 1e12, 2) if (tput32 and fpw32) else None,
-        "mfu_fused_fp32_highest":
-            _mfu(tput32, fpw32, V5E_PEAK_FP32_HIGHEST_FLOPS),
-    })
-    emit()
+                tput32, spread32 = tput_stats(
+                    lambda: make_fused(fusion_params, params, state, raw32,
+                                       jnp.float32),
+                    b32, n_iters=48)
+                errors.pop("fused_fp32", None)
+                break
+            except Exception as e:  # noqa: BLE001 — reason is recorded
+                errors["fused_fp32"] = f"batch {b32}: {type(e).__name__}: {e}"[:300]
+        headline = tput16 if rel < 5e-2 else (tput32 or tput16)
+        # roofline instrumentation: FLOPs/window from XLA's cost analysis
+        # of the exact compiled scoring program
+        f16, by16 = _cost_of(fused_score, fp16, p16, state, raw16)
+        fpw16 = f16 / B if f16 else None
+        bpw16 = by16 / B if by16 else None
+        fpw32 = None
+        if tput32:
+            f = _flops_of(fused_score, fusion_params, params, state, raw32)
+            fpw32 = f / len(raw32["t"]) if f else None
+        res.update({
+            "value": round(headline, 1),
+            "vs_baseline": round(headline / BASELINE_WINDOWS_PER_SEC, 3),
+            "fp32_windows_per_sec": round(tput32, 1) if tput32 else None,
+            "fp32_windows_per_sec_spread": spread32,
+            "bf16_windows_per_sec": round(tput16, 1),
+            "bf16_windows_per_sec_spread": spread16,
+            "bf16_score_rel_err": round(rel, 5),
+            "batch": B,
+            "device": str(jax.devices()[0]),
+            "fused_flops_per_window": round(fpw16, 0) if fpw16 else None,
+            "fused_bf16_achieved_tflops":
+                round(tput16 * fpw16 / 1e12, 2) if fpw16 else None,
+            "mfu_fused_bf16": _mfu(tput16, fpw16, V5E_PEAK_BF16_FLOPS),
+            "fused_bf16_bytes_per_window":
+                round(bpw16, 0) if bpw16 else None,
+            "hbm_util_fused_bf16": _mfu(tput16, bpw16,
+                                        V5E_HBM_BYTES_PER_SEC),
+            "fused_fp32_achieved_tflops":
+                round(tput32 * fpw32 / 1e12, 2) if (tput32 and fpw32)
+                else None,
+            "mfu_fused_fp32_highest":
+                _mfu(tput32, fpw32, V5E_PEAK_FP32_HIGHEST_FLOPS),
+        })
+        ctx["tput16"] = tput16
 
-    # -- throughput: ingestion-native uint8 sensor payloads -----------------
-    # score_sensor semantics: uint8 camera frames + newtons + MFCC frames,
-    # fixed-range normalization ON DEVICE (exact — ARCHITECTURE §6.5);
-    # images stream host->device and HBM at 1 byte/px.  Headline `value`
-    # takes this path when it wins AND its bf16-vs-fp32 score error passes
-    # the same 5e-2 bar as the bf16-tensor path.
-    u8_error = None
-    try:
-        from icra2021_multimodal_ad_tpu.ops.serving import _score_sensor
+    run_section("fused", 240, sec_fused)
 
-        r_u8 = jnp.asarray(rng.integers(0, 256, (B, 3, 32, 32)), jnp.uint8)
-        d_u8 = jnp.asarray(rng.integers(0, 256, (B, 1, 32, 32)), jnp.uint8)
-        t_n = jnp.asarray(rng.uniform(0, 400, (B, 1)), jnp.float32)
-        m_n = jnp.asarray(rng.uniform(-30, 30, (B, 1, 13)), jnp.float32)
+    # ---- 4. CORE: NAP setup (diffs + whitening fit, shared downstream) ----
+    def sec_nap_setup():
+        x_all = fuse(fusion_params, sensor="All", **raw)
+        Bn = 4096
+        small = x_all[:Bn]
+        diffs = diffs_batch(model, params, state, small)
+        stats = nap_fit(jnp.concatenate(diffs, axis=-1))
+        offset, inv_std = nap_precompute(stats)
+        ctx.update(x_all=x_all, Bn=Bn, small=small, diffs=diffs,
+                   stats=stats, offset=offset, inv_std=inv_std,
+                   v=stats.rotater.v)
 
-        def make_sensor():
+    have_nap = run_section("nap_setup", 90, sec_nap_setup)
+
+    # ---- 5. CORE: RaPP diffs + NAP scoring, fp32 (offline eval hot path) --
+    def sec_nap_fp32():
+        Bn, small, v = ctx["Bn"], ctx["small"], ctx["v"]
+        offset, inv_std = ctx["offset"], ctx["inv_std"]
+
+        def make_rapp():
             def body(i, acc):
-                # integer payloads carry the loop dependency via a low-bit
-                # XOR (adding eps would change their dtype)
-                bit = (i % 2).astype(jnp.uint8) + jnp.uint8(acc * 0)
-                eps = i.astype(jnp.float32) * 1e-9 + acc * 0
-                return acc + jnp.sum(_score_sensor(
-                    model, p16, state, fp16,
-                    jnp.bitwise_xor(r_u8, bit), jnp.bitwise_xor(d_u8, bit),
-                    t_n + eps, m_n + eps, dtype=jnp.bfloat16))
+                xb = small + (i.astype(jnp.float32) * 1e-9 + acc * 0)
+                dfs = diffs_batch(model, params, state, xb)
+                cat = jnp.concatenate(dfs, axis=-1)
+                rot = jnp.dot(cat, v, preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+                tstd = (rot - offset) * inv_std
+                return acc + jnp.sum(jnp.mean(tstd * tstd, axis=-1))
             return body
 
-        t_u8 = timed_loop(make_sensor)
-        tput_u8 = B / t_u8
-        nb = 4096
-        s32s = _retry(lambda: _score_sensor(
-            model, params, state, fusion_params, r_u8[:nb], d_u8[:nb],
-            t_n[:nb], m_n[:nb], dtype=jnp.float32))
-        s16s = _retry(lambda: _score_sensor(
-            model, p16, state, fp16, r_u8[:nb], d_u8[:nb],
-            t_n[:nb], m_n[:nb], dtype=jnp.bfloat16))
-        rel_u8 = float(jnp.mean(jnp.abs(s16s - s32s)
-                                / (jnp.abs(s32s) + 1e-6)))
-        res["sensor_u8_windows_per_sec"] = round(tput_u8, 1)
-        res["sensor_u8_score_rel_err"] = round(rel_u8, 5)
-        if rel_u8 < 5e-2 and tput_u8 > (res.get("value") or 0):
-            res["value"] = round(tput_u8, 1)
-            res["vs_baseline"] = round(tput_u8 / BASELINE_WINDOWS_PER_SEC, 3)
-            res["headline_path"] = "sensor_u8_bf16"
-        emit()
-    except Exception as e:  # noqa: BLE001 — reason is recorded
-        u8_error = f"{type(e).__name__}: {e}"[:300]
-
-    # -- throughput: RaPP diffs + NAP scoring (offline eval hot path) ------
-    x_all = fuse(fusion_params, sensor="All", **raw)
-    Bn = 4096
-    small = x_all[:Bn]
-    diffs = diffs_batch(model, params, state, small)
-    stats = nap_fit(jnp.concatenate(diffs, axis=-1))
-    offset, inv_std = nap_precompute(stats)
-    v = stats.rotater.v
-
-    # -- latency north-star: streaming ticks + scoring-service round trip ---
-    # BASELINE.md row 2 ("p50 per-window latency measured & minimized,
-    # streaming path").  Both numbers are END-TO-END on the tunneled chip:
-    # subtract dispatch_rtt_floor_ms (above) for the chip-attributable part.
-    # Reference contract: test_file/realtime_tester.py:292,309 prints
-    # per-tick latency with a ~1 s design target per 10-window batch.
-    lat_error = None
-    try:
-        from icra2021_multimodal_ad_tpu.data.streaming import (
-            SimulatedSensors,
-            StreamingDetector,
-        )
-
-        scfg = cfg.replace(batch_size=10, compute_dtype="bfloat16")
-        n_ticks = 41  # first tick (compile) dropped by latency_stats
-
-        def run_ticks(nap):
-            sim = SimulatedSensors(batch_size=10, seed=0)
-            sim.fill(12)  # mic ring needs (batch+1) MFCC windows
-            det = StreamingDetector(scfg, model, params, state,
-                                    fusion_params, nap_stats=stats)
-            det.run(sim, n_ticks=n_ticks, nap=nap,
-                    tick_hook=lambda i: sim.tick())
-            return det.latency_stats()
-
-        st = _retry(lambda: run_ticks(False))  # bf16 BASE one-program tick
-        res["streaming_tick_p50_ms"] = round(st["p50_ms"], 2)
-        res["streaming_tick_p95_ms"] = round(st["p95_ms"], 2)
-        stn = _retry(lambda: run_ticks(True))  # bf16 NAP one-program tick
-        res["streaming_tick_nap_p50_ms"] = round(stn["p50_ms"], 2)
-        res["streaming_tick_nap_p95_ms"] = round(stn["p95_ms"], 2)
-        emit()
-    except Exception as e:  # noqa: BLE001 — reason is recorded
-        lat_error = f"{type(e).__name__}: {e}"[:300]
-
-    serve_error = None
-    try:
-        from icra2021_multimodal_ad_tpu.ops.score_server import (
-            ScoreClient,
-            ScoreServer,
-        )
-
-        server = ScoreServer(cfg.replace(compute_dtype="bfloat16"),
-                             model, params, state, nap_stats=stats,
-                             max_batch=1024)
-        port = server.start()
-        try:
-            xq = np.asarray(x_all[:10], np.float32)
-            with ScoreClient(("127.0.0.1", port)) as client:
-                for op in ("score_base", "score_nap"):
-                    _retry(lambda: client.score(xq, op=op))  # compile bucket
-                    lats = []
-                    for _ in range(30):
-                        t0 = time.perf_counter()
-                        client.score(xq, op=op)
-                        lats.append(time.perf_counter() - t0)
-                    tag = "serve" if op == "score_base" else "serve_nap"
-                    res[f"{tag}_p50_ms"] = round(
-                        float(np.percentile(lats, 50)) * 1e3, 2)
-                    res[f"{tag}_p95_ms"] = round(
-                        float(np.percentile(lats, 95)) * 1e3, 2)
-        finally:
-            server.stop()
-        emit()
-    except Exception as e:  # noqa: BLE001 — reason is recorded
-        serve_error = f"{type(e).__name__}: {e}"[:300]
-
-    def make_rapp():
-        def body(i, acc):
-            xb = small + (i.astype(jnp.float32) * 1e-9 + acc * 0)
-            dfs = diffs_batch(model, params, state, xb)
-            cat = jnp.concatenate(dfs, axis=-1)
-            rot = jnp.dot(cat, v, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-            tstd = (rot - offset) * inv_std
-            return acc + jnp.sum(jnp.mean(tstd * tstd, axis=-1))
-        return body
-
-    nap_tput, nap_error = None, None
-    try:
         # ~13 ms/iter at Bn=4096 -> ~260 ms span
-        t_nap = timed_loop(make_rapp, n_iters=20)
-        nap_tput = Bn / t_nap
-    except Exception as e:  # noqa: BLE001 — reason is recorded
-        nap_error = f"{type(e).__name__}: {e}"[:300]
-    res["rapp_nap_windows_per_sec"] = round(nap_tput, 1) if nap_tput else None
-    if nap_tput:
+        nap_tput, spread = tput_stats(make_rapp, Bn, n_iters=20)
+        res["rapp_nap_windows_per_sec"] = round(nap_tput, 1)
+        res["rapp_nap_windows_per_sec_spread"] = spread
+
         def _nap_once(xb):
             dfs = diffs_batch(model, params, state, xb)
             cat = jnp.concatenate(dfs, axis=-1)
@@ -413,11 +403,14 @@ def main():
         # invariant) -> measured against the bf16x6 effective peak
         res["mfu_nap_fp32_highest"] = _mfu(nap_tput, fpw_nap,
                                            V5E_PEAK_FP32_HIGHEST_FLOPS)
-    emit()
 
-    # -- throughput: bf16 serving NAP (mixed-precision diff extraction +
-    # bf16 whitening matmul against floored stats — ops/serving.py
-    # score_nap_windows semantics, the streaming/serving NAP fast path)
+    if have_nap:
+        run_section("nap_fp32", 120, sec_nap_fp32)
+
+    # ---- 6+7. CORE: low-precision NAP serving (bf16, then int8) -----------
+    # shared setup for BOTH low-precision NAP sections: floored stats,
+    # folded operands, the bf16 probe batch, and the fp32 reference scores
+    # the rel-err fields compare against.
     from icra2021_multimodal_ad_tpu.ops.scoring import (
         nap_effective_stats,
         nap_score_device,
@@ -427,31 +420,33 @@ def main():
         serving_diffs_batch,
     )
 
-    # shared setup for BOTH low-precision NAP sections (bf16 and int8):
-    # floored stats, folded operands, the bf16 probe batch, and the fp32
-    # reference scores the rel-err fields compare against.  Its own try so
-    # a tunnel blip here fails both sections with the real reason, and a
-    # blip inside ONE section cannot NameError the other.
-    nap_lowp_setup_error = None
-    try:
+    def sec_nap_lowp_setup():
+        stats = ctx["stats"]
         stats_f = nap_effective_stats(stats, NAP_VAR_FLOOR_REL_BF16)
         offset_f, inv_std_f = nap_precompute(stats_f)
-        v16 = v.astype(jnp.bfloat16)
-        small16 = small.astype(jnp.bfloat16)
-        cat32 = jnp.concatenate(diffs, axis=-1)
-        s32n = _retry(lambda: jax.jit(nap_score_device)(stats_f, cat32))
-    except Exception as e:  # noqa: BLE001 — reason is recorded
-        nap_lowp_setup_error = f"{type(e).__name__}: {e}"[:300]
+        cat32 = jnp.concatenate(ctx["diffs"], axis=-1)
+        ctx.update(
+            stats_f=stats_f, offset_f=offset_f, inv_std_f=inv_std_f,
+            v16=ctx["v"].astype(jnp.bfloat16),
+            small16=ctx["small"].astype(jnp.bfloat16),
+            s32n=_retry(lambda: jax.jit(nap_score_device)(stats_f, cat32)),
+        )
 
-    nap16_tput, nap16_rel, nap16_error = None, None, nap_lowp_setup_error
-    try:
-        if nap_lowp_setup_error is not None:
-            raise RuntimeError(f"setup failed: {nap_lowp_setup_error}")
+    have_lowp = have_nap and run_section("nap_lowp_setup", 60,
+                                         sec_nap_lowp_setup)
+
+    def sec_nap_bf16():
+        Bn, small16 = ctx["Bn"], ctx["small16"]
+        v16 = ctx["v16"]
+        offset_f, inv_std_f, s32n = (ctx["offset_f"], ctx["inv_std_f"],
+                                     ctx["s32n"])
 
         @jax.jit
         def _score16(xb):
             # the exact computation the timed loop runs per iteration:
             # mixed-precision diffs, bf16 whitening matmul, floored stats
+            # (ops/serving.py score_nap_windows semantics — the
+            # streaming/serving NAP fast path)
             dfs = serving_diffs_batch(model, p16, state, xb)
             cat = jnp.concatenate(dfs, axis=-1).astype(jnp.bfloat16)
             rot = jnp.dot(cat, v16, preferred_element_type=jnp.float32)
@@ -467,39 +462,34 @@ def main():
 
         # ~1-2.5 ms/iter -> >=150 ms span (a 5-iter span once
         # measured above the chip's peak: pure dispatch noise)
-        t_nap16 = timed_loop(make_rapp16, n_iters=128)
-        nap16_tput = Bn / t_nap16
+        tput, spread = tput_stats(make_rapp16, Bn, n_iters=128)
         f = _flops_of(lambda xb: jnp.sum(_score16(xb)), small16)
-        fpw16n = f / Bn if f else None
+        fpw = f / Bn if f else None
         # precision agreement on the SAME floored stats AND the same bf16
         # whitening the timed loop runs (isolates the full dtype effect)
         s16n = _retry(lambda: _score16(small16))
-        nap16_rel = float(jnp.mean(jnp.abs(s16n - s32n)
-                                   / (jnp.abs(s32n) + 1e-6)))
-        # res writes LAST: a blip above must leave no partial section fields
-        res["mfu_nap_bf16"] = _mfu(nap16_tput, fpw16n, V5E_PEAK_BF16_FLOPS)
-        res["rapp_nap_bf16_windows_per_sec"] = round(nap16_tput, 1)
-        res["nap_bf16_score_rel_err"] = round(nap16_rel, 5)
-        emit()
-    except Exception as e:  # noqa: BLE001 — reason is recorded
-        nap16_error = f"{type(e).__name__}: {e}"[:300]
+        rel = float(jnp.mean(jnp.abs(s16n - s32n) / (jnp.abs(s32n) + 1e-6)))
+        res["mfu_nap_bf16"] = _mfu(tput, fpw, V5E_PEAK_BF16_FLOPS)
+        res["rapp_nap_bf16_windows_per_sec"] = round(tput, 1)
+        res["rapp_nap_bf16_windows_per_sec_spread"] = spread
+        res["nap_bf16_score_rel_err"] = round(rel, 5)
 
-    # -- throughput: int8 NAP serving (nap_quant="int8": bf16 diff
-    # extraction + whitening matmul on the MXU int8 path at 2x the bf16
-    # peak; fp32 epilogue — ops/serving._nap_score_int8_xla semantics)
-    nap8_tput, nap8_rel, nap8_error = None, None, nap_lowp_setup_error
-    try:
-        if nap_lowp_setup_error is not None:
-            raise RuntimeError(f"setup failed: {nap_lowp_setup_error}")
+    def sec_nap_int8():
         from icra2021_multimodal_ad_tpu.ops.serving import (
             _nap_score_int8_xla,
             nap_int8_pack,
         )
 
-        pk = nap_int8_pack(stats_f, precomputed=(offset_f, inv_std_f))
+        Bn, small16 = ctx["Bn"], ctx["small16"]
+        s32n = ctx["s32n"]
+        pk = nap_int8_pack(ctx["stats_f"],
+                           precomputed=(ctx["offset_f"], ctx["inv_std_f"]))
 
         @jax.jit
         def _score8(xb):
+            # nap_quant="int8": bf16 diff extraction + whitening matmul on
+            # the MXU int8 path at 2x the bf16 peak; fp32 epilogue
+            # (ops/serving._nap_score_int8_xla semantics)
             dfs = serving_diffs_batch(model, p16, state, xb)
             cat = jnp.concatenate(dfs, axis=-1)
             return _nap_score_int8_xla(pk, cat)
@@ -511,31 +501,29 @@ def main():
                 return acc + jnp.sum(_score8(xb))
             return body
 
-        t_nap8 = timed_loop(make_rapp8, n_iters=128)
-        nap8_tput = Bn / t_nap8
+        tput, spread = tput_stats(make_rapp8, Bn, n_iters=128)
         f = _flops_of(lambda xb: jnp.sum(_score8(xb)), small16)
-        fpw8n = f / Bn if f else None
+        fpw = f / Bn if f else None
         s8n = _retry(lambda: _score8(small16))
-        nap8_rel = float(jnp.mean(jnp.abs(s8n - s32n)
-                                  / (jnp.abs(s32n) + 1e-6)))
-        # res writes LAST: a blip above must leave no partial section fields
-        res["mfu_nap_int8"] = _mfu(nap8_tput, fpw8n, V5E_PEAK_INT8_FLOPS)
-        res["rapp_nap_int8_windows_per_sec"] = round(nap8_tput, 1)
-        res["nap_int8_score_rel_err"] = round(nap8_rel, 5)
+        rel = float(jnp.mean(jnp.abs(s8n - s32n) / (jnp.abs(s32n) + 1e-6)))
+        res["mfu_nap_int8"] = _mfu(tput, fpw, V5E_PEAK_INT8_FLOPS)
+        res["rapp_nap_int8_windows_per_sec"] = round(tput, 1)
+        res["rapp_nap_int8_windows_per_sec_spread"] = spread
+        res["nap_int8_score_rel_err"] = round(rel, 5)
         res["nap_int8_bf16_tail_cols"] = (
             int(pk.v16.shape[1]) if pk.v16 is not None else 0)
-        emit()
-    except Exception as e:  # noqa: BLE001 — reason is recorded
-        nap8_error = f"{type(e).__name__}: {e}"[:300]
 
-    # -- throughput: training step (synthetic fori_loop upper bound) --------
+    if have_lowp:
+        run_section("nap_bf16", 120, sec_nap_bf16)
+        run_section("nap_int8", 120, sec_nap_int8)
+
+    # ---- 8+9. CORE: training step throughput (fp32, then bf16) ------------
     import optax
 
     from icra2021_multimodal_ad_tpu.models.autoencoder import ae_loss
 
     optimizer = optax.adam(1e-3)
     Bt = 7000
-    xt = x_all[:Bt]
 
     def make_train_loop(xtrain):
         # the input dtype selects the trainer numerics at trace time
@@ -561,10 +549,12 @@ def main():
     def time_train_loop(train_loop):
         opt_state = optimizer.init(params)
         float(train_loop(params, state, opt_state, 1))
-        t0 = time.perf_counter(); float(train_loop(params, state, opt_state, 1))
+        t0 = time.perf_counter()
+        float(train_loop(params, state, opt_state, 1))
         t1 = time.perf_counter() - t0
         float(train_loop(params, state, opt_state, 6))
-        t0 = time.perf_counter(); float(train_loop(params, state, opt_state, 6))
+        t0 = time.perf_counter()
+        float(train_loop(params, state, opt_state, 6))
         t6 = time.perf_counter() - t0
         return Bt / max((t6 - t1) / 5, 1e-9)
 
@@ -593,52 +583,50 @@ def main():
 
         return _flops_of(step, params, state, o0)
 
-    train_tput, train_error = None, None
-    try:
+    def sec_train_fp32():
+        xt = ctx["x_all"][:Bt]
+        ctx["xt"] = xt
         train_loop = make_train_loop(xt)
         opt_state = optimizer.init(params)
-        train_tput = time_train_loop(train_loop)
-        res["train_windows_per_sec"] = round(train_tput, 1)
+        tput = time_train_loop(train_loop)
+        ctx["train_tput"] = tput
+        res["train_windows_per_sec"] = round(tput, 1)
         f = train_flops_per_step(xt, opt_state)
-        fpw_tr = f / Bt if f else None
-        res["train_flops_per_window"] = (round(fpw_tr, 0) if fpw_tr
-                                         else None)
+        fpw = f / Bt if f else None
+        res["train_flops_per_window"] = round(fpw, 0) if fpw else None
         # trainer matmuls run precision=HIGHEST fp32 (model-path invariant)
-        res["mfu_train_fp32_highest"] = _mfu(train_tput, fpw_tr,
+        res["mfu_train_fp32_highest"] = _mfu(tput, fpw,
                                              V5E_PEAK_FP32_HIGHEST_FLOPS)
-        emit()
-    except Exception as e:  # noqa: BLE001 — reason is recorded
-        train_error = f"{type(e).__name__}: {e}"[:300]
 
-    # -- throughput: mixed-precision trainer (train_dtype="bfloat16") -------
-    train16_tput, train16_error = None, None
-    try:
-        loop16 = make_train_loop(xt.astype(jnp.bfloat16))
+    def sec_train_bf16():
+        xt16 = ctx["xt"].astype(jnp.bfloat16)
+        loop16 = make_train_loop(xt16)
         opt16 = optimizer.init(params)
-        train16_tput = time_train_loop(loop16)
-        res["train_bf16_windows_per_sec"] = round(train16_tput, 1)
-        f = train_flops_per_step(xt.astype(jnp.bfloat16), opt16)
-        fpw16t = f / Bt if f else None
-        res["mfu_train_bf16"] = _mfu(train16_tput, fpw16t,
-                                     V5E_PEAK_BF16_FLOPS)
-        if train_tput:
-            res["train_bf16_speedup"] = round(train16_tput / train_tput, 2)
-        emit()
-    except Exception as e:  # noqa: BLE001 — reason is recorded
-        train16_error = f"{type(e).__name__}: {e}"[:300]
+        tput = time_train_loop(loop16)
+        res["train_bf16_windows_per_sec"] = round(tput, 1)
+        f = train_flops_per_step(xt16, opt16)
+        fpw = f / Bt if f else None
+        res["mfu_train_bf16"] = _mfu(tput, fpw, V5E_PEAK_BF16_FLOPS)
+        if ctx.get("train_tput"):
+            res["train_bf16_speedup"] = round(tput / ctx["train_tput"], 2)
 
-    # -- throughput: the REAL trainer (NoveltyDetecter.train, fused mode) ---
+    if have_nap:
+        if run_section("train_fp32", 150, sec_train_fp32):
+            run_section("train_bf16", 150, sec_train_bf16)
+
+    # ---- 10. CORE: the REAL trainer (NoveltyDetecter.train, fused mode) ---
     # Times the shipped product path, not an idealized loop: the whole run
     # (shuffle + scan over batches + eval + device-side best-model select)
     # is one device program per call; compile excluded by differencing a
-    # 1-epoch run against a 6-epoch run.
-    from icra2021_multimodal_ad_tpu.train import NoveltyDetecter
+    # 1-epoch run against a (span+1)-epoch run.
+    def sec_trainer_path():
+        import statistics
 
-    trainer_tput, trainer_error = None, None
-    try:
+        from icra2021_multimodal_ad_tpu.train import NoveltyDetecter
+
         n_rows = Bt * 2
-        xtr = x_all[:n_rows]
-        xva = x_all[:Bt]
+        xtr = ctx["x_all"][:n_rows]
+        xva = ctx["x_all"][:Bt]
 
         def run_train(n_epochs):
             det = NoveltyDetecter(cfg.replace(
@@ -648,20 +636,14 @@ def main():
             r = det.train(model, params, state, xtr, xva, fused=True)
             return r.valid_history[-1]
 
-        # 100-epoch span: each epoch is ~40 ms of compute while the tunneled
-        # device's fixed dispatch+fetch overhead varies by hundreds of ms —
-        # the span must swamp that noise (measured: a 20-epoch span reported
-        # 4x low).  The epoch-scan program compiles once per epoch-count.
         def measure_train(n_epochs):
             t0 = time.perf_counter()
             run_train(n_epochs)
             return time.perf_counter() - t0
 
         # the tunnel's fixed dispatch+fetch overhead varies by SECONDS run
-        # to run, so the span must dwarf it (500 epochs ~ 17 s of compute)
-        # and each point is a median of 3
-        import statistics
-
+        # to run, so the span must dwarf it (500 epochs ~ 17 s of compute;
+        # a 20-epoch span measured 4x low) and each point is a median of 3
         span = 500
         _retry(lambda: run_train(1))  # compile 1-epoch program
         t1 = statistics.median(
@@ -676,18 +658,17 @@ def main():
                 f"trainer span not resolvable over tunnel noise "
                 f"(t1={t1:.2f}s, t{span + 1}={tn:.2f}s)"
             )
-        trainer_tput = (span * n_rows) / (tn - t1)
-        res["trainer_path_windows_per_sec"] = round(trainer_tput, 1)
-        emit()
-    except Exception as e:  # noqa: BLE001 — reason is recorded
-        trainer_error = f"{type(e).__name__}: {e}"[:300]
+        res["trainer_path_windows_per_sec"] = round(
+            (span * n_rows) / (tn - t1), 1)
 
-    # -- dataset build: CSV shards + PNG decode + fusion -> device array ----
+    if have_nap:
+        run_section("trainer_path", 240, sec_trainer_path)
+
+    # ---- 11. CORE: dataset build (CSV shards + decode + fuse -> device) ---
     # The reference's #1 hot loop was its serial per-row PIL decode at
     # dataset build (SURVEY.md §3.1); ours dedups repeated frames and
     # thread-pools distinct ones (serial on this 1-core TPU frontend).
-    build_rows_per_sec, build_error = None, None
-    try:
+    def sec_dataset_build():
         import tempfile
 
         from icra2021_multimodal_ad_tpu.data.dataset import TabularDataset
@@ -705,6 +686,8 @@ def main():
         bcfg = cfg.replace(data_folder_name=root, slicing_size=n_rows,
                            feature_cache=0)
         ccfg = bcfg.replace(feature_cache=1)
+        ctx["ccfg"] = ccfg
+        ctx["build_root"] = root
         # warm run compiles the fusion program AND (feature_cache=1)
         # writes the cache entry the hit-timing below will load — one
         # build does double duty instead of a redundant third full build
@@ -713,7 +696,8 @@ def main():
         t0 = time.perf_counter()
         ds = TabularDataset(bcfg)  # timed run: CSV + decode + fuse execute
         jax.block_until_ready(ds.data)
-        build_rows_per_sec = len(ds) / (time.perf_counter() - t0)
+        res["dataset_build_rows_per_sec"] = round(
+            len(ds) / (time.perf_counter() - t0), 1)
         # cache-hit path (what repeat CLI runs / sweep grid points pay)
         t0 = time.perf_counter()
         ds = TabularDataset(ccfg)
@@ -741,20 +725,19 @@ def main():
         host_s = cached_s - xfer_s
         res["dataset_build_cached_host_rows_per_sec"] = (
             round(len(ds) / host_s, 1) if host_s > 1e-3 else None)
-    except Exception as e:  # noqa: BLE001 — reason is recorded
-        build_error = f"{type(e).__name__}: {e}"[:300]
 
-    # -- accuracy tied to the perf artifact (BASELINE.md row 3): the AUROC
-    # triple of the canonical synthetic run, fp32 train/eval path + the
-    # bf16-serving NAP path, in the SAME artifact as the throughput numbers.
-    # Same library calls as the novelty_detection.py CLI (get_loaders ->
-    # NoveltyDetecter.train/test), same seed — a CLI run on these shards
-    # reproduces these numbers exactly.
-    auroc_error = None
-    try:
-        if build_error is not None:
-            raise RuntimeError(f"dataset build failed: {build_error}")
-        import os
+    have_build = run_section("dataset_build", 180, sec_dataset_build)
+
+    # ---- 12. CORE: accuracy tied to the perf artifact (BASELINE.md row 3) -
+    # AUROC triple of the canonical synthetic run, fp32 train/eval path +
+    # the bf16-serving NAP path, in the SAME artifact as the throughput
+    # numbers.  Same library calls as the novelty_detection.py CLI
+    # (get_loaders -> NoveltyDetecter.train/test), same seed — a CLI run on
+    # these shards reproduces these numbers exactly.  The trained params
+    # are cached on disk keyed by (config, train-data digest) so repeat
+    # bench runs skip the training cost (first run pays it once).
+    def sec_auroc():
+        import hashlib
 
         from icra2021_multimodal_ad_tpu.data.dataset import get_loaders
         from icra2021_multimodal_ad_tpu.ops.metrics import get_auc_roc
@@ -764,23 +747,52 @@ def main():
             NoveltyDetecter,
             binarize_labels,
         )
+        from icra2021_multimodal_ad_tpu.utils.checkpoint import (
+            load_checkpoint,
+            save_checkpoint,
+            to_device,
+        )
 
         # enough optimizer steps to actually converge on the 1200-row train
         # split: 40 epochs x ~5 steps at lr 3e-3 (a 20-epoch/batch-1024 run
         # measured BASE AUROC 0.24 — undertrained, not a scoring bug; cf.
         # the verify recipe's 25x7-step CLI run at AUROC 1.0)
-        acfg = ccfg.replace(n_epochs=40, batch_size=256, lr=3e-3,
-                            target_class=1)
+        acfg = ctx["ccfg"].replace(n_epochs=40, batch_size=256, lr=3e-3,
+                                   target_class=1)
         dm, trl, val, tel = get_loaders(acfg)
         train_x, _ = dm.get_transformed_data(trl)
         valid_x, _ = dm.get_transformed_data(val)
         test_x, test_y = dm.get_transformed_data(tel)
         det = NoveltyDetecter(acfg)
-        r = det.train(model, jax.tree.map(jnp.copy, params),
-                      jax.tree.map(jnp.copy, state),
-                      train_x, valid_x, fused=True)
-        stats_path = os.path.join(root, "bench_nap_stats.npz")
-        rb, rs, rn = det.test(model, r.params, r.state, train_x, valid_x,
+
+        # params cache key: the model/trainer config fields + a digest of
+        # the exact train/valid arrays (covers the synthetic generator,
+        # slicing, fusion weights — anything that changes what training
+        # would produce)
+        h = hashlib.sha256()
+        h.update(json.dumps([acfg.n_epochs, acfg.batch_size, acfg.lr,
+                             acfg.seed, acfg.n_layers, acfg.btl_size,
+                             acfg.sensor, acfg.target_class]).encode())
+        h.update(np.asarray(train_x).tobytes())
+        h.update(np.asarray(valid_x).tobytes())
+        cache_dir = os.path.join(
+            os.path.expanduser("~/.cache/icra2021_multimodal_ad_tpu"),
+            "bench_auroc")
+        os.makedirs(cache_dir, exist_ok=True)
+        ckpt_key = os.path.join(cache_dir, h.hexdigest()[:24])
+        try:
+            p_tr, s_tr, _ = load_checkpoint(ckpt_key)
+            p_tr, s_tr = to_device(p_tr), to_device(s_tr)
+            res["auroc_probe_train_cached"] = True
+        except Exception:  # noqa: BLE001 — first run trains and caches
+            r = det.train(model, jax.tree.map(jnp.copy, params),
+                          jax.tree.map(jnp.copy, state),
+                          train_x, valid_x, fused=True)
+            p_tr, s_tr = r.params, r.state
+            save_checkpoint(ckpt_key, p_tr, s_tr, config=acfg)
+            res["auroc_probe_train_cached"] = False
+        stats_path = os.path.join(ctx["build_root"], "bench_nap_stats.npz")
+        rb, rs, rn = det.test(model, p_tr, s_tr, train_x, valid_x,
                               test_x, test_y, save_stats_path=stats_path)
         res["auroc_base"] = round(float(rb.auroc), 5)
         res["auroc_sap"] = round(float(rs.auroc), 5)
@@ -788,49 +800,166 @@ def main():
         # the same test windows through the bf16 serving NAP path (the
         # deploy-guarded low-precision configuration)
         srv = make_serving(acfg.replace(compute_dtype="bfloat16"), model,
-                           r.params, r.state,
-                           nap_stats=load_nap_stats(stats_path))
+                           p_tr, s_tr, nap_stats=load_nap_stats(stats_path))
         s16 = np.asarray(srv.score_nap_windows(jnp.asarray(test_x)))
         res["auroc_nap_bf16_serving"] = round(
             float(get_auc_roc(s16, binarize_labels(acfg, test_y))), 5)
-        emit()
-    except Exception as e:  # noqa: BLE001 — reason is recorded
-        auroc_error = f"{type(e).__name__}: {e}"[:300]
 
-    # final line: every field filled (None for failed sections, with
-    # reasons), the "partial" marker dropped
+    if have_build:
+        run_section("auroc", 240, sec_auroc)
+
+    # ---- 13. ingestion-native uint8 sensor path, RECONCILED ---------------
+    # VERDICT r3 weak #2: the documented "+9%" u8 win was contradicted by
+    # the r3 artifact (u8 6% slower there).  This section measures BOTH
+    # paths under ONE methodology: the same XOR loop-carried perturbation
+    # (uint8 frames XOR a low bit; bf16 tensors XOR the mantissa LSB via a
+    # u16 bitcast — bit-level twins, no dtype-dependent add), same batch,
+    # same n_iters, back to back.  `sensor_u8_vs_bf16_same_loop` is the
+    # honest ratio; the headline takes the u8 path only when it wins AND
+    # passes the same 5e-2 accuracy bar.
+    def sec_sensor_u8():
+        from icra2021_multimodal_ad_tpu.ops.serving import _score_sensor
+
+        r_u8 = jnp.asarray(rng.integers(0, 256, (B, 3, 32, 32)), jnp.uint8)
+        d_u8 = jnp.asarray(rng.integers(0, 256, (B, 1, 32, 32)), jnp.uint8)
+        t_n = jnp.asarray(rng.uniform(0, 400, (B, 1)), jnp.float32)
+        m_n = jnp.asarray(rng.uniform(-30, 30, (B, 1, 13)), jnp.float32)
+
+        def make_sensor():
+            def body(i, acc):
+                # integer payloads carry the loop dependency via a low-bit
+                # XOR (adding eps would change their dtype)
+                bit = (i % 2).astype(jnp.uint8) + jnp.uint8(acc * 0)
+                eps = i.astype(jnp.float32) * 1e-9 + acc * 0
+                return acc + jnp.sum(_score_sensor(
+                    model, p16, state, fp16,
+                    jnp.bitwise_xor(r_u8, bit), jnp.bitwise_xor(d_u8, bit),
+                    t_n + eps, m_n + eps, dtype=jnp.bfloat16))
+            return body
+
+        def xor_bf16(v, bit):
+            # flip the bf16 mantissa LSB — the bit-level twin of the u8
+            # XOR (finite inputs only; uniform[0,1] test data has no infs)
+            u = jax.lax.bitcast_convert_type(v, jnp.uint16)
+            return jax.lax.bitcast_convert_type(
+                jnp.bitwise_xor(u, bit), jnp.bfloat16)
+
+        def make_bf16_xor():
+            def body(i, acc):
+                bit = (i % 2).astype(jnp.uint16) + jnp.uint16(acc * 0)
+                mods_i = {k: xor_bf16(v, bit) for k, v in raw16.items()}
+                return acc + jnp.sum(fused_score(fp16, p16, state, mods_i))
+            return body
+
+        tput_u8, spread_u8 = tput_stats(make_sensor, B)
+        tput_16x, spread_16x = tput_stats(make_bf16_xor, B)
+        nb = 4096
+        s32s = _retry(lambda: _score_sensor(
+            model, params, state, fusion_params, r_u8[:nb], d_u8[:nb],
+            t_n[:nb], m_n[:nb], dtype=jnp.float32))
+        s16s = _retry(lambda: _score_sensor(
+            model, p16, state, fp16, r_u8[:nb], d_u8[:nb],
+            t_n[:nb], m_n[:nb], dtype=jnp.bfloat16))
+        rel_u8 = float(jnp.mean(jnp.abs(s16s - s32s)
+                                / (jnp.abs(s32s) + 1e-6)))
+        res["sensor_u8_windows_per_sec"] = round(tput_u8, 1)
+        res["sensor_u8_windows_per_sec_spread"] = spread_u8
+        res["sensor_u8_score_rel_err"] = round(rel_u8, 5)
+        # the bf16-tensor twin under the IDENTICAL loop methodology, and
+        # the ratio the docs must quote (>1 = u8 ingestion is faster)
+        res["bf16_xor_windows_per_sec"] = round(tput_16x, 1)
+        res["bf16_xor_windows_per_sec_spread"] = spread_16x
+        res["sensor_u8_vs_bf16_same_loop"] = round(tput_u8 / tput_16x, 4)
+        if rel_u8 < 5e-2 and tput_u8 > (res.get("value") or 0):
+            res["value"] = round(tput_u8, 1)
+            res["vs_baseline"] = round(
+                tput_u8 / BASELINE_WINDOWS_PER_SEC, 3)
+            res["headline_path"] = "sensor_u8_bf16"
+
+    run_section("sensor_u8", 180, sec_sensor_u8)
+
+    # ---- 14. latency north-star: streaming ticks (sequential + PIPELINED) -
+    # BASELINE.md row 2 ("p50 per-window latency measured & minimized,
+    # streaming path").  END-TO-END on the tunneled chip: subtract
+    # dispatch_rtt_floor_ms for the chip-attributable part.  The sequential
+    # tick pays ~2 tunnel round trips (dispatch + result fetch); the
+    # pipelined mode (data/streaming.py run(pipelined=True)) fetches tick
+    # i-1 while tick i executes, targeting ~1 RTT + host work.  Reference
+    # contract: test_file/realtime_tester.py:292,309 (~1 s/tick target).
+    def sec_streaming():
+        if not have_nap:
+            raise RuntimeError("needs nap_setup (stats)")
+        from icra2021_multimodal_ad_tpu.data.streaming import (
+            SimulatedSensors,
+            StreamingDetector,
+        )
+
+        scfg = cfg.replace(batch_size=10, compute_dtype="bfloat16")
+        n_ticks = 41  # first tick (compile) dropped by latency_stats
+
+        def run_ticks(nap, pipelined=False):
+            sim = SimulatedSensors(batch_size=10, seed=0)
+            sim.fill(12)  # mic ring needs (batch+1) MFCC windows
+            det = StreamingDetector(scfg, model, params, state,
+                                    fusion_params, nap_stats=ctx["stats"])
+            det.run(sim, n_ticks=n_ticks, nap=nap, pipelined=pipelined,
+                    tick_hook=lambda i: sim.tick())
+            return det.latency_stats()
+
+        st = _retry(lambda: run_ticks(False))  # bf16 BASE one-program tick
+        res["streaming_tick_p50_ms"] = round(st["p50_ms"], 2)
+        res["streaming_tick_p95_ms"] = round(st["p95_ms"], 2)
+        stn = _retry(lambda: run_ticks(True))  # bf16 NAP one-program tick
+        res["streaming_tick_nap_p50_ms"] = round(stn["p50_ms"], 2)
+        res["streaming_tick_nap_p95_ms"] = round(stn["p95_ms"], 2)
+        # pipelined: overlap each tick's device round trip with the next
+        # tick's dispatch (scores surface one 0.1 s grid step late)
+        stp = _retry(lambda: run_ticks(False, pipelined=True))
+        res["streaming_tick_pipelined_p50_ms"] = round(stp["p50_ms"], 2)
+        res["streaming_tick_pipelined_p95_ms"] = round(stp["p95_ms"], 2)
+        stpn = _retry(lambda: run_ticks(True, pipelined=True))
+        res["streaming_tick_pipelined_nap_p50_ms"] = round(stpn["p50_ms"], 2)
+        res["streaming_tick_pipelined_nap_p95_ms"] = round(stpn["p95_ms"], 2)
+
+    run_section("streaming", 120, sec_streaming)
+
+    # ---- 15. scoring-service round trip -----------------------------------
+    def sec_serve():
+        if not have_nap:
+            raise RuntimeError("needs nap_setup (stats)")
+        from icra2021_multimodal_ad_tpu.ops.score_server import (
+            ScoreClient,
+            ScoreServer,
+        )
+
+        server = ScoreServer(cfg.replace(compute_dtype="bfloat16"),
+                             model, params, state, nap_stats=ctx["stats"],
+                             max_batch=1024)
+        port = server.start()
+        try:
+            xq = np.asarray(ctx["x_all"][:10], np.float32)
+            with ScoreClient(("127.0.0.1", port)) as client:
+                for op in ("score_base", "score_nap"):
+                    _retry(lambda: client.score(xq, op=op))  # compile bucket
+                    lats = []
+                    for _ in range(30):
+                        t0 = time.perf_counter()
+                        client.score(xq, op=op)
+                        lats.append(time.perf_counter() - t0)
+                    tag = "serve" if op == "score_base" else "serve_nap"
+                    res[f"{tag}_p50_ms"] = round(
+                        float(np.percentile(lats, 50)) * 1e3, 2)
+                    res[f"{tag}_p95_ms"] = round(
+                        float(np.percentile(lats, 95)) * 1e3, 2)
+        finally:
+            server.stop()
+
+    run_section("serve", 90, sec_serve)
+
+    # final line: the "partial" marker dropped; every failed/skipped
+    # section's reason is in section_errors, wall times in section_wall_s
     res.pop("partial", None)
-    res.update({
-        "rapp_nap_bf16_windows_per_sec":
-            round(nap16_tput, 1) if nap16_tput else None,
-        "nap_bf16_score_rel_err":
-            round(nap16_rel, 5) if nap16_rel is not None else None,
-        "rapp_nap_int8_windows_per_sec":
-            round(nap8_tput, 1) if nap8_tput else None,
-        "nap_int8_score_rel_err":
-            round(nap8_rel, 5) if nap8_rel is not None else None,
-        "train_windows_per_sec": round(train_tput, 1) if train_tput else None,
-        "train_bf16_windows_per_sec":
-            round(train16_tput, 1) if train16_tput else None,
-        "trainer_path_windows_per_sec":
-            round(trainer_tput, 1) if trainer_tput else None,
-        "dataset_build_rows_per_sec":
-            round(build_rows_per_sec, 1) if build_rows_per_sec else None,
-    })
-    errors = {
-        k: v for k, v in {
-            "rtt_error": rtt_error, "lat_error": lat_error,
-            "serve_error": serve_error, "auroc_error": auroc_error,
-            "fp32_error": fp32_error, "u8_error": u8_error,
-            "nap_error": nap_error,
-            "nap16_error": nap16_error, "nap8_error": nap8_error,
-            "train_error": train_error, "train16_error": train16_error,
-            "trainer_error": trainer_error,
-            "build_error": build_error,
-        }.items() if v
-    }
-    if errors:
-        res["section_errors"] = errors
+    res["bench_wall_s"] = round(time.monotonic() - t_start, 1)
     emit()
 
 

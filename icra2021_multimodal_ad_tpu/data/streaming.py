@@ -436,12 +436,13 @@ class StreamingDetector:
             self._nap_tick_cache = (bundle, ops)
         return self._nap_tick_cache[1]
 
-    def score_queues(self, force_q, hand_q, depth_q, mic_frames,
-                     nap: bool = False) -> np.ndarray:
-        """ONE-dispatch tick: ring snapshots (+ precomputed MFCC frames) ->
-        normalize -> fuse -> forward -> score as a single device program.
-        Numerically identical to hsr_window_batch + score_batch (pinned by
-        tests/test_streaming.py); the run() loop uses this path."""
+    def dispatch_queues(self, force_q, hand_q, depth_q, mic_frames,
+                        nap: bool = False) -> jax.Array:
+        """Dispatch the one-program tick WITHOUT fetching the result: JAX
+        async dispatch returns as soon as the execute request is enqueued,
+        so the caller can overlap host work / the next tick's dispatch with
+        this tick's device execution + result round trip (the pipelined
+        run() mode).  np.asarray(returned array) forces the fetch."""
         r, d, t, m = _stack_host_inputs(self.config, force_q, hand_q,
                                         depth_q, mic_frames)
         if nap:
@@ -450,18 +451,27 @@ class StreamingDetector:
             if self._dtype == jnp.bfloat16 or self._nap_quant == "int8":
                 kind, p_serve, wh_ops = self._nap_fast_tick_ops()
                 if kind == "int8":
-                    return np.asarray(_tick_nap_int8(
+                    return _tick_nap_int8(
                         self.model, self.fusion_params, p_serve, self.state,
-                        *wh_ops, r, d, t, m, dtype=self._dtype))
-                return np.asarray(_tick_nap_bf16(
+                        *wh_ops, r, d, t, m, dtype=self._dtype)
+                return _tick_nap_bf16(
                     self.model, self.fusion_params, p_serve, self.state,
-                    *wh_ops, r, d, t, m))
-            return np.asarray(_tick_nap_exact(
+                    *wh_ops, r, d, t, m)
+            return _tick_nap_exact(
                 self.model, self.fusion_params, self.params, self.state,
-                self.nap_stats, r, d, t, m))
-        return np.asarray(_tick_base(
+                self.nap_stats, r, d, t, m)
+        return _tick_base(
             self.model, self.fusion_params, self._serve_params, self.state,
-            r, d, t, m, dtype=self._dtype))
+            r, d, t, m, dtype=self._dtype)
+
+    def score_queues(self, force_q, hand_q, depth_q, mic_frames,
+                     nap: bool = False) -> np.ndarray:
+        """ONE-dispatch tick: ring snapshots (+ precomputed MFCC frames) ->
+        normalize -> fuse -> forward -> score as a single device program.
+        Numerically identical to hsr_window_batch + score_batch (pinned by
+        tests/test_streaming.py); the run() loop uses this path."""
+        return np.asarray(self.dispatch_queues(force_q, hand_q, depth_q,
+                                               mic_frames, nap=nap))
 
     def _guard_live(self, source: SensorSource, mic_frames,
                     nap: bool, tol: float) -> Optional[float]:
@@ -513,8 +523,20 @@ class StreamingDetector:
             on_tick: Optional[Callable] = None,
             tick_hook: Optional[Callable] = None,
             connection_timeout_s: Optional[float] = None,
-            guard_tol: Optional[float] = None) -> np.ndarray:
+            guard_tol: Optional[float] = None,
+            pipelined: bool = False) -> np.ndarray:
         """Returns the (n_ticks, batch_size) score trace.
+
+        pipelined: overlap each tick's device round trip with the next
+        tick's host work + dispatch.  The sequential tick pays TWO tunnel
+        round trips (dispatch ack + result fetch); the pipelined tick
+        dispatches tick i's program and only then fetches tick i-1's
+        scores — by which time they are long since computed, so each tick
+        pays ~ONE round trip.  Scores therefore surface one tick (0.1 s
+        grid step) late: on_tick(j, scores_j) fires during tick j+1, and
+        the final tick's scores are flushed after the loop.  The trace is
+        bit-identical to the sequential mode (same programs, same
+        operands); only the fetch schedule changes.
 
         guard_tol: run _guard_live on the first ready snapshot — refuse to
         stream low-precision scores whose live-data disagreement with fp32
@@ -547,6 +569,7 @@ class StreamingDetector:
                             is not None else CONNECTION_TIMEOUT_S)
 
         traces = []
+        pending = None  # pipelined mode: tick i-1's un-fetched device array
         i = 0
         hook_i = 0  # counts tick_hook INVOCATIONS (warm-up included), so a
         # hook that counts or rate-limits by its index argument sees each
@@ -578,17 +601,40 @@ class StreamingDetector:
                 source.mic_q.snapshot(), self.config,
                 length=self.config.batch_size / 10.0,
             )
-            if guard_tol is not None and not traces:
+            if guard_tol is not None and i == 0:
                 self._guard_live(source, mic_frames, nap, guard_tol)
-            scores = self.score_queues(
-                source.force_q.snapshot(), source.hand_q.snapshot(),
-                source.depth_q.snapshot(), mic_frames, nap=nap,
-            )
-            self.latencies_s.append(time.perf_counter() - start)
+            if pipelined:
+                fut = self.dispatch_queues(
+                    source.force_q.snapshot(), source.hand_q.snapshot(),
+                    source.depth_q.snapshot(), mic_frames, nap=nap,
+                )
+                if pending is not None:  # fetch tick i-1 (already computed)
+                    scores = np.asarray(pending)
+                    traces.append(scores)
+                    if on_tick is not None:
+                        on_tick(len(traces) - 1, scores)
+                pending = fut
+            else:
+                scores = self.score_queues(
+                    source.force_q.snapshot(), source.hand_q.snapshot(),
+                    source.depth_q.snapshot(), mic_frames, nap=nap,
+                )
+                # latency first: on_tick consumers read latencies_s[-1]
+                # as "this tick's latency" (realtime_tester.py) — in
+                # pipelined mode on_tick(j) fires during tick j+1, where
+                # [-1] is tick j's latency, the same contract
+                self.latencies_s.append(time.perf_counter() - start)
+                traces.append(scores)
+                if on_tick is not None:
+                    on_tick(i, scores)
+            if pipelined:
+                self.latencies_s.append(time.perf_counter() - start)
+            i += 1
+        if pending is not None:  # flush the final pipelined tick
+            scores = np.asarray(pending)
             traces.append(scores)
             if on_tick is not None:
-                on_tick(i, scores)
-            i += 1
+                on_tick(len(traces) - 1, scores)
         if not traces:
             return np.empty((0, 0))
         return np.stack(traces)

@@ -145,6 +145,57 @@ def test_run_waits_for_cold_buffers_then_scores():
     assert np.isfinite(trace).all()
 
 
+def test_pipelined_run_trace_identical_to_sequential():
+    """pipelined=True changes only the fetch schedule: the score trace is
+    bit-identical to the sequential run on the same deterministic source,
+    every tick is latency-accounted, and on_tick indices arrive in order
+    (one tick late by contract, flushed at the end)."""
+    cfg = _cfg()
+    model, params, state = get_model(cfg)
+    fp = fusion_init(jax.random.PRNGKey(0))
+
+    def run(pipelined):
+        det = StreamingDetector(cfg, model, params, state, fp)
+        src = SimulatedSensors(batch_size=10, seed=5)
+        src.fill(12)
+        seen = []
+        trace = det.run(src, n_ticks=6, pipelined=pipelined,
+                        tick_hook=lambda i: src.tick(),
+                        on_tick=lambda i, s: seen.append(i))
+        return trace, seen, det.latency_stats()
+
+    seq, seen_seq, _ = run(False)
+    pipe, seen_pipe, stats = run(True)
+    np.testing.assert_array_equal(pipe, seq)
+    assert pipe.shape == (6, 10)
+    assert seen_pipe == seen_seq == list(range(6))
+    assert stats["ticks"] == 6  # every dispatch latency-accounted
+
+
+def test_pipelined_run_nap_path():
+    """Pipelining composes with the NAP tick (same dispatch_queues program
+    selection as the sequential path)."""
+    from icra2021_multimodal_ad_tpu.ops.rapp import get_diffs
+    from icra2021_multimodal_ad_tpu.ops.scoring import concat_diffs, nap_fit
+
+    cfg = _cfg()
+    model, params, state = get_model(cfg)
+    fp = fusion_init(jax.random.PRNGKey(0))
+    xfit = np.random.default_rng(0).normal(
+        0, 1, (64, cfg.input_size)).astype(np.float32)
+    stats = nap_fit(concat_diffs(get_diffs(xfit, model, params, state)))
+
+    def run(pipelined):
+        det = StreamingDetector(cfg, model, params, state, fp,
+                                nap_stats=stats)
+        src = SimulatedSensors(batch_size=10, seed=3)
+        src.fill(12)
+        return det.run(src, n_ticks=4, nap=True, pipelined=pipelined,
+                       tick_hook=lambda i: src.tick())
+
+    np.testing.assert_array_equal(run(True), run(False))
+
+
 def test_run_raises_when_buffers_never_fill():
     from icra2021_multimodal_ad_tpu.data.orchestration import SensorTimeout
 
