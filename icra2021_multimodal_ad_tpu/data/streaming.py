@@ -42,7 +42,10 @@ from icra2021_multimodal_ad_tpu.ops.fusion import (
     fuse,
     normalize_mods,
 )
-from icra2021_multimodal_ad_tpu.ops.mfcc import mfcc_from_int16_chunks
+from icra2021_multimodal_ad_tpu.ops.mfcc import (
+    mfcc_from_int16_chunks,
+    mfcc_from_int16_chunks_device,
+)
 from icra2021_multimodal_ad_tpu.ops.scoring import NapStats, nap_score_device
 from icra2021_multimodal_ad_tpu.ops.rapp import diffs_batch
 
@@ -231,7 +234,13 @@ def _stack_host_inputs(config: Config, force_q, hand_q, depth_q, mic_frames):
     if d.dtype != np.uint8:
         d = d.astype(np.float32)
     t = np.asarray(force_q, dtype=np.float32)[:, None]
-    m = np.asarray(mic_frames, dtype=np.float32)[:, None, :]
+    if isinstance(mic_frames, jax.Array):
+        # device-resident MFCC frames (ops/mfcc.mfcc_from_int16_chunks_
+        # device): keep them on device — the tick program consumes them
+        # directly, chaining MFCC -> fuse -> score with no host round trip
+        m = mic_frames.astype(jnp.float32)[:, None, :]
+    else:
+        m = np.asarray(mic_frames, dtype=np.float32)[:, None, :]
     return r, d, t, m
 
 
@@ -334,6 +343,36 @@ def get_realtime_dataloader(config: Config, fusion_params: FusionParams,
     )
     return hsr_window_batch(config, fusion_params, force_q, hand_q, depth_q,
                             mic_frames)
+
+
+class _BackgroundFetch:
+    """Fetch a dispatched device array to host on a daemon thread.
+
+    Over the tunneled device the result round trip costs a full RTT even
+    when the computation finished long ago; starting the fetch on its own
+    thread lets it overlap the next tick's host work + dispatch (socket
+    I/O releases the GIL).  Daemon thread: an abandoned fetch (exception
+    mid-run) can never block interpreter exit, and there is no pool
+    lifecycle to manage."""
+
+    def __init__(self, arr):
+        self._out = None
+        self._exc = None
+        self._t = threading.Thread(target=self._run, args=(arr,),
+                                   daemon=True)
+        self._t.start()
+
+    def _run(self, arr):
+        try:
+            self._out = np.asarray(arr)
+        except BaseException as e:  # noqa: BLE001 — re-raised in result()
+            self._exc = e
+
+    def result(self):
+        self._t.join()
+        if self._exc is not None:
+            raise self._exc
+        return self._out
 
 
 class StreamingDetector:
@@ -527,16 +566,17 @@ class StreamingDetector:
             pipelined: bool = False) -> np.ndarray:
         """Returns the (n_ticks, batch_size) score trace.
 
-        pipelined: overlap each tick's device round trip with the next
-        tick's host work + dispatch.  The sequential tick pays TWO tunnel
-        round trips (dispatch ack + result fetch); the pipelined tick
-        dispatches tick i's program and only then fetches tick i-1's
-        scores — by which time they are long since computed, so each tick
-        pays ~ONE round trip.  Scores therefore surface one tick (0.1 s
-        grid step) late: on_tick(j, scores_j) fires during tick j+1, and
-        the final tick's scores are flushed after the loop.  The trace is
-        bit-identical to the sequential mode (same programs, same
-        operands); only the fetch schedule changes.
+        pipelined: overlap each tick's result round trip with the next
+        tick's host work + dispatch.  The sequential tick serializes
+        dispatch + result fetch (each a tunnel round trip); the pipelined
+        tick dispatches tick i's program, starts its fetch on a
+        background thread (_BackgroundFetch — the fetch RTT runs
+        concurrently with the next tick), and collects tick i-1's
+        already-fetched scores.  Scores therefore surface one tick
+        (0.1 s grid step) late: on_tick(j, scores_j) fires during tick
+        j+1, and the final tick's scores are flushed after the loop.
+        The trace is bit-identical to the sequential mode (same
+        programs, same operands); only the fetch schedule changes.
 
         guard_tol: run _guard_live on the first ready snapshot — refuse to
         stream low-precision scores whose live-data disagreement with fp32
@@ -569,7 +609,12 @@ class StreamingDetector:
                             is not None else CONNECTION_TIMEOUT_S)
 
         traces = []
-        pending = None  # pipelined mode: tick i-1's un-fetched device array
+        pending = None  # pipelined mode: _BackgroundFetch of tick i-1
+        # warm-up ticks carrying compile time, dropped by latency_stats:
+        # sequential mode compiles inside tick 1's fetch; pipelined mode
+        # fetches tick 1's result during tick 2, so the compile wait lands
+        # there instead
+        self._warmup_ticks = 2 if pipelined else 1
         i = 0
         hook_i = 0  # counts tick_hook INVOCATIONS (warm-up included), so a
         # hook that counts or rate-limits by its index argument sees each
@@ -594,10 +639,12 @@ class StreamingDetector:
                 continue
             start = time.perf_counter()
             # MFCC on the raw mic queue (variable-length -> stays its own
-            # step), then the whole normalize->fuse->forward->score chain
-            # as ONE device program (score_queues) — per-tick dispatch
-            # count, not compute, sets the p50 on a high-RTT link
-            mic_frames = mfcc_from_int16_chunks(
+            # dispatch, but its RESULT stays ON DEVICE: the tick program
+            # consumes the device array directly, so the tunneled link
+            # pays one score fetch per tick, not an MFCC fetch +
+            # re-upload first — per-tick dispatch/fetch count, not
+            # compute, sets the p50 on a high-RTT link
+            mic_frames = mfcc_from_int16_chunks_device(
                 source.mic_q.snapshot(), self.config,
                 length=self.config.batch_size / 10.0,
             )
@@ -608,12 +655,17 @@ class StreamingDetector:
                     source.force_q.snapshot(), source.hand_q.snapshot(),
                     source.depth_q.snapshot(), mic_frames, nap=nap,
                 )
-                if pending is not None:  # fetch tick i-1 (already computed)
-                    scores = np.asarray(pending)
+                # fetch tick i's result on a background thread: the
+                # result round trip (a full tunnel RTT even for a long-
+                # finished computation) overlaps tick i+1's host work and
+                # dispatch instead of serializing after it
+                handle = _BackgroundFetch(fut)
+                if pending is not None:  # collect tick i-1 (fetch already
+                    scores = pending.result()  # in flight since last tick)
                     traces.append(scores)
                     if on_tick is not None:
                         on_tick(len(traces) - 1, scores)
-                pending = fut
+                pending = handle
             else:
                 scores = self.score_queues(
                     source.force_q.snapshot(), source.hand_q.snapshot(),
@@ -631,7 +683,7 @@ class StreamingDetector:
                 self.latencies_s.append(time.perf_counter() - start)
             i += 1
         if pending is not None:  # flush the final pipelined tick
-            scores = np.asarray(pending)
+            scores = pending.result()
             traces.append(scores)
             if on_tick is not None:
                 on_tick(len(traces) - 1, scores)
@@ -644,7 +696,8 @@ class StreamingDetector:
             # don't mask the real error with an IndexError from percentile
             return {"p50_ms": float("nan"), "p95_ms": float("nan"),
                     "mean_ms": float("nan"), "ticks": 0}
-        lat = np.asarray(self.latencies_s[1:] or self.latencies_s)
+        drop = getattr(self, "_warmup_ticks", 1)
+        lat = np.asarray(self.latencies_s[drop:] or self.latencies_s)
         return {
             "p50_ms": float(np.percentile(lat, 50) * 1e3),
             "p95_ms": float(np.percentile(lat, 95) * 1e3),

@@ -150,6 +150,44 @@ def mfcc_from_wave(y, sr: int = SR, window_size: float = 0.1,
     return np.asarray(mfcc_from_log_mel(log_S, n_mfcc).T)
 
 
+@partial(jax.jit, static_argnames=("n_fft", "hop", "sr", "n_mfcc"))
+def _mfcc_wave_one_program(y: jax.Array, n_fft: int, hop: int, sr: int,
+                           n_mfcc: int) -> jax.Array:
+    """melspectrogram -> power_to_db -> DCT as ONE device program,
+    (n_frames, n_mfcc) time-major.  The offline mfcc_from_wave issues the
+    three stages as separate dispatches (kept as-is: the ETL feature cache
+    and oracle parity are keyed on its exact program boundaries); the
+    streaming tick uses this fused single-dispatch form — over the
+    tunneled device each extra dispatch is a full RTT on the tick's
+    critical path."""
+    S = melspectrogram(y, n_fft=n_fft, hop=hop, sr=sr)
+    return mfcc_from_log_mel(power_to_db(S), n_mfcc).T
+
+
+def mfcc_from_int16_chunks_device(chunks, config, length: float,
+                                  window_size: float = 0.1,
+                                  stride: float = 0.1,
+                                  strict: bool = True) -> jax.Array:
+    """mfcc_from_int16_chunks, but ONE device dispatch and NO host fetch:
+    returns the trimmed (batch_size, n_mfcc) frames as a DEVICE array, so
+    a caller feeding them into another device program (the streaming tick)
+    chains device-side — the tunneled link then pays a single result fetch
+    per tick instead of an MFCC fetch + re-upload.  Same values as the
+    host variant (same ops; the host round trip is an exact fp32 copy)."""
+    y = np.frombuffer(b"".join(chunks), dtype=np.int16).astype(np.float32)
+    if len(y) < SR * length:
+        msg = (f"mic queue holds {len(y) / SR:.3f} s of audio but the "
+               f"window batch needs {length} s ({config.batch_size} frames "
+               f"at {stride} s) — wait for source.ready() before scoring")
+        if strict:
+            raise ValueError(msg)
+        print(msg)
+    nfft = int(round(SR * window_size))
+    hop = int(round(SR * stride))
+    m = _mfcc_wave_one_program(jnp.asarray(y), nfft, hop, SR, N_MFCC)
+    return m[m.shape[0] - config.batch_size:, :]
+
+
 def mfcc_from_int16_chunks(chunks, config, length: float,
                            window_size: float = 0.1,
                            stride: float = 0.1,

@@ -67,6 +67,11 @@ def main():
                         "stats) — deploy-guarded like bfloat16; with "
                         "--compute_dtype float32 the diff extraction stays "
                         "exact and only the whitening is quantized")
+    p.add_argument("--pipelined", action="store_true",
+                   help="overlap each tick's result fetch with the next "
+                        "tick's dispatch (scores print one 0.1 s tick "
+                        "late; trace is bit-identical) — roughly halves "
+                        "per-tick latency on high-RTT links")
     p.add_argument("--connection_timeout_s", type=float, default=None,
                    help="raise if a sensor queue is silent this long "
                         "(reference default 10 s, realtime_tester.py:52-57)")
@@ -127,7 +132,8 @@ def main():
     trace = detector.run(source, n_ticks=args.ticks, nap=args.nap,
                          on_tick=on_tick, tick_hook=tick_hook,
                          connection_timeout_s=args.connection_timeout_s,
-                         guard_tol=args.guard_tol)
+                         guard_tol=args.guard_tol,
+                         pipelined=args.pipelined)
     stats = detector.latency_stats()
     print("latency:", stats)
     # the anomaly takes one full ring-buffer turnover (batch_size ticks) to

@@ -216,3 +216,27 @@ def test_mfcc_realtime_chunks_trim():
               for _ in range(90)]  # ~2.09 s of audio
     m = A.mfcc_from_int16_chunks(chunks, Cfg, length=1.0)
     assert m.shape == (10, 13)
+
+
+def test_mfcc_device_variant_matches_host_variant():
+    """The streaming tick's ONE-dispatch device MFCC
+    (mfcc_from_int16_chunks_device: mel + power_to_db + DCT fused into a
+    single program, result left on device) must produce the host
+    variant's values — same ops, one program boundary instead of three."""
+    class Cfg:
+        batch_size = 10
+
+    rng = np.random.default_rng(7)
+    chunks = [rng.integers(-3000, 3000, 1024, dtype=np.int16).tobytes()
+              for _ in range(90)]
+    host = A.mfcc_from_int16_chunks(chunks, Cfg, length=1.0)
+    dev = A.mfcc_from_int16_chunks_device(chunks, Cfg, length=1.0)
+    import jax
+
+    assert isinstance(dev, jax.Array)  # stays on device (no host fetch)
+    np.testing.assert_allclose(np.asarray(dev), host, rtol=1e-6, atol=1e-5)
+    # starvation guard behaves like the host variant
+    import pytest
+
+    with pytest.raises(ValueError, match="wait for source.ready"):
+        A.mfcc_from_int16_chunks_device(chunks[:10], Cfg, length=1.0)
