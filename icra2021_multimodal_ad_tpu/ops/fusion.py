@@ -152,12 +152,13 @@ def normalize_mods(r, d, t, m):
     first (realtime_tester.py:121-130 subscriber-side cv2.resize).
 
     Accepts the sensors' native dtypes: uint8 camera/depth frames stream
-    host->device and HBM at 1 byte/px (4x less than the fp32 stacking the
-    first cut used; measured +9% fused serving throughput at B=16384,
-    scripts/raw_input_probe.py) and are cast on device, where the fixed
-    ranges make the normalization exact — same fp32 values as host-side
-    normalization, bit for bit.  Traceable; returns fp32 normalized
-    (r, d, t, m).
+    host->device and over the wire at 1 byte/px (4x less than the fp32
+    stacking the first cut used — the ingestion win is transfer bytes;
+    on-chip the u8 path measures ~8% slower than pre-normalized bf16
+    tensors, bench `sensor_u8_vs_bf16_same_loop`) and are cast on device,
+    where the fixed ranges make the normalization exact — same fp32
+    values as host-side normalization, bit for bit.  Traceable; returns
+    fp32 normalized (r, d, t, m).
     """
     from icra2021_multimodal_ad_tpu.ops.image import (
         norm_minmax_global,

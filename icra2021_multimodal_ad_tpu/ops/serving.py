@@ -219,12 +219,17 @@ class ServingModel(NamedTuple):
         (utils/data_loaders.py:703-731 via ops/fusion.normalize_mods), then
         fused + scored at the serving dtype, all as ONE program.
 
-        This is the ingestion-native throughput path: uint8 images stream
-        host->device and HBM at 1 byte/px (4x less than fp32 stacking, 2x
+        This is the ingestion-native path: uint8 images ship host->device
+        and over the wire at 1 byte/px (4x less than fp32 stacking, 2x
         less than bf16), and the fixed ranges make the device-side
-        normalization exact — measured +9% fused windows/s at B=16384 over
-        bf16 modality tensors (scripts/raw_input_probe.py), score rel err
-        vs the host-normalized bf16 path 9.7e-5."""
+        normalization exact.  Its win is TRANSFER bytes (robot links,
+        PCIe, the scoring service), not on-chip throughput: with inputs
+        already device-resident, the bench's same-methodology comparison
+        measures it ~8% SLOWER than pre-normalized bf16 tensors
+        (`sensor_u8_vs_bf16_same_loop` = 0.92, BENCH r4 — the extra
+        device-side normalize/cast work outweighs the halved input HBM
+        reads; an earlier +9% probe did not replicate).  Score rel err vs
+        the host-normalized bf16 path: 9.7e-5."""
         if self.fusion_params is None:
             raise ValueError("score_sensor needs fusion_params")
         n = r.shape[0]
