@@ -250,6 +250,35 @@ def _load_images(root: str, data_dirs: Sequence[str], ids: Sequence[int],
     return np.stack([decoded[p] for p in paths])
 
 
+def _load_images_overlapped(root: str, data_dirs, ids, subdir: str,
+                            n_chunks: int = 4,
+                            min_rows: int = 512) -> jax.Array:
+    """_load_images in row chunks with the host->device transfer of each
+    chunk OVERLAPPING the decode of the next, returning a DEVICE uint8
+    array (concatenated on device).
+
+    jax.device_put is ASYNC on this backend (measured: dispatch returns
+    in 4.4 ms for a 4.6 MB stack whose transfer takes 252 ms over the
+    tunnel — scripts/build_overlap_probe.py), so chunking pipelines the
+    cold build's two dominant phases: host PNG decode and the tunnel
+    upload.  Measured 2.18x the unchunked build end-to-end (8.3k vs
+    3.8k rows/s at 2000 rows, chunks=4), output bit-identical — the fuse
+    program consumes the same full-batch array either way, keeping the
+    batch-global min-max semantics.  Small builds (< min_rows) skip
+    chunking: per-chunk dedup is narrower than global dedup, and the
+    transfer is too small to hide anything behind."""
+    n = len(ids)
+    if n < min_rows or n_chunks <= 1:
+        return jnp.asarray(_load_images(root, data_dirs, ids, subdir))
+    bounds = [round(i * n / n_chunks) for i in range(n_chunks + 1)]
+    chunks = [
+        jax.device_put(_load_images(root, data_dirs[i0:i1], ids[i0:i1],
+                                    subdir))
+        for i0, i1 in zip(bounds[:-1], bounds[1:])
+    ]
+    return jnp.concatenate(chunks, axis=0)
+
+
 from functools import partial as _partial  # noqa: E402
 
 
@@ -351,11 +380,11 @@ class TabularDataset:
 
         kw = {}
         if sensor in ("All", "hand_camera"):
-            kw["raw_r"] = _load_images(config.data_folder_name, data_dirs,
-                                       hand_ids, "hand")
+            kw["raw_r"] = _load_images_overlapped(
+                config.data_folder_name, data_dirs, hand_ids, "hand")
         if sensor in ("All", "head_depth"):
-            kw["raw_d"] = _load_images(config.data_folder_name, data_dirs,
-                                       depth_ids, "d")
+            kw["raw_d"] = _load_images_overlapped(
+                config.data_folder_name, data_dirs, depth_ids, "d")
         if sensor in ("All", "force_torque"):
             kw["weight"] = weight[:, None]
         if sensor in ("All", "mic"):

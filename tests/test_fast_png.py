@@ -73,6 +73,37 @@ def test_dataset_loader_uses_native_path(pngs, tmp_path):
     np.testing.assert_array_equal(out[0], out[2])  # dedup fan-out
 
 
+def test_overlapped_loader_matches_unchunked(tmp_path):
+    """_load_images_overlapped (chunked decode + async device_put +
+    device concat — the cold-build upload/decode pipeline) returns the
+    same bytes as the plain loader, as a device array."""
+    import jax
+
+    from icra2021_multimodal_ad_tpu.data.dataset import (
+        _load_images,
+        _load_images_overlapped,
+    )
+
+    root = str(tmp_path)
+    img_dir = os.path.join(root, "data", "ep0", "data", "img", "hand")
+    os.makedirs(img_dir)
+    rng = np.random.default_rng(3)
+    for i in range(1, 7):
+        Image.fromarray(
+            rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+        ).save(os.path.join(img_dir, f"{i}.png"))
+    dirs = np.asarray(["ep0"] * 12)
+    ids = np.asarray([1, 2, 3, 4, 5, 6] * 2)
+    plain = _load_images(root, dirs, ids, "hand")
+    dev = _load_images_overlapped(root, dirs, ids, "hand",
+                                  n_chunks=3, min_rows=1)
+    assert isinstance(dev, jax.Array)
+    np.testing.assert_array_equal(np.asarray(dev), plain)
+    # below min_rows: single-chunk path, still a device array
+    small = _load_images_overlapped(root, dirs[:3], ids[:3], "hand")
+    np.testing.assert_array_equal(np.asarray(small), plain[:3])
+
+
 # ENVIRONMENT-GATED perpetual skip on this 1-core TPU frontend (the
 # suite's one expected skip): the test is only meaningful where decode
 # threads can actually run concurrently — don't chase it here.
