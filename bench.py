@@ -876,7 +876,9 @@ def main():
                 tput_u8 / BASELINE_WINDOWS_PER_SEC, 3)
             res["headline_path"] = "sensor_u8_bf16"
 
-    run_section("sensor_u8", 180, sec_sensor_u8)
+    # invoked AFTER streaming+serve (below): those cost ~25 s warm while
+    # this section's two timed loops have hit 300-640 s in slow tunnel
+    # phases — if the budget cuts anything, cut the expensive one
 
     # ---- 14. latency north-star: streaming ticks (sequential + PIPELINED) -
     # BASELINE.md row 2 ("p50 per-window latency measured & minimized,
@@ -955,6 +957,8 @@ def main():
             server.stop()
 
     run_section("serve", 90, sec_serve)
+
+    run_section("sensor_u8", 300, sec_sensor_u8)
 
     # final line: the "partial" marker dropped; every failed/skipped
     # section's reason is in section_errors, wall times in section_wall_s
