@@ -71,6 +71,30 @@ def test_timed_excludes_compile():
     assert 0 < dt2 < 5.0
 
 
+def test_timed_loop_stats_median_within_spread():
+    """timed_loop_stats (the bench's spread instrumentation) returns
+    paired-difference samples whose median lies within [min, max], all
+    positive, with the requested sample count — and agrees with
+    timed_loop's scale on the same body."""
+    from icra2021_multimodal_ad_tpu.utils.profiling import (
+        timed_loop,
+        timed_loop_stats,
+    )
+
+    def make_body():
+        def body(i, acc):
+            x = jnp.full((64, 64), acc + i.astype(jnp.float32))
+            return acc + jnp.sum(x @ x) * 1e-20
+        return body
+
+    st = timed_loop_stats(make_body, n_iters=4, repeats=3)
+    assert st["samples"] == 3
+    assert 0 < st["min_s"] <= st["median_s"] <= st["max_s"]
+    t = timed_loop(make_body, n_iters=4)
+    # same compiled programs, same machinery — within an order of magnitude
+    assert st["median_s"] < 50 * t and t < 50 * st["median_s"]
+
+
 def test_trace_writes_profile(tmp_path):
     log_dir = str(tmp_path / "trace")
     with trace(log_dir):
