@@ -190,10 +190,37 @@ def main():
 
     threading.Thread(target=_watchdog, daemon=True).start()
 
+    # BENCH_SECTIONS="fused,nap_fp32" runs only the named sections (for
+    # quick iteration on one number); prerequisite sections are pulled in
+    # automatically and "setup" always runs.
+    _DEPS = {
+        "nap_fp32": ("nap_setup",), "nap_lowp_setup": ("nap_setup",),
+        "nap_bf16": ("nap_setup", "nap_lowp_setup"),
+        "nap_int8": ("nap_setup", "nap_lowp_setup"),
+        "train_fp32": ("nap_setup",),
+        "train_bf16": ("nap_setup", "train_fp32"),
+        "trainer_path": ("nap_setup",), "auroc": ("dataset_build",),
+        "streaming": ("nap_setup",), "serve": ("nap_setup",),
+    }
+    only = {s.strip() for s in
+            os.environ.get("BENCH_SECTIONS", "").split(",") if s.strip()}
+    if only:
+        only |= {"rtt", "setup"}
+        for name in list(only):
+            stack = list(_DEPS.get(name, ()))
+            while stack:
+                dep = stack.pop()
+                if dep not in only:
+                    only.add(dep)
+                    stack.extend(_DEPS.get(dep, ()))
+
     def run_section(name, est_s, fn):
         """Budget-gated section: skip-with-reason when the remaining
         budget can't cover the estimate (never die mid-board), record the
         failure reason otherwise, and re-emit after every section."""
+        if only and name not in only:
+            errors[name] = "skipped: not in BENCH_SECTIONS"
+            return False
         elapsed = time.monotonic() - t_start
         if elapsed + est_s > budget_s:
             errors[name] = (f"skipped: budget ({elapsed:.0f}s elapsed + "
