@@ -25,7 +25,8 @@ budget against each section's cost estimate and skips-with-reason instead
 of dying mid-section; every completed section re-emits the accumulated
 JSON line, and per-section wall times are recorded in `section_wall_s`.
 The AUROC probe's trained params are cached on disk keyed by
-(config, data digest) so only the first run pays training.
+(config, data digest, training-code fingerprint) so only the first run
+pays training while code changes still invalidate the cache.
 
 Prints ONE JSON line:
   {"metric": "fused_inference_windows_per_sec", "value": N,
@@ -181,11 +182,27 @@ def main():
             if left <= 0:
                 break
             time.sleep(min(left, 5.0))
+        # By contract the run ENDS here even if the in-flight section is
+        # healthy-but-slow (the driver's external deadline looms; a clean
+        # exit with the board beats its rc=124 kill).  The main thread may
+        # be mutating res/errors/wall concurrently — never let that race
+        # kill the watchdog before os._exit: fall back to snapshotting or,
+        # at worst, a minimal line.
         errors["watchdog"] = (
             f"budget {budget_s:.0f}s + 60s grace exhausted with a device "
             f"call still in flight; emitting the partial board and "
             f"exiting 0")
-        emit()
+        try:
+            emit()
+        except Exception:  # noqa: BLE001 — emit whatever serializes
+            try:
+                print(json.dumps({k: v for k, v in list(res.items())
+                                  if isinstance(k, str)}), flush=True)
+            except Exception:  # noqa: BLE001 — last resort
+                print(json.dumps({"metric":
+                                  "fused_inference_windows_per_sec",
+                                  "partial": True,
+                                  "watchdog": "emit failed"}), flush=True)
         os._exit(0)
 
     threading.Thread(target=_watchdog, daemon=True).start()
@@ -202,8 +219,19 @@ def main():
         "trainer_path": ("nap_setup",), "auroc": ("dataset_build",),
         "streaming": ("nap_setup",), "serve": ("nap_setup",),
     }
+    _SECTIONS = {"rtt", "setup", "fused", "nap_setup", "nap_fp32",
+                 "nap_lowp_setup", "nap_bf16", "nap_int8", "train_fp32",
+                 "train_bf16", "trainer_path", "dataset_build", "auroc",
+                 "streaming", "serve", "sensor_u8"}
     only = {s.strip() for s in
             os.environ.get("BENCH_SECTIONS", "").split(",") if s.strip()}
+    unknown = only - _SECTIONS
+    if unknown:
+        # fail BEFORE any tunnel warm-up: a typo'd filter silently running
+        # only rtt+setup would burn a 20-120 s compile cycle for nothing
+        raise SystemExit(f"BENCH_SECTIONS: unknown section(s) "
+                         f"{sorted(unknown)}; choose from "
+                         f"{sorted(_SECTIONS)}")
     if only:
         only |= {"rtt", "setup"}
         for name in list(only):
@@ -237,6 +265,19 @@ def main():
         finally:
             wall[name] = time.monotonic() - t0
             emit()
+
+    def gate(ok, prereq, *names):
+        """Sections whose prerequisite failed/was skipped are never
+        invoked, so run_section can't record their reason — do it here
+        (the 'every missing field has a reason in section_errors'
+        contract; VERDICT r3's half-missing board must stay explained)."""
+        if not ok:
+            for n in names:
+                errors.setdefault(
+                    n, f"skipped: prerequisite '{prereq}' failed or was "
+                       f"skipped")
+            emit()
+        return ok
 
     # shared setup state, filled by the sections in order
     ctx = {}
@@ -374,8 +415,6 @@ def main():
             "mfu_fused_fp32_highest":
                 _mfu(tput32, fpw32, V5E_PEAK_FP32_HIGHEST_FLOPS),
         })
-        ctx["tput16"] = tput16
-
     run_section("fused", 240, sec_fused)
 
     # ---- 4. CORE: NAP setup (diffs + whitening fit, shared downstream) ----
@@ -431,7 +470,7 @@ def main():
         res["mfu_nap_fp32_highest"] = _mfu(nap_tput, fpw_nap,
                                            V5E_PEAK_FP32_HIGHEST_FLOPS)
 
-    if have_nap:
+    if gate(have_nap, "nap_setup", "nap_fp32"):
         run_section("nap_fp32", 120, sec_nap_fp32)
 
     # ---- 6+7. CORE: low-precision NAP serving (bf16, then int8) -----------
@@ -459,8 +498,9 @@ def main():
             s32n=_retry(lambda: jax.jit(nap_score_device)(stats_f, cat32)),
         )
 
-    have_lowp = have_nap and run_section("nap_lowp_setup", 60,
-                                         sec_nap_lowp_setup)
+    have_lowp = (gate(have_nap, "nap_setup", "nap_lowp_setup")
+                 and run_section("nap_lowp_setup", 60,
+                                 sec_nap_lowp_setup))
 
     def sec_nap_bf16():
         Bn, small16 = ctx["Bn"], ctx["small16"]
@@ -540,7 +580,7 @@ def main():
         res["nap_int8_bf16_tail_cols"] = (
             int(pk.v16.shape[1]) if pk.v16 is not None else 0)
 
-    if have_lowp:
+    if gate(have_lowp, "nap_lowp_setup", "nap_bf16", "nap_int8"):
         run_section("nap_bf16", 120, sec_nap_bf16)
         run_section("nap_int8", 120, sec_nap_int8)
 
@@ -637,8 +677,9 @@ def main():
         if ctx.get("train_tput"):
             res["train_bf16_speedup"] = round(tput / ctx["train_tput"], 2)
 
-    if have_nap:
-        if run_section("train_fp32", 150, sec_train_fp32):
+    if gate(have_nap, "nap_setup", "train_fp32", "train_bf16"):
+        if gate(run_section("train_fp32", 150, sec_train_fp32),
+                "train_fp32", "train_bf16"):
             run_section("train_bf16", 150, sec_train_bf16)
 
     # ---- 10. CORE: the REAL trainer (NoveltyDetecter.train, fused mode) ---
@@ -688,7 +729,7 @@ def main():
         res["trainer_path_windows_per_sec"] = round(
             (span * n_rows) / (tn - t1), 1)
 
-    if have_nap:
+    if gate(have_nap, "nap_setup", "trainer_path"):
         run_section("trainer_path", 240, sec_trainer_path)
 
     # ---- 11. CORE: dataset build (CSV shards + decode + fuse -> device) ---
@@ -802,6 +843,22 @@ def main():
                              acfg.sensor, acfg.target_class]).encode())
         h.update(np.asarray(train_x).tobytes())
         h.update(np.asarray(valid_x).tobytes())
+        # ... AND a fingerprint of the code that produces the trained
+        # params: without it a training-path regression would be masked
+        # forever by pre-regression cached params (the section exists to
+        # be BASELINE.md row 3's regression signal)
+        import icra2021_multimodal_ad_tpu as _pkg
+
+        pkg_root = os.path.dirname(_pkg.__file__)
+        for rel in ("train.py", "config.py", "models", "ops"):
+            path = os.path.join(pkg_root, rel)
+            files = ([path] if os.path.isfile(path) else
+                     sorted(os.path.join(path, f)
+                            for f in os.listdir(path)
+                            if f.endswith(".py")))
+            for f in files:
+                with open(f, "rb") as fh:
+                    h.update(fh.read())
         cache_dir = os.path.join(
             os.path.expanduser("~/.cache/icra2021_multimodal_ad_tpu"),
             "bench_auroc")
@@ -832,7 +889,7 @@ def main():
         res["auroc_nap_bf16_serving"] = round(
             float(get_auc_roc(s16, binarize_labels(acfg, test_y))), 5)
 
-    if have_build:
+    if gate(have_build, "dataset_build", "auroc"):
         run_section("auroc", 240, sec_auroc)
 
     # ---- 13. ingestion-native uint8 sensor path, RECONCILED ---------------

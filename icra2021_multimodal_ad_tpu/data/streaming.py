@@ -610,6 +610,11 @@ class StreamingDetector:
 
         traces = []
         pending = None  # pipelined mode: _BackgroundFetch of tick i-1
+        # per-RUN latency accounting: reset so latency_stats always
+        # describes the most recent run (mixing a sequential and a
+        # pipelined run's ticks in one percentile would skew both and
+        # mis-apply the warm-up drop below)
+        self.latencies_s = []
         # warm-up ticks carrying compile time, dropped by latency_stats:
         # sequential mode compiles inside tick 1's fetch; pipelined mode
         # fetches tick 1's result during tick 2, so the compile wait lands
@@ -692,6 +697,9 @@ class StreamingDetector:
         return np.stack(traces)
 
     def latency_stats(self) -> dict:
+        """Percentiles over the MOST RECENT run()'s per-tick latencies
+        (run resets the accumulator), with that run's warm-up ticks —
+        the ones carrying compile time — dropped."""
         if not self.latencies_s:  # no tick scored (e.g. warm-up abort) —
             # don't mask the real error with an IndexError from percentile
             return {"p50_ms": float("nan"), "p95_ms": float("nan"),

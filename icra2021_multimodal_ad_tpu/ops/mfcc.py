@@ -164,6 +164,24 @@ def _mfcc_wave_one_program(y: jax.Array, n_fft: int, hop: int, sr: int,
     return mfcc_from_log_mel(power_to_db(S), n_mfcc).T
 
 
+def _wave_from_chunks(chunks, config, length: float, stride: float,
+                      strict: bool) -> np.ndarray:
+    """Join raw int16 byte chunks into one fp32 wave, with the shared
+    starvation guard: fewer than `length` seconds of samples raises a
+    clear ValueError (strict) instead of surfacing later as an opaque
+    fusion shape error; strict=False restores the reference's behavior of
+    printing a warning and proceeding (data_loaders.py:688-691)."""
+    y = np.frombuffer(b"".join(chunks), dtype=np.int16).astype(np.float32)
+    if len(y) < SR * length:
+        msg = (f"mic queue holds {len(y) / SR:.3f} s of audio but the "
+               f"window batch needs {length} s ({config.batch_size} frames "
+               f"at {stride} s) — wait for source.ready() before scoring")
+        if strict:
+            raise ValueError(msg)
+        print(msg)
+    return y
+
+
 def mfcc_from_int16_chunks_device(chunks, config, length: float,
                                   window_size: float = 0.1,
                                   stride: float = 0.1,
@@ -173,15 +191,9 @@ def mfcc_from_int16_chunks_device(chunks, config, length: float,
     a caller feeding them into another device program (the streaming tick)
     chains device-side — the tunneled link then pays a single result fetch
     per tick instead of an MFCC fetch + re-upload.  Same values as the
-    host variant (same ops; the host round trip is an exact fp32 copy)."""
-    y = np.frombuffer(b"".join(chunks), dtype=np.int16).astype(np.float32)
-    if len(y) < SR * length:
-        msg = (f"mic queue holds {len(y) / SR:.3f} s of audio but the "
-               f"window batch needs {length} s ({config.batch_size} frames "
-               f"at {stride} s) — wait for source.ready() before scoring")
-        if strict:
-            raise ValueError(msg)
-        print(msg)
+    host variant (same ops, one program; pinned by
+    tests/test_fusion_pipeline.py)."""
+    y = _wave_from_chunks(chunks, config, length, stride, strict)
     nfft = int(round(SR * window_size))
     hop = int(round(SR * stride))
     m = _mfcc_wave_one_program(jnp.asarray(y), nfft, hop, SR, N_MFCC)
@@ -193,20 +205,9 @@ def mfcc_from_int16_chunks(chunks, config, length: float,
                            stride: float = 0.1,
                            strict: bool = True) -> np.ndarray:
     """Realtime variant (utils/data_loaders.py:676-701): raw int16 byte
-    chunks -> MFCC, trimmed to the last `batch_size` frames.
-
-    A starved mic queue (fewer than `length` seconds of samples) raises a
-    clear ValueError here instead of surfacing later as an opaque fusion
-    shape error.  strict=False restores the reference's behavior of
-    printing a warning and proceeding (data_loaders.py:688-691) for callers
-    that deliberately score partial audio."""
-    y = np.frombuffer(b"".join(chunks), dtype=np.int16).astype(np.float32)
-    if len(y) < SR * length:
-        msg = (f"mic queue holds {len(y) / SR:.3f} s of audio but the "
-               f"window batch needs {length} s ({config.batch_size} frames "
-               f"at {stride} s) — wait for source.ready() before scoring")
-        if strict:
-            raise ValueError(msg)
-        print(msg)
+    chunks -> MFCC, trimmed to the last `batch_size` frames.  Starvation
+    guard semantics in _wave_from_chunks (shared with the device
+    variant)."""
+    y = _wave_from_chunks(chunks, config, length, stride, strict)
     m = mfcc_from_wave(y, SR, window_size, stride)
     return m[len(m) - config.batch_size :, :]

@@ -82,16 +82,12 @@ def retry(f, attempts: int = 3, wait_s: float = 20.0):
     raise last
 
 
-def timed_loop_stats(make_body, n_iters: int = 20, repeats: int = 3) -> dict:
-    """`timed_loop` with round-over-round comparability: returns
-    {"median_s", "min_s", "max_s", "samples"} where each sample is an
-    independent PAIRED difference (tn_i - t1_i) / n_iters of the same
-    compiled programs.  The spread makes a -3% headline drift between
-    bench artifacts answerable (tunnel variance vs real regression —
-    VERDICT r3 weak #4); the median matches what timed_loop would return
-    up to pairing.  Cost over timed_loop: zero extra compiles, the same
-    2*repeats dispatches."""
-    import statistics
+def _loop_harness(make_body):
+    """Shared scaffolding for the on-device fori_loop timing methodology
+    (ONE implementation — timed_loop and timed_loop_stats must measure
+    identically): a jitted n-iteration loop whose body carries a data
+    dependency, and a measure(n) that fetches the final scalar so the
+    span covers real execution."""
     from functools import partial
 
     import jax.numpy as jnp
@@ -106,13 +102,46 @@ def timed_loop_stats(make_body, n_iters: int = 20, repeats: int = 3) -> dict:
         float(run(n))
         return time.perf_counter() - t0
 
+    return run, measure
+
+
+def timed_loop_stats(make_body, n_iters: int = 20, repeats: int = 3) -> dict:
+    """`timed_loop` with round-over-round comparability: returns
+    {"median_s", "min_s", "max_s", "samples"} where each sample is an
+    independent PAIRED difference (tn_i - t1_i) / n_iters of the same
+    compiled programs.  The spread makes a -3% headline drift between
+    bench artifacts answerable (tunnel variance vs real regression —
+    VERDICT r3 weak #4).  Cost over timed_loop: zero extra compiles, the
+    same 2*repeats dispatches (more only when noise invalidates pairs).
+
+    Noise discipline: a single pair can come out NON-POSITIVE when a
+    dispatch-overhead spike lands on the t1 endpoint (timed_loop's
+    docstring records such a sample measuring above the chip's peak).
+    Invalid pairs are DISCARDED and re-measured (up to 2*repeats extra),
+    never clamped — a clamped 1e-9 sample would publish a ~1e13
+    windows/s spread bound.  If everything is noise, fall back to the
+    diff-of-medians over all collected endpoints (timed_loop's own
+    estimator) as a degenerate 1-sample result."""
+    import statistics
+
+    run, measure = _loop_harness(make_body)
     retry(lambda: float(run(1)))  # compile n=1
     retry(lambda: float(run(n_iters + 1)))  # compile n=n_iters+1
-    samples = []
-    for _ in range(max(repeats, 1)):
+    samples, t1s, tns = [], [], []
+    budget = 3 * max(repeats, 1)  # measurement pairs, incl. re-tries
+    while len(samples) < max(repeats, 1) and budget > 0:
+        budget -= 1
         t1 = retry(lambda: measure(1))
         tn = retry(lambda: measure(n_iters + 1))
-        samples.append(max((tn - t1) / n_iters, 1e-9))
+        t1s.append(t1)
+        tns.append(tn)
+        if tn - t1 > 0:
+            samples.append((tn - t1) / n_iters)
+    if not samples:
+        # pure noise: the paired estimator failed every time — use the
+        # median-endpoint difference over everything we measured
+        est = (statistics.median(tns) - statistics.median(t1s)) / n_iters
+        samples = [max(est, 1e-9)]
     return {
         "median_s": float(statistics.median(samples)),
         "min_s": float(min(samples)),
@@ -135,20 +164,8 @@ def timed_loop(make_body, n_iters: int = 20, repeats: int = 3):
     peak FLOP/s).  Pick n_iters so the n-iteration span dwarfs that noise
     (>= ~200 ms); the medians then cut the residual."""
     import statistics
-    from functools import partial
 
-    import jax.numpy as jnp
-
-    @partial(jax.jit, static_argnames=("n",))
-    def run(n):
-        body = make_body()
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-    def measure(n):
-        t0 = time.perf_counter()
-        float(run(n))
-        return time.perf_counter() - t0
-
+    run, measure = _loop_harness(make_body)
     retry(lambda: float(run(1)))  # compile n=1
     t1 = statistics.median(
         retry(lambda: measure(1)) for _ in range(max(repeats, 1)))

@@ -172,6 +172,24 @@ def test_pipelined_run_trace_identical_to_sequential():
     assert stats["ticks"] == 6  # every dispatch latency-accounted
 
 
+def test_latency_stats_reflect_most_recent_run():
+    """run() resets the latency accumulator: back-to-back sequential and
+    pipelined runs on ONE detector must not mix their ticks (the warm-up
+    drop is per-mode, and percentiles across modes would skew both)."""
+    cfg = _cfg()
+    model, params, state = get_model(cfg)
+    det = StreamingDetector(cfg, model, params, state,
+                            fusion_init(jax.random.PRNGKey(0)))
+    for pipelined in (False, True):
+        src = SimulatedSensors(batch_size=10, seed=5)
+        src.fill(12)
+        det.run(src, n_ticks=4, pipelined=pipelined,
+                tick_hook=lambda i: src.tick())
+        stats = det.latency_stats()
+        assert stats["ticks"] == 4  # not cumulative across runs
+        assert np.isfinite(stats["p50_ms"])
+
+
 def test_pipelined_run_nap_path():
     """Pipelining composes with the NAP tick (same dispatch_queues program
     selection as the sequential path)."""
