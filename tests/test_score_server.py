@@ -80,6 +80,56 @@ def test_scores_match_in_process_bundle_across_ragged_sizes(served):
                     err_msg=f"{op} n={n} diverges from the bundle")
 
 
+def test_pipelined_client_fifo_parity_and_errors(served):
+    """PipelinedScoreClient: replies arrive in submission order and match
+    the blocking client per request; a failed request's error surfaces at
+    ITS collect() (order preserved), the connection survives, and
+    collect() without a submit is a clear client-side error."""
+    from icra2021_multimodal_ad_tpu.ops.score_server import (
+        PipelinedScoreClient,
+    )
+
+    server, port, cfg = served
+    rng = np.random.default_rng(5)
+    xs = [rng.normal(0, 1, (n, cfg.input_size)).astype(np.float32)
+          for n in (3, 8, 5)]
+    want = [np.asarray(server.serving.score_fused(x)) for x in xs]
+    with PipelinedScoreClient(("127.0.0.1", port)) as c:
+        for x in xs:  # depth 3: all in flight before the first collect
+            c.submit(x)
+        assert c.outstanding == 3
+        got = [c.collect() for _ in xs]
+        assert c.outstanding == 0
+        for g, w, x in zip(got, want, xs):
+            assert g.shape == (len(x),)
+            np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-7)
+
+        # interleaved: submit i+1 before collecting i (the streaming use)
+        prev = None
+        for i, x in enumerate(xs):
+            c.submit(x, op="score_nap")
+            if prev is not None:
+                np.testing.assert_allclose(
+                    c.collect(), prev, rtol=1e-3, atol=1e-7)
+            prev = np.asarray(server.serving.score_nap_windows(x))
+        np.testing.assert_allclose(c.collect(), prev, rtol=1e-3,
+                                   atol=1e-7)
+
+        # error stays in order and the connection survives it
+        c.submit(xs[0])
+        c.submit(np.zeros((2, cfg.input_size + 1), np.float32))
+        c.submit(xs[1])
+        np.testing.assert_allclose(c.collect(), want[0], rtol=1e-5,
+                                   atol=1e-7)
+        with pytest.raises(RuntimeError, match="shape"):
+            c.collect()
+        np.testing.assert_allclose(c.collect(), want[1], rtol=1e-5,
+                                   atol=1e-7)
+
+        with pytest.raises(RuntimeError, match="no outstanding"):
+            c.collect()
+
+
 def test_info_and_error_surfaces(served):
     server, port, cfg = served
     with ScoreClient(("127.0.0.1", port)) as client:
