@@ -21,6 +21,15 @@ costs it back.
 
 Run on the TPU (never concurrently with the CPU pytest suite):
     python scripts/raw_input_probe.py [--batch 16384] [--iters 20]
+
+OUTCOME (r4 reconciliation — do not cite this probe's +9% as current):
+this probe once measured +9%, but the upper-bound analysis above was
+right to be suspicious: under the bench's single-methodology section
+(identical XOR loop perturbation on both paths, bench.py sec_sensor_u8)
+the u8 path measures ~8% SLOWER on-chip, reproducibly
+(`sensor_u8_vs_bf16_same_loop` ≈ 0.92 across runs).  The +9% did not
+replicate; the ingestion path's real win is wire/host->device transfer
+bytes.  See ARCHITECTURE.md §6.5.
 """
 
 import argparse
