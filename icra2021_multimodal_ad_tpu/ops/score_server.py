@@ -574,15 +574,7 @@ class ScoreClient:
             raise RuntimeError(head.get("error", "info failed"))
         return head
 
-    def score_sensor(self, r: np.ndarray, d: np.ndarray, t: np.ndarray,
-                     m: np.ndarray,
-                     op: str = "score_base_sensor") -> np.ndarray:
-        """Score NATIVE sensor payloads server-side (SENSOR_OPS): uint8
-        camera frames (n,3,H,W), uint8 depth frames (n,1,H,W), force in
-        newtons (n,1) fp32, MFCC frames (n,1,13) fp32.  The server
-        normalizes (fixed ranges; mic per-request min-max), fuses, and
-        scores — the client needs no fusion convs and ships 4x fewer
-        image bytes than fp32 fused windows."""
+    def _send_sensor(self, r, d, t, m, op: str) -> None:
         r = np.ascontiguousarray(np.asarray(r, np.uint8))
         d = np.ascontiguousarray(np.asarray(d, np.uint8))
         t = np.ascontiguousarray(np.asarray(t, "<f4"))
@@ -595,10 +587,18 @@ class ScoreClient:
                   "t": list(t.shape), "m": list(m.shape)}
         _send_frame(self._sock, {"op": op, "sensor_shapes": shapes},
                     r.tobytes() + d.tobytes() + t.tobytes() + m.tobytes())
-        head, payload = _recv_frame(self._sock)
-        if not head.get("ok"):
-            raise RuntimeError(head.get("error", "scoring failed"))
-        return np.frombuffer(payload, "<f4").reshape(head["shape"])
+
+    def score_sensor(self, r: np.ndarray, d: np.ndarray, t: np.ndarray,
+                     m: np.ndarray,
+                     op: str = "score_base_sensor") -> np.ndarray:
+        """Score NATIVE sensor payloads server-side (SENSOR_OPS): uint8
+        camera frames (n,3,H,W), uint8 depth frames (n,1,H,W), force in
+        newtons (n,1) fp32, MFCC frames (n,1,13) fp32.  The server
+        normalizes (fixed ranges; mic per-request min-max), fuses, and
+        scores — the client needs no fusion convs and ships 4x fewer
+        image bytes than fp32 fused windows."""
+        self._send_sensor(r, d, t, m, op)
+        return self._recv_scores()
 
     def _send_score(self, x: np.ndarray, op: str) -> None:
         x = np.ascontiguousarray(np.asarray(x, np.float32))
@@ -672,6 +672,15 @@ class PipelinedScoreClient(ScoreClient):
     def submit(self, x: np.ndarray, op: str = "score_base") -> None:
         """Send one scoring request without waiting for its reply."""
         self._send_score(x, op)
+        self._outstanding += 1
+
+    def submit_sensor(self, r, d, t, m,
+                      op: str = "score_base_sensor") -> None:
+        """Send one NATIVE-payload scoring request (score_sensor wire
+        format — the remote robot host's streaming form: uint8 frames +
+        newtons + MFCC per tick, next tick submitted before this tick's
+        scores are collected)."""
+        self._send_sensor(r, d, t, m, op)
         self._outstanding += 1
 
     def collect(self) -> np.ndarray:

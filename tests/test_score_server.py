@@ -563,6 +563,41 @@ def test_sensor_request_size_and_shape_errors(served_all):
             c.score_sensor(r2, d2, t2[:3], m2)
 
 
+def test_pipelined_client_sensor_ops(served_all):
+    """submit_sensor/collect: native payloads pipeline with the same FIFO
+    contract, matching the blocking score_sensor per request — and window
+    and sensor submissions interleave on one connection in order."""
+    from icra2021_multimodal_ad_tpu.ops.score_server import (
+        PipelinedScoreClient,
+    )
+
+    server, port, cfg = served_all
+    bundle = server.serving
+    batches = [_sensor_batch(n, seed=20 + n) for n in (2, 5, 3)]
+    want = [np.asarray(bundle.score_sensor(*b)) for b in batches]
+    with PipelinedScoreClient(("127.0.0.1", port)) as c:
+        prev = None
+        for b, w in zip(batches, want):
+            c.submit_sensor(*b)
+            if prev is not None:
+                np.testing.assert_allclose(c.collect(), prev,
+                                           rtol=1e-4, atol=1e-6)
+            prev = w
+        np.testing.assert_allclose(c.collect(), prev, rtol=1e-4,
+                                   atol=1e-6)
+        # window + sensor requests interleave FIFO on one connection
+        rng = np.random.default_rng(9)
+        xw = rng.normal(0, 1, (4, cfg.input_size)).astype(np.float32)
+        c.submit(xw)
+        c.submit_sensor(*batches[0], op="score_nap_sensor")
+        np.testing.assert_allclose(
+            c.collect(), np.asarray(bundle.score_fused(xw)),
+            rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(
+            c.collect(), np.asarray(bundle.score_nap_sensor(*batches[0])),
+            rtol=1e-3, atol=1e-6)
+
+
 def test_native_cpp_client_sensor_ops(served_all, native_client):
     """The C++ binary ships NATIVE sensor payloads (uint8 frames + f32
     force/MFCC concatenated in _SENSOR_FIELDS wire order) and its scores
