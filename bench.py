@@ -160,11 +160,17 @@ def main():
     errors = {}
     wall = {}
 
+    import threading
+
+    _emit_lock = threading.Lock()
+
     def emit():
-        if errors:
-            res["section_errors"] = dict(errors)
-        res["section_wall_s"] = {k: round(v, 1) for k, v in wall.items()}
-        print(json.dumps(res), flush=True)
+        with _emit_lock:
+            if errors:
+                res["section_errors"] = dict(errors)
+            res["section_wall_s"] = {k: round(v, 1)
+                                     for k, v in wall.items()}
+            print(json.dumps(res), flush=True)
 
     # Last-resort liveness guard: the tunnel can HANG a single device call
     # indefinitely (observed: a noop compile stuck >19 min with the device
@@ -173,8 +179,6 @@ def main():
     # thread emits the accumulated board and exits 0 cleanly if the main
     # thread is still wedged 60 s past the budget (the in-band budget
     # manager normally finishes the run well before this fires).
-    import threading
-
     def _watchdog():
         deadline = t_start + budget_s + 60.0
         while True:
@@ -192,18 +196,27 @@ def main():
             f"budget {budget_s:.0f}s + 60s grace exhausted with a device "
             f"call still in flight; emitting the partial board and "
             f"exiting 0")
+        # serialize with a healthy main-thread emit (bounded wait — the
+        # main thread may be hung INSIDE the tunnel, never inside the
+        # lock for long), then write a SELF-DELIMITING line: the leading
+        # newline keeps the watchdog's line parseable as the artifact's
+        # last line even if os._exit truncates a concurrent main-thread
+        # write mid-line.
+        got_lock = _emit_lock.acquire(timeout=10.0)
         try:
-            emit()
-        except Exception:  # noqa: BLE001 — emit whatever serializes
-            try:
-                print(json.dumps({k: v for k, v in list(res.items())
-                                  if isinstance(k, str)}), flush=True)
-            except Exception:  # noqa: BLE001 — last resort
-                print(json.dumps({"metric":
-                                  "fused_inference_windows_per_sec",
-                                  "partial": True,
-                                  "watchdog": "emit failed"}), flush=True)
-        os._exit(0)
+            if errors:
+                res["section_errors"] = dict(errors)
+            line = json.dumps(res)
+        except Exception:  # noqa: BLE001 — res mutating under us
+            line = json.dumps({"metric": "fused_inference_windows_per_sec",
+                               "partial": True,
+                               "watchdog": errors["watchdog"]})
+        try:
+            os.write(1, b"\n" + line.encode() + b"\n")
+        finally:
+            if got_lock:
+                _emit_lock.release()
+            os._exit(0)
 
     threading.Thread(target=_watchdog, daemon=True).start()
 
@@ -850,7 +863,8 @@ def main():
         import icra2021_multimodal_ad_tpu as _pkg
 
         pkg_root = os.path.dirname(_pkg.__file__)
-        for rel in ("train.py", "config.py", "models", "ops"):
+        for rel in ("train.py", "config.py", "models", "ops",
+                    "parallel"):
             path = os.path.join(pkg_root, rel)
             files = ([path] if os.path.isfile(path) else
                      sorted(os.path.join(path, f)

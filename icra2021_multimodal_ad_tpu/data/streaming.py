@@ -353,7 +353,11 @@ class _BackgroundFetch:
     thread lets it overlap the next tick's host work + dispatch (socket
     I/O releases the GIL).  Daemon thread: an abandoned fetch (exception
     mid-run) can never block interpreter exit, and there is no pool
-    lifecycle to manage."""
+    lifecycle to manage.  Deliberately thread-PER-FETCH rather than a
+    persistent worker: spawn cost is ~0.1 ms against a 14-19 ms tick
+    (measured pipelined p50), and a long-lived worker would add queue +
+    shutdown + exception-routing machinery to save well under 1% — on
+    the 1-core host the simpler object also holds no idle thread."""
 
     def __init__(self, arr):
         self._out = None

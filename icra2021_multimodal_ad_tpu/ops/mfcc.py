@@ -191,11 +191,23 @@ def mfcc_from_int16_chunks_device(chunks, config, length: float,
     a caller feeding them into another device program (the streaming tick)
     chains device-side — the tunneled link then pays a single result fetch
     per tick instead of an MFCC fetch + re-upload.  Same values as the
-    host variant (same ops, one program; pinned by
-    tests/test_fusion_pipeline.py)."""
+    host variant on a window-aligned ring (same ops, one program; pinned
+    by tests/test_fusion_pipeline.py).
+
+    Compile bounding: the jitted program is shape-specialized on len(y),
+    and a varying-chunk-size publisher floats the MicRing total within
+    [budget, budget + chunk) — one compile per distinct length would put
+    a 20-120 s tunnel compile inside the 0.1 s tick loop.  So this
+    variant keeps only the LAST whole number of hop windows (drops < one
+    0.1 s window of the OLDEST audio): the frame grid's anchor — the
+    ring's oldest byte — is an arbitrary chunk boundary that moves on
+    every eviction anyway, so the alignment change is within the path's
+    existing nondeterminism, and the consumed length becomes constant
+    per steady chunk-size regime (exactly one compiled program)."""
     y = _wave_from_chunks(chunks, config, length, stride, strict)
     nfft = int(round(SR * window_size))
     hop = int(round(SR * stride))
+    y = y[len(y) - (len(y) // hop) * hop:]
     m = _mfcc_wave_one_program(jnp.asarray(y), nfft, hop, SR, N_MFCC)
     return m[m.shape[0] - config.batch_size:, :]
 

@@ -685,9 +685,20 @@ class PipelinedScoreClient(ScoreClient):
 
     def collect(self) -> np.ndarray:
         """Block for the oldest outstanding reply (FIFO; raises the
-        server's error for that request if it failed)."""
+        server's error for that request if it failed).
+
+        Accounting is tied to REPLY CONSUMPTION: a server-side error
+        reply consumes one frame (outstanding decrements, then raises),
+        but a transport failure inside the recv leaves the count
+        untouched — decrementing eagerly would let a caller who catches
+        a socket timeout retry collect() and mis-attribute request i's
+        reply to request i+1 for the life of the connection."""
         if self._outstanding <= 0:
             raise RuntimeError("collect() with no outstanding request — "
                                "call submit() first")
+        head, payload = _recv_frame(self._sock)  # transport errors
+        # propagate with the count unchanged (no reply was consumed)
         self._outstanding -= 1
-        return self._recv_scores()
+        if not head.get("ok"):
+            raise RuntimeError(head.get("error", "scoring failed"))
+        return np.frombuffer(payload, "<f4").reshape(head["shape"])

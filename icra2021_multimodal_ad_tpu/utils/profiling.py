@@ -121,7 +121,9 @@ def timed_loop_stats(make_body, n_iters: int = 20, repeats: int = 3) -> dict:
     never clamped — a clamped 1e-9 sample would publish a ~1e13
     windows/s spread bound.  If everything is noise, fall back to the
     diff-of-medians over all collected endpoints (timed_loop's own
-    estimator) as a degenerate 1-sample result."""
+    estimator) as a degenerate 1-sample result, and RAISE if even that
+    is non-positive (the caller records a section error; no number is
+    better than a fabricated one)."""
     import statistics
 
     run, measure = _loop_harness(make_body)
@@ -138,10 +140,20 @@ def timed_loop_stats(make_body, n_iters: int = 20, repeats: int = 3) -> dict:
         if tn - t1 > 0:
             samples.append((tn - t1) / n_iters)
     if not samples:
-        # pure noise: the paired estimator failed every time — use the
-        # median-endpoint difference over everything we measured
+        # pure noise: the paired estimator failed every time — fall back
+        # to the median-endpoint difference over everything we measured,
+        # and if even THAT is non-positive, fail loudly: clamping here
+        # would publish an absurd ~1e13 windows/s as a real measurement
+        # (the caller records the error per section instead)
         est = (statistics.median(tns) - statistics.median(t1s)) / n_iters
-        samples = [max(est, 1e-9)]
+        if est <= 0:
+            raise RuntimeError(
+                f"timing not resolvable over tunnel noise: every paired "
+                f"sample and the median-endpoint difference came out "
+                f"non-positive (t1s={[f'{t:.3f}' for t in t1s]}, "
+                f"tns={[f'{t:.3f}' for t in tns]}); raise n_iters so the "
+                f"span dwarfs dispatch noise")
+        samples = [est]
     return {
         "median_s": float(statistics.median(samples)),
         "min_s": float(min(samples)),

@@ -222,21 +222,54 @@ def test_mfcc_device_variant_matches_host_variant():
     """The streaming tick's ONE-dispatch device MFCC
     (mfcc_from_int16_chunks_device: mel + power_to_db + DCT fused into a
     single program, result left on device) must produce the host
-    variant's values — same ops, one program boundary instead of three."""
+    variant's values on a window-aligned ring — same ops, one program
+    boundary instead of three."""
     class Cfg:
         batch_size = 10
 
     rng = np.random.default_rng(7)
-    chunks = [rng.integers(-3000, 3000, 1024, dtype=np.int16).tobytes()
-              for _ in range(90)]
+    # window-aligned ring: 12 chunks x 4410 samples (one 0.1 s window
+    # each) — the device variant's compile-bounding floor is a no-op here
+    chunks = [rng.integers(-3000, 3000, 4410, dtype=np.int16).tobytes()
+              for _ in range(12)]
     host = A.mfcc_from_int16_chunks(chunks, Cfg, length=1.0)
     dev = A.mfcc_from_int16_chunks_device(chunks, Cfg, length=1.0)
     import jax
 
     assert isinstance(dev, jax.Array)  # stays on device (no host fetch)
-    np.testing.assert_allclose(np.asarray(dev), host, rtol=1e-6, atol=1e-5)
+    # one fused program vs three separate programs: XLA fuses the mel
+    # matmul / max-reduce / DCT differently, shifting fp32 LSBs (~1e-5
+    # on O(1) mfcc values) — tight-but-not-bitwise is the contract
+    np.testing.assert_allclose(np.asarray(dev), host, rtol=1e-4, atol=1e-4)
     # starvation guard behaves like the host variant
     import pytest
 
     with pytest.raises(ValueError, match="wait for source.ready"):
-        A.mfcc_from_int16_chunks_device(chunks[:10], Cfg, length=1.0)
+        A.mfcc_from_int16_chunks_device(chunks[:2], Cfg, length=1.0)
+
+
+def test_mfcc_device_variant_floors_to_whole_windows():
+    """On an UNALIGNED ring the device variant consumes only the last
+    whole number of 0.1 s windows (compile bounding: one program per
+    steady chunk-size regime) — values must equal the host pipeline run
+    on the floored wave, and the consumed length must be identical for
+    ring totals that differ by less than one window."""
+    class Cfg:
+        batch_size = 10
+
+    rng = np.random.default_rng(8)
+    chunks = [rng.integers(-3000, 3000, 1024, dtype=np.int16).tobytes()
+              for _ in range(90)]  # 92160 samples: NOT a multiple of 4410
+    dev = np.asarray(A.mfcc_from_int16_chunks_device(chunks, Cfg,
+                                                     length=1.0))
+    y = np.frombuffer(b"".join(chunks), np.int16).astype(np.float32)
+    yf = y[len(y) - (len(y) // 4410) * 4410:]
+    want = A.mfcc_from_wave(yf, 44100)[-Cfg.batch_size:]
+    np.testing.assert_allclose(dev, want, rtol=1e-4, atol=1e-4)
+    # a ring whose total stays inside the same window bucket floors to
+    # the SAME consumed suffix (same compiled program, bit-identical
+    # output) even though extra old samples were prepended
+    extra = rng.integers(-3000, 3000, 400, dtype=np.int16).tobytes()
+    dev2 = np.asarray(A.mfcc_from_int16_chunks_device([extra] + chunks,
+                                                      Cfg, length=1.0))
+    np.testing.assert_array_equal(dev2, dev)
