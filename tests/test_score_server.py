@@ -563,6 +563,44 @@ def test_sensor_request_size_and_shape_errors(served_all):
             c.score_sensor(r2, d2, t2[:3], m2)
 
 
+def test_pipelined_client_transport_failure_keeps_fifo_accounting():
+    """A transport-level failure in collect() must NOT decrement
+    outstanding — no reply was consumed, and eager decrementing would
+    mis-attribute every later reply by one (the collect() docstring
+    contract).  Server-side: a socket that accepts, never replies, and
+    holds the connection so the client times out deterministically."""
+    import socket as sk
+    import threading
+
+    from icra2021_multimodal_ad_tpu.ops.score_server import (
+        PipelinedScoreClient,
+    )
+
+    srv = sk.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    release = threading.Event()
+
+    def _accept():
+        conn, _ = srv.accept()
+        release.wait(10)  # hold open, never reply
+        conn.close()
+
+    threading.Thread(target=_accept, daemon=True).start()
+    try:
+        c = PipelinedScoreClient(("127.0.0.1", port), timeout_s=1.0)
+        c.submit(np.zeros((1, 4), np.float32))
+        assert c.outstanding == 1
+        with pytest.raises(OSError):  # recv timeout
+            c.collect()
+        assert c.outstanding == 1  # unchanged: reply never consumed
+        c.close()
+    finally:
+        release.set()
+        srv.close()
+
+
 def test_pipelined_client_sensor_ops(served_all):
     """submit_sensor/collect: native payloads pipeline with the same FIFO
     contract, matching the blocking score_sensor per request — and window
