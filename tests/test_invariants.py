@@ -202,6 +202,66 @@ def test_bench_cost_of_reports_true_gemm_flops_and_survives_none():
     assert by2 and by2 > 0
 
 
+def test_bench_summary_line_fits_driver_tail_window():
+    """The LAST line bench.py prints must be a self-contained JSON
+    summary <= SUMMARY_MAX_CHARS (1500): the driver records only the
+    final ~2000 chars of stdout, and BENCH_r04 lost its entire headline
+    when the accumulated full-board line outgrew that window
+    (`parsed: null` in the artifact of record, VERDICT r4 item 1).
+    Pins: the cap under a worst-case board, headline fields surviving
+    any overflow trimming, and valid single-line JSON either way."""
+    import json as _json
+
+    import bench
+
+    # a worst-case board: every summary key present with realistic
+    # magnitudes, plus plenty of non-summary fields and long errors
+    res = {k: 4625990.8 for k in bench.SUMMARY_KEYS}
+    res.update({
+        "metric": "fused_inference_windows_per_sec",
+        "unit": "windows/s/chip",
+        "bf16_windows_per_sec_spread": [4599658.9, 4662422.8],
+        "fp32_windows_per_sec_spread": [3290000.1, 3310000.9],
+        "headline_path": "sensor_u8_bf16", "partial": True,
+        "watchdog": "fired",
+        "section_errors": {f"sec{i}": "x" * 300 for i in range(16)},
+        "section_wall_s": {f"sec{i}": 123.4 for i in range(16)},
+    })
+    line = bench.summary_line(res, n_errors=16, board_sha="a" * 64)
+    assert len(line) <= bench.SUMMARY_MAX_CHARS, len(line)
+    assert "\n" not in line
+    parsed = _json.loads(line)
+    for k in ("metric", "value", "unit", "vs_baseline",
+              "bf16_windows_per_sec", "full_board"):
+        assert k in parsed, k
+    # the giant non-summary fields never leak into the summary
+    assert "section_errors" not in parsed
+    assert parsed["n_section_errors"] == 16
+
+    # pathological: even a hostile huge value in a droppable field can't
+    # push the line over the cap while the headline four survive
+    res["sensor_u8_vs_bf16_same_loop"] = float("1" + "0" * 200)
+    line2 = bench.summary_line(res, n_errors=16, board_sha="a" * 64)
+    assert len(line2) <= bench.SUMMARY_MAX_CHARS
+    p2 = _json.loads(line2)
+    assert p2["value"] == 4625990.8 and "vs_baseline" in p2
+
+    # a realistic healthy final board also parses and keeps the AUROC +
+    # latency core fields without trimming
+    healthy = {k: v for k, v in res.items()
+               if k not in ("partial", "watchdog")}
+    healthy["sensor_u8_vs_bf16_same_loop"] = 0.9314
+    for k in ("auroc_base", "auroc_sap", "auroc_nap",
+              "auroc_nap_bf16_serving"):
+        healthy[k] = 0.87654
+    healthy["auroc_in_expected_band"] = True
+    line3 = bench.summary_line(healthy, n_errors=0, board_sha="b" * 64)
+    assert len(line3) <= bench.SUMMARY_MAX_CHARS
+    p3 = _json.loads(line3)
+    assert p3["auroc_nap_bf16_serving"] == 0.87654
+    assert p3["streaming_tick_pipelined_p50_ms"] == 4625990.8
+
+
 def test_int8_nap_program_runs_an_int8_mxu_dot():
     """The nap_quant='int8' whitening program must contain an i8 x i8 ->
     i32 dot_general (the MXU int8 path the 2x-peak claim rides on) over
