@@ -261,12 +261,18 @@ def _load_images_overlapped(root: str, data_dirs, ids, subdir: str,
     in 4.4 ms for a 4.6 MB stack whose transfer takes 252 ms over the
     tunnel — scripts/build_overlap_probe.py), so chunking pipelines the
     cold build's two dominant phases: host PNG decode and the tunnel
-    upload.  Measured 2.18x the unchunked build end-to-end (8.3k vs
-    3.8k rows/s at 2000 rows, chunks=4), output bit-identical — the fuse
-    program consumes the same full-batch array either way, keeping the
-    batch-global min-max semantics.  Small builds (< min_rows) skip
-    chunking: per-chunk dedup is narrower than global dedup, and the
-    transfer is too small to hide anything behind."""
+    upload.  Output bit-identical — the fuse program consumes the same
+    full-batch array either way, keeping the batch-global min-max
+    semantics.  Honest scope (r5 in-bench interleaved A/B,
+    `dataset_build_overlap_*`): on the tunneled 1-core host the ratio
+    is 1.02 with overlapping spreads — the build is RTT/dispatch-bound
+    there and chunking hides nothing; the early 2.18x probe figure came
+    from a slow-tunnel phase and is retired.  The path stays because it
+    costs nothing and targets hosts where decode is the long pole
+    (cold page cache, multi-core PCIe-local).  ICRA_TPU_BUILD_OVERLAP=0
+    forces the unchunked path (the bench's A/B switch).  Small builds
+    (< min_rows) skip chunking: per-chunk dedup is narrower than global
+    dedup, and the transfer is too small to hide anything behind."""
     if os.environ.get("ICRA_TPU_BUILD_OVERLAP", "1") == "0":
         n_chunks = 1  # A/B switch: bench.py measures overlap on vs off
         # in one session (VERDICT r4 weak #1 reconciliation)

@@ -90,7 +90,15 @@ def test_timed_loop_stats_median_within_spread():
     st = timed_loop_stats(make_body, n_iters=4, repeats=3)
     assert st["samples"] == 3
     assert 0 < st["min_s"] <= st["median_s"] <= st["max_s"]
-    t = timed_loop(make_body, n_iters=4)
+    # The bare timed_loop keeps noise-inverted pairs (clamped to its
+    # 1e-9 floor) — measured ~13% of runs on this µs-scale CPU body —
+    # which is exactly the failure mode timed_loop_stats discards, so
+    # retry until a VALID sample carries the scale cross-check.
+    for _ in range(10):
+        t = timed_loop(make_body, n_iters=4)
+        if t > 1e-8:
+            break
+    assert t > 1e-8, "timed_loop returned only clamped samples in 10 tries"
     # same compiled programs, same machinery — within an order of magnitude
     assert st["median_s"] < 50 * t and t < 50 * st["median_s"]
 

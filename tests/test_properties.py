@@ -118,3 +118,47 @@ def _roundtrip(tree, path):
             == jax.tree.structure(tree, is_leaf=lambda x: isinstance(x, np.ndarray)))
     for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(tree)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_generator_anomaly_scale_controls_signature_not_noise():
+    """The hardened-AUROC generator knobs (bench probe, VERDICT r5):
+    same args => byte-identical shards (the probe data cache and the
+    trained-params cache both key on content); anomaly_scale=0 with
+    vary_severity erases the drop signature (labeled rows' hand-weight
+    matches normal rows) while scale=1 separates them by the full
+    100-180 g drop — i.e. the scale moves ONLY the anomaly deltas, the
+    sensor noise floor stays put."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from icra2021_multimodal_ad_tpu.data.synthetic import (
+        generate_data_sum_shards,
+    )
+
+    def gen(d, scale):
+        generate_data_sum_shards(
+            d, n_episodes=6, steps_per_episode=20, n_shards=1,
+            n_lidar=12, seed=3, write_images=False,
+            anomaly_scale=scale, vary_severity=True)
+        return os.path.join(d, "data_sum0.csv")
+
+    with tempfile.TemporaryDirectory() as a, \
+            tempfile.TemporaryDirectory() as b, \
+            tempfile.TemporaryDirectory() as c:
+        p0 = gen(a, 0.0)
+        p0b = gen(b, 0.0)
+        with open(p0, "rb") as f1, open(p0b, "rb") as f2:
+            assert f1.read() == f2.read()  # determinism
+
+        df0 = pd.read_csv(p0)
+        df1 = pd.read_csv(gen(c, 1.0))
+        w0_norm = df0[df0.label == 0].cur_hand_weight.mean()
+        w0_drop = df0[df0.label == 1].cur_hand_weight.mean()
+        w1_drop = df1[df1.label == 1].cur_hand_weight.mean()
+        # scale 0: signature gone (weight noise is sigma=2 around a
+        # per-episode baseline spread over U(150, 250))
+        assert abs(w0_drop - w0_norm) < 25, (w0_drop, w0_norm)
+        # scale 1: the 100-180 g drop (x severity >= 0.25) separates
+        assert w0_norm - w1_drop > 30, (w0_norm, w1_drop)
