@@ -20,7 +20,17 @@ Variants measured on identical data (2000 rows, 2 shards):
 
 Run on the tunneled TPU (the thing being probed IS the tunnel):
     PYTHONPATH=. python scripts/build_overlap_probe.py
-"""
+
+RECONCILIATION OUTCOME (r5): this probe's 2.18x (B vs A, against a 3.8k
+rows/s baseline measured in a slow-tunnel phase) did NOT replicate under
+the bench's same-session interleaved A/B — BENCH r5
+`dataset_build_overlap_ratio` = 1.02 with overlapping spreads against a
+~5.9k baseline.  The adopted chunked path is kept for hosts where decode
+is the long pole, but on this tunnel the build is RTT/dispatch-bound and
+the overlap buys nothing measurable; treat this probe's end-to-end ratio
+as tunnel-phase-dependent (the C-variant asynchrony finding itself —
+device_put dispatch returns in ms for a 250 ms transfer — still stands
+and still powers the pipelined streaming fetch)."""
 
 import time
 
