@@ -95,12 +95,28 @@ SUMMARY_KEYS = [
 _SUMMARY_NEVER_DROP = frozenset(SUMMARY_KEYS[:4])
 
 
+def sanitize_json(obj):
+    """Replace non-finite floats with None, recursively.  A NaN p50 (an
+    aborted streaming run returns {"p50_ms": nan}) would otherwise make
+    json.dumps emit bare `NaN` — valid for Python's reader, fatal for
+    any strict JSON parser, i.e. a new way for the artifact of record to
+    be unparseable."""
+    if isinstance(obj, float):
+        return obj if np.isfinite(obj) else None
+    if isinstance(obj, dict):
+        return {k: sanitize_json(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [sanitize_json(v) for v in obj]
+    return obj
+
+
 def summary_line(res: dict, n_errors: int = 0,
                  board_sha: str | None = None) -> str:
     """The compact final-emit line: SUMMARY_KEYS present in `res` (None
     values skipped — their reason lives in the full board's
     section_errors), error count, and the full-board pointer.  Guaranteed
     <= SUMMARY_MAX_CHARS by dropping trailing-priority keys."""
+    res = sanitize_json(res)
     s = {k: res[k] for k in SUMMARY_KEYS if res.get(k) is not None}
     if n_errors:
         s["n_section_errors"] = n_errors
@@ -234,7 +250,7 @@ def main():
                 res["section_errors"] = dict(errors)
             res["section_wall_s"] = {k: round(v, 1)
                                      for k, v in wall.items()}
-            board = json.dumps(res)
+            board = json.dumps(sanitize_json(res))
             sha = hashlib.sha256(board.encode()).hexdigest()
             try:
                 tmp = f"{BOARD_PATH}.tmp.{os.getpid()}"
@@ -256,8 +272,13 @@ def main():
     # thread emits the accumulated board and exits 0 cleanly if the main
     # thread is still wedged 60 s past the budget (the in-band budget
     # manager normally finishes the run well before this fires).
+    # grace is env-tunable ONLY so the watchdog path is end-to-end
+    # testable in seconds (tests/test_bench_contract.py fires it with
+    # BENCH_BUDGET_S=0); production runs keep the 60 s default
+    grace_s = float(os.environ.get("BENCH_WATCHDOG_GRACE_S", "60"))
+
     def _watchdog():
-        deadline = t_start + budget_s + 60.0
+        deadline = t_start + budget_s + grace_s
         while True:
             left = deadline - time.monotonic()
             if left <= 0:
@@ -270,7 +291,7 @@ def main():
         # kill the watchdog before os._exit: fall back to snapshotting or,
         # at worst, a minimal line.
         wd_msg = (
-            f"budget {budget_s:.0f}s + 60s grace exhausted with a device "
+            f"budget {budget_s:.0f}s + {grace_s:.0f}s grace exhausted with a device "
             f"call still in flight; emitting the partial board and "
             f"exiting 0")
         # serialize with a healthy main-thread emit (bounded wait — the
@@ -288,7 +309,7 @@ def main():
             errors["watchdog"] = wd_msg
             res["watchdog"] = "fired"
             res["section_errors"] = dict(errors)
-            board = json.dumps(res)
+            board = json.dumps(sanitize_json(res))
             sha = hashlib.sha256(board.encode()).hexdigest()
             try:
                 with open(BOARD_PATH, "w") as f:
@@ -307,6 +328,14 @@ def main():
             os._exit(0)
 
     threading.Thread(target=_watchdog, daemon=True).start()
+
+    hang_s = float(os.environ.get("BENCH_TEST_HANG_S", "0"))
+    if hang_s:
+        # test hook: simulate the tunnel's observed hang mode (a device
+        # call stuck indefinitely with the process otherwise healthy) so
+        # tests/test_bench_contract.py can drive the watchdog's
+        # emit-and-exit-0 path end-to-end in seconds
+        time.sleep(hang_s)
 
     # BENCH_SECTIONS="fused,nap_fp32" runs only the named sections (for
     # quick iteration on one number); prerequisite sections are pulled in

@@ -64,3 +64,35 @@ def test_bench_emission_contract_end_to_end(tmp_path):
     # (kill-resilience: a truncated run's second-to-last line is a board)
     for ln in lines:
         json.loads(ln)
+
+
+def test_bench_watchdog_line_is_compact_and_parseable(tmp_path):
+    """The watchdog path — the clean-exit alternative to the driver's
+    rc=124 kill when a tunnel call hangs — must ALSO leave a parseable
+    final line inside the tail window (r4's watchdog wrote the full
+    board, which had the same overflow risk as the healthy path).
+    BENCH_TEST_HANG_S simulates the observed hang mode; a tiny budget +
+    grace fires the watchdog ~5 s in."""
+    bench_copy = tmp_path / "bench.py"
+    shutil.copy(os.path.join(REPO, "bench.py"), bench_copy)
+    env = os.environ.copy()
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["BENCH_SECTIONS"] = "rtt"
+    env["BENCH_BUDGET_S"] = "3"
+    env["BENCH_WATCHDOG_GRACE_S"] = "2"
+    env["BENCH_TEST_HANG_S"] = "60"  # >> budget+grace: watchdog must end it
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    run = subprocess.run([sys.executable, str(bench_copy)], env=env,
+                         capture_output=True, timeout=120, text=True)
+    # exits 0 BY the watchdog (os._exit(0)), well before the 60 s hang
+    assert run.returncode == 0, run.stderr[-2000:]
+    lines = [ln for ln in run.stdout.splitlines() if ln.strip()]
+    last = lines[-1]
+    assert len(last) <= 1500, len(last)
+    s = json.loads(last)
+    assert s["watchdog"] == "fired"
+    assert s["partial"] is True  # the run never reached the final emit
+    assert s["metric"] == "fused_inference_windows_per_sec"
+    # and the same line is what a 2000-char tail capture would parse
+    assert json.loads(run.stdout[-2000:].splitlines()[-1]) == s

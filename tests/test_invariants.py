@@ -262,6 +262,28 @@ def test_bench_summary_line_fits_driver_tail_window():
     assert p3["streaming_tick_pipelined_p50_ms"] == 4625990.8
 
 
+def test_bench_sanitize_json_strips_non_finite():
+    """A NaN latency (latency_stats on an aborted run) must never reach
+    json.dumps: Python would emit bare `NaN`, which strict JSON parsers
+    reject — a third way for the artifact of record to be unparseable."""
+    import json as _json
+
+    import bench
+
+    out = bench.sanitize_json(
+        {"a": float("nan"), "b": [1.0, float("inf")], "c": {"d": 2.5},
+         "e": "NaN-as-string is fine"})
+    assert out["a"] is None and out["b"] == [1.0, None]
+    assert out["c"] == {"d": 2.5}
+    _json.dumps(out, allow_nan=False)  # strict-parseable
+
+    line = bench.summary_line({"metric": "m", "unit": "u",
+                               "value": float("nan"), "vs_baseline": 1.0})
+    s = _json.loads(line)
+    assert "value" not in s  # dropped, not emitted as NaN
+    assert s["vs_baseline"] == 1.0
+
+
 def test_int8_nap_program_runs_an_int8_mxu_dot():
     """The nap_quant='int8' whitening program must contain an i8 x i8 ->
     i32 dot_general (the MXU int8 path the 2x-peak claim rides on) over
