@@ -839,16 +839,23 @@ def main():
             return out[3]
         return train_loop
 
+    TRAIN_SPAN = 51  # differencing span (t_51 - t_1)/50: 50 steps is
+    # ~900 ms fp32 / ~200 ms bf16 of real compute — the r5 first cut
+    # used (t_6 - t_1)/5, whose ~20 ms bf16 signal sat BELOW the
+    # tunnel's dispatch noise and swung the bf16 trainer number 1.7-2.5M
+    # between same-day runs with a 5x spread; the wider span puts the
+    # signal above the noise floor for both dtypes
+
     def time_train_loop(train_loop, repeats=3):
         """(median windows/s, [min, max] spread) over `repeats` PAIRED
-        (t1, t6) differences of the same two compiled programs — the
-        trainer twin of tput_stats (VERDICT r4 weak #3: trainer numbers
-        were single samples on a ±20% link).  Non-positive pairs (a
-        dispatch spike landing on the t1 endpoint) are discarded and
+        (t_1, t_SPAN) differences of the same two compiled programs —
+        the trainer twin of tput_stats (VERDICT r4 weak #3: trainer
+        numbers were single samples on a ±20% link).  Non-positive pairs
+        (a dispatch spike landing on the t_1 endpoint) are discarded and
         re-measured, up to 2*repeats attempts."""
         opt_state = optimizer.init(params)
         float(train_loop(params, state, opt_state, 1))  # compile n=1
-        float(train_loop(params, state, opt_state, 6))  # compile n=6
+        float(train_loop(params, state, opt_state, TRAIN_SPAN))  # compile
         rates = []
         for _ in range(2 * repeats):
             if len(rates) >= repeats:
@@ -857,14 +864,14 @@ def main():
             float(train_loop(params, state, opt_state, 1))
             t1 = time.perf_counter() - t0
             t0 = time.perf_counter()
-            float(train_loop(params, state, opt_state, 6))
-            t6 = time.perf_counter() - t0
-            if t6 > t1:
-                rates.append(Bt / ((t6 - t1) / 5))
+            float(train_loop(params, state, opt_state, TRAIN_SPAN))
+            tn = time.perf_counter() - t0
+            if tn > t1:
+                rates.append(Bt / ((tn - t1) / (TRAIN_SPAN - 1)))
         if not rates:
             raise RuntimeError(
                 "train loop differencing unresolvable over tunnel noise "
-                "(every (t6 - t1) pair came out non-positive)")
+                "(every (t_span - t_1) pair came out non-positive)")
         rates.sort()
         return (float(np.median(rates)),
                 [round(rates[0], 1), round(rates[-1], 1)])
