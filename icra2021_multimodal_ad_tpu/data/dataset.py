@@ -264,11 +264,11 @@ def _load_images_overlapped(root: str, data_dirs, ids, subdir: str,
     upload.  Output bit-identical — the fuse program consumes the same
     full-batch array either way, keeping the batch-global min-max
     semantics.  Honest scope (r5 in-bench interleaved A/B,
-    `dataset_build_overlap_*`): on the tunneled 1-core host the ratio
-    is 1.02 with overlapping spreads — the build is RTT/dispatch-bound
-    there and chunking hides nothing; the early 2.18x probe figure came
-    from a slow-tunnel phase and is retired.  The path stays because it
-    costs nothing and targets hosts where decode is the long pole
+    `dataset_build_overlap_*`): 1.02-1.17x across tunnel sessions — no
+    win in slow phases (the build is RTT/dispatch-bound, spreads
+    overlap), +17% with disjoint spreads in fast ones; the early 2.18x
+    probe figure (slow-phase 3.8k baseline) is retired.  Kept: worth
+    0-17% here and more on hosts where decode is the long pole
     (cold page cache, multi-core PCIe-local).  ICRA_TPU_BUILD_OVERLAP=0
     forces the unchunked path (the bench's A/B switch).  Small builds
     (< min_rows) skip chunking: per-chunk dedup is narrower than global

@@ -24,13 +24,15 @@ Run on the tunneled TPU (the thing being probed IS the tunnel):
 RECONCILIATION OUTCOME (r5): this probe's 2.18x (B vs A, against a 3.8k
 rows/s baseline measured in a slow-tunnel phase) did NOT replicate under
 the bench's same-session interleaved A/B — BENCH r5
-`dataset_build_overlap_ratio` = 1.02 with overlapping spreads against a
-~5.9k baseline.  The adopted chunked path is kept for hosts where decode
-is the long pole, but on this tunnel the build is RTT/dispatch-bound and
-the overlap buys nothing measurable; treat this probe's end-to-end ratio
-as tunnel-phase-dependent (the C-variant asynchrony finding itself —
-device_put dispatch returns in ms for a 250 ms transfer — still stands
-and still powers the pipelined streaming fetch)."""
+`dataset_build_overlap_ratio` measured 1.02 (spreads overlapping, ~5.9k
+baseline) to 1.17 (spreads disjoint, ~7.0k baseline) across sessions.
+The adopted chunked path is worth 0-17% on this tunnel depending on
+phase — RTT/dispatch-bound when slow, decode-visible when fast — and
+more on hosts where decode is the long pole; treat this probe's
+end-to-end ratio as tunnel-phase-dependent (the C-variant asynchrony
+finding itself — device_put dispatch returns in ms for a 250 ms
+transfer — still stands and still powers the pipelined streaming
+fetch)."""
 
 import time
 
