@@ -97,16 +97,15 @@ def run_full_test(config: Config, fixture_path: str, plot: bool = False,
         fast_loss = None
         t0 = time.time()
         if show_mode or slip_plot_path:
-            # one diff-extraction forward yields both the loss trace and
-            # (when un-guarded) the scores: nap_diffs' first input_size
-            # columns ARE x_hat - x, so no second forward is dispatched
-            import jax.numpy as jnp
-
-            d = serving.nap_diffs(x)
-            fast_loss = np.asarray(jnp.sum(
-                d[:, :config.input_size].astype(jnp.float32) ** 2, axis=-1))
+            # ONE program yields both the loss trace and (when un-guarded)
+            # the scores — the same compiled program score_nap_windows
+            # runs, so scores are identical with and without the slip plot
+            # (serving.score_nap_windows_with_loss; dfs[0] IS x_hat - x,
+            # no second forward is dispatched)
+            s_both, l_both = serving.score_nap_windows_with_loss(x)
+            fast_loss = np.asarray(l_both)
             if scores is None:
-                scores = np.asarray(serving.score_nap(d))
+                scores = np.asarray(s_both)
         elif scores is None:
             scores = np.asarray(serving.score_nap_windows(x))
         print(f"nap_time ({kind} serving)", time.time() - t0)

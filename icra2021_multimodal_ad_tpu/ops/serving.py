@@ -161,14 +161,20 @@ class ServingModel(NamedTuple):
         """Full NAP path on fused windows: diff extraction + whitened score,
         end to end at the serving precision (the streaming NAP hot path).
 
+        Single-chip this is ONE jitted program (diffs + concat + whitening
+        fused — the _nap_windows_*_one scorers): the former three-dispatch
+        composition paid an extra ~7-8 ms of link round trips per call on
+        the tunneled chip (r5 probe: NAP round trip 31.7/33.4 ms ->
+        24.4/25.6 ms fp32/bf16 at batch 10, parity with BASE).
+
         Mesh serving keeps the padded sharded concat-diff matrix on device
         between the two stages and slices the scores once — routing through
         nap_diffs + score_nap would slice, re-pad, and re-shard the full
         (B, K) matrix per call."""
-        if self.mesh is None:
-            return self.score_nap(self.nap_diffs(x))
         if self.nap_stats is None:
             raise ValueError("score_nap_windows needs nap_stats")
+        if self.mesh is None:
+            return self._nap_windows_one(x)[0]
         from icra2021_multimodal_ad_tpu.ops.rapp import diffs_batch
 
         if self.compute_dtype == jnp.float32:
@@ -194,10 +200,53 @@ class ServingModel(NamedTuple):
                 if self.compute_dtype == jnp.float32 else None)
         return _nap_score_xla(v, offset, inv_std, cat, prec)[:n]
 
+    def _nap_windows_one(self, x: jax.Array):
+        """Dispatch the single-chip one-program NAP scorer for this
+        bundle's precision; returns (scores, base_loss) device arrays
+        from the SAME compiled program score_nap_windows returns scores
+        from — callers wanting both pay no second forward and see
+        bit-identical scores either way."""
+        exact = self.compute_dtype == jnp.float32
+        xd = x.astype(jnp.float32 if exact else self.compute_dtype)
+        if self.nap_int8 is not None:
+            return _nap_windows_int8_one(self.model, self.params,
+                                         self.state, self.nap_int8,
+                                         xd, exact=exact)
+        if exact:
+            return _nap_windows_exact_one(self.model, self.params,
+                                          self.state, self.nap_stats, xd)
+        offset, inv_std = (self.nap_pre if self.nap_pre is not None
+                           else nap_precompute(self.nap_stats))
+        v = (self.nap_v if self.nap_v is not None
+             else self.nap_stats.rotater.v.astype(self.compute_dtype))
+        return _nap_windows_lowp_one(self.model, self.params, self.state,
+                                     v, offset, inv_std, xd)
+
+    def score_nap_windows_with_loss(self, x: jax.Array):
+        """(NAP scores, per-window BASE MSE-sum) — the full_test.py
+        slip-trace path needs both; single-chip they come from the ONE
+        program score_nap_windows runs, so CLI scores are identical with
+        and without --slip_plot_path.  Mesh serving derives the loss from
+        the sharded concat-diff matrix (dfs[0] IS x_hat - x)."""
+        if self.nap_stats is None:
+            raise ValueError("score_nap_windows needs nap_stats")
+        if self.mesh is None:
+            return self._nap_windows_one(x)
+        d = self.nap_diffs(x)
+        loss = jnp.sum(
+            d[:, : x.shape[-1]].astype(jnp.float32) ** 2, axis=-1)
+        return self.score_nap(d), loss
+
     def score_sap_windows(self, x: jax.Array) -> jax.Array:
         """SAP score (mean square over concat diffs, utils/metric.py:145-181
         semantics) on fused windows at the serving precision — completes the
-        BASE/SAP/NAP three-score contract for serving."""
+        BASE/SAP/NAP three-score contract for serving.  Single-chip it is
+        one jitted program (same dispatch anatomy as score_nap_windows)."""
+        if self.mesh is None:
+            exact = self.compute_dtype == jnp.float32
+            xd = x.astype(jnp.float32 if exact else self.compute_dtype)
+            return _sap_windows_one(self.model, self.params, self.state,
+                                    xd, exact=exact)
         cat = self.nap_diffs(x)
         return jnp.mean(cat * cat, axis=-1)
 
@@ -579,6 +628,75 @@ def _score_fused(model, params, state, x):
     x_hat = _forward(model, params, state, x)
     d = (x_hat.astype(jnp.float32) - x.astype(jnp.float32))
     return jnp.mean(d * d, axis=-1)
+
+
+# ---- single-chip one-program NAP/SAP-on-windows scorers -------------------
+# The r5 probe measured the multi-dispatch composition (diffs program ->
+# concat -> score program) at +7-8 ms per call over BASE at batch 10 on
+# the tunneled chip — every extra dispatch costs a link round trip, the
+# same anatomy the streaming tick ladder removed (ARCHITECTURE.md §6.7).
+# These fuse the whole path into ONE jitted program, the window-input
+# twins of data/streaming._tick_nap_{exact,bf16,int8}: NAP round trips
+# measured 31.7 -> 24.4 ms (fp32) / 33.4 -> 25.6 ms (bf16) — parity with
+# BASE.  The whitening takes the XLA matmul form (the streaming-tick
+# semantics; fp32 agrees with the Pallas-kernel path at ~1e-7): Pallas'
+# VMEM-shrink retry (pallas_kernels.nap_score_pallas) is a Python-level
+# except that cannot fire inside an enclosing jit trace, so the kernel
+# stays on the explicit concat-diff entry point (score_nap) only.
+
+def _base_loss_of(dfs):
+    """Per-window BASE MSE-sum from the input-layer diff tap: dfs[0] IS
+    x_hat - x, so the loss trace costs no second forward (the
+    FullTest.py:54-98 show_detect_slip loss semantics)."""
+    return jnp.sum(dfs[0].astype(jnp.float32) ** 2, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("model",))
+def _nap_windows_exact_one(model, params, state, stats, x):
+    """fp32: exact diff extraction + HIGHEST-precision whitening.
+    Returns (scores, base_loss)."""
+    from icra2021_multimodal_ad_tpu.ops.rapp import diffs_batch
+    from icra2021_multimodal_ad_tpu.ops.scoring import nap_score_device
+
+    d = diffs_batch(model, params, state, x)
+    return (nap_score_device(stats, jnp.concatenate(d, axis=-1)),
+            _base_loss_of(d))
+
+
+@partial(jax.jit, static_argnames=("model",))
+def _nap_windows_lowp_one(model, params, state, v, offset, inv_std, x):
+    """bf16: mixed-precision taps + bf16 whitening matmul, fp32
+    accumulation/score (score_nap_windows serving semantics).
+    Returns (scores, base_loss)."""
+    dfs = serving_diffs_batch(model, params, state, x)
+    cat = jnp.concatenate(dfs, axis=-1).astype(v.dtype)
+    rot = jnp.dot(cat, v, preferred_element_type=jnp.float32)
+    t = (rot - offset) * inv_std
+    return jnp.mean(t * t, axis=-1), _base_loss_of(dfs)
+
+
+@partial(jax.jit, static_argnames=("model", "exact"))
+def _nap_windows_int8_one(model, params, state, pack, x, *, exact):
+    """nap_quant='int8': extraction at the serving dtype, int8 MXU
+    whitening with the split-precision bf16 tail.
+    Returns (scores, base_loss)."""
+    from icra2021_multimodal_ad_tpu.ops.rapp import diffs_batch
+
+    d = (diffs_batch if exact else serving_diffs_batch)(
+        model, params, state, x)
+    return (_nap_score_int8_xla(pack, jnp.concatenate(d, axis=-1)),
+            _base_loss_of(d))
+
+
+@partial(jax.jit, static_argnames=("model", "exact"))
+def _sap_windows_one(model, params, state, x, *, exact):
+    """SAP (mean square over concat diffs) as one program."""
+    from icra2021_multimodal_ad_tpu.ops.rapp import diffs_batch
+
+    d = (diffs_batch if exact else serving_diffs_batch)(
+        model, params, state, x)
+    cat = jnp.concatenate(d, axis=-1)
+    return jnp.mean(cat * cat, axis=-1)
 
 
 @partial(jax.jit, static_argnames=("model", "keys"))
