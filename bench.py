@@ -92,7 +92,11 @@ SUMMARY_KEYS = [
     "serve_p50_ms", "sensor_u8_vs_bf16_same_loop",
     "bench_wall_s", "partial", "watchdog",
 ]
-_SUMMARY_NEVER_DROP = frozenset(SUMMARY_KEYS[:4])
+#: Never trimmed: the metric contract AND the run-status markers — an
+#: oversized watchdog/partial summary must never present to the driver
+#: as a healthy completed board (the trim order would otherwise drop
+#: 'partial'/'watchdog' first, being last in SUMMARY_KEYS).
+_SUMMARY_NEVER_DROP = frozenset(SUMMARY_KEYS[:4]) | {"partial", "watchdog"}
 
 
 def sanitize_json(obj):
@@ -306,18 +310,29 @@ def main():
         # it inside the driver's ~2000-char tail window.
         got_lock = _emit_lock.acquire(timeout=10.0)
         try:
+            if not got_lock:
+                # the main thread has held the lock >10 s (e.g. print()
+                # blocked on a full pipe) — it may be iterating
+                # errors/res RIGHT NOW, so touching them here would
+                # re-create the race this path exists to avoid; emit a
+                # minimal self-contained line instead
+                raise RuntimeError("emit lock held; minimal line")
             errors["watchdog"] = wd_msg
             res["watchdog"] = "fired"
             res["section_errors"] = dict(errors)
             board = json.dumps(sanitize_json(res))
             sha = hashlib.sha256(board.encode()).hexdigest()
             try:
-                with open(BOARD_PATH, "w") as f:
+                # atomic like emit(): a half-written board whose sha the
+                # summary still vouches for is worse than a stale one
+                tmp = f"{BOARD_PATH}.tmp.wd.{os.getpid()}"
+                with open(tmp, "w") as f:
                     f.write(board + "\n")
+                os.replace(tmp, BOARD_PATH)
             except OSError:
                 pass
             line = summary_line(res, len(errors), sha)
-        except Exception:  # noqa: BLE001 — res mutating under us
+        except Exception:  # noqa: BLE001 — lock timeout / res mutating
             line = json.dumps({"metric": "fused_inference_windows_per_sec",
                                "partial": True, "watchdog": wd_msg})
         try:
@@ -1036,6 +1051,7 @@ def main():
         # is the shipped default (overlap ON) median; the `_overlap_off`
         # fields and the ratio are what the docs must quote.
         def timed_build(overlap):
+            prev = os.environ.get("ICRA_TPU_BUILD_OVERLAP")
             os.environ["ICRA_TPU_BUILD_OVERLAP"] = "1" if overlap else "0"
             try:
                 t0 = time.perf_counter()
@@ -1043,7 +1059,13 @@ def main():
                 jax.block_until_ready(d.data)
                 return len(d) / (time.perf_counter() - t0), d
             finally:
-                os.environ.pop("ICRA_TPU_BUILD_OVERLAP", None)
+                # restore, don't pop: an operator-exported =0 must
+                # survive the A/B (it governs every later build in this
+                # process)
+                if prev is None:
+                    os.environ.pop("ICRA_TPU_BUILD_OVERLAP", None)
+                else:
+                    os.environ["ICRA_TPU_BUILD_OVERLAP"] = prev
 
         on_rates, off_rates = [], []
         for _ in range(3):
@@ -1159,16 +1181,22 @@ def main():
         with open(_syn.__file__, "rb") as fh:
             gen_sha = hashlib.sha256(fh.read()).hexdigest()[:12]
         n_rows = 2000
+        # EVERY generator argument feeds the cache key (plus the
+        # generator code sha above): an arg edit that left the key
+        # unchanged would silently reuse stale shards and measure the
+        # pinned band against the wrong task
+        gen_args = dict(n_episodes=n_rows // 40, steps_per_episode=40,
+                        n_shards=2, n_lidar=963, seed=0,
+                        anomaly_scale=AUROC_PROBE_SCALE,
+                        vary_severity=True)
+        args_sha = hashlib.sha256(
+            json.dumps(gen_args, sort_keys=True).encode()).hexdigest()[:12]
         droot = os.path.join(
             os.path.expanduser("~/.cache/icra2021_multimodal_ad_tpu"),
-            "bench_auroc_data",
-            f"s{AUROC_PROBE_SCALE}_n{n_rows}_{gen_sha}")
+            "bench_auroc_data", f"a{args_sha}_{gen_sha}")
         if not os.path.exists(os.path.join(droot, "data_sum1.csv")):
             tmp = f"{droot}.tmp.{os.getpid()}"
-            generate_data_sum_shards(
-                tmp, n_episodes=n_rows // 40, steps_per_episode=40,
-                n_shards=2, n_lidar=963, seed=0,
-                anomaly_scale=AUROC_PROBE_SCALE, vary_severity=True)
+            generate_data_sum_shards(tmp, **gen_args)
             os.makedirs(os.path.dirname(droot), exist_ok=True)
             try:
                 os.rename(tmp, droot)

@@ -368,8 +368,14 @@ def make_serving(config, model: AutoEncoder, params, state,
         nap_pack=(nap_pallas_pack(nap_stats, dtype=dtype, precomputed=nap_pre)
                   if nap_stats is not None and mesh is None and not quantized
                   else None),
+        # built for mesh AND single-chip low-precision bundles: the
+        # one-program window scorer (_nap_windows_lowp_one) consumes the
+        # pre-cast V too — without it every scoring call would pay an
+        # eager O(K*J) fp32->bf16 device cast (~tens of MB per streaming
+        # tick), the exact per-call cost nap_pre/nap_pack exist to avoid
         nap_v=(nap_stats.rotater.v.astype(dtype)
-               if nap_stats is not None and mesh is not None
+               if nap_stats is not None
+               and (mesh is not None or dtype != jnp.float32)
                and not quantized else None),
         nap_int8=(nap_int8_pack(nap_stats, precomputed=nap_pre)
                   if quantized else None),
@@ -666,13 +672,12 @@ def _nap_windows_exact_one(model, params, state, stats, x):
 @partial(jax.jit, static_argnames=("model",))
 def _nap_windows_lowp_one(model, params, state, v, offset, inv_std, x):
     """bf16: mixed-precision taps + bf16 whitening matmul, fp32
-    accumulation/score (score_nap_windows serving semantics).
-    Returns (scores, base_loss)."""
+    accumulation/score — the same _nap_score_xla epilogue the mesh and
+    export paths run (ONE definition; score_nap_windows serving
+    semantics).  Returns (scores, base_loss)."""
     dfs = serving_diffs_batch(model, params, state, x)
     cat = jnp.concatenate(dfs, axis=-1).astype(v.dtype)
-    rot = jnp.dot(cat, v, preferred_element_type=jnp.float32)
-    t = (rot - offset) * inv_std
-    return jnp.mean(t * t, axis=-1), _base_loss_of(dfs)
+    return _nap_score_xla(v, offset, inv_std, cat, None), _base_loss_of(dfs)
 
 
 @partial(jax.jit, static_argnames=("model", "exact"))

@@ -234,6 +234,9 @@ def test_bench_summary_line_fits_driver_tail_window():
     for k in ("metric", "value", "unit", "vs_baseline",
               "bf16_windows_per_sec", "full_board"):
         assert k in parsed, k
+    # run-status markers survive ANY trimming: a wedged/partial run must
+    # never present to the driver as a healthy completed board
+    assert parsed["partial"] is True and parsed["watchdog"] == "fired"
     # the giant non-summary fields never leak into the summary
     assert "section_errors" not in parsed
     assert parsed["n_section_errors"] == 16
@@ -245,6 +248,7 @@ def test_bench_summary_line_fits_driver_tail_window():
     assert len(line2) <= bench.SUMMARY_MAX_CHARS
     p2 = _json.loads(line2)
     assert p2["value"] == 4625990.8 and "vs_baseline" in p2
+    assert p2["partial"] is True and p2["watchdog"] == "fired"
 
     # a realistic healthy final board also parses and keeps the AUROC +
     # latency core fields without trimming
